@@ -1,0 +1,134 @@
+"""Flat-sky Fourier primitives (JAX, TPU-native).
+
+These replace the pixell calls the reference leans on for its hot path:
+``enmap.fft/ifft`` (``nemo/filters.py:526-529,851``), ``enmap.apod``
+(``filters.py:528``), ``enmap.apply_window`` (``filters.py:103,647``),
+``enmap.modlmap``/``laxes`` (``filters.py:275,810``).
+
+Conventions:
+
+* ``fft2``/``ifft2`` are plain unnormalised transforms over the last two
+  axes (forward = jnp.fft.fft2).  The matched-filter normalisation is fixed
+  by an explicit signal-calibration step (as in the reference,
+  ``filters.py:635-690``), so only internal consistency matters.
+* The pixel window is the separable sinc in cycles-per-pixel units,
+  matching pixell's ``enmap.calc_window`` exactly.
+* ``apod`` is the cosine taper of ``enmap.apod``: the first/last ``width``
+  pixels of each axis ramp smoothly from 0 at the edge to 1.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fft2(m):
+    """Unnormalised 2-d FFT over the last two axes."""
+    return jnp.fft.fft2(m)
+
+
+def ifft2(fm):
+    """Inverse of :func:`fft2` (numpy normalisation: ifft(fft(x)) == x)."""
+    return jnp.fft.ifft2(fm)
+
+
+@functools.lru_cache(maxsize=64)
+def _apod_profile(n, width):
+    prof = np.ones(n)
+    if width > 0:
+        ramp = (1 - np.cos(np.linspace(0, np.pi, width))) / 2
+        prof[:width] = ramp
+        prof[-width:] = ramp[::-1]
+    return prof
+
+
+def apod_mask(shape, width):
+    """2-d cosine apodisation window for a map of the given (ny, nx) shape."""
+    ny, nx = shape[-2], shape[-1]
+    wy = _apod_profile(ny, int(width))
+    wx = _apod_profile(nx, int(width))
+    return jnp.asarray(wy[:, None] * wx[None, :])
+
+
+def apod(m, width):
+    """Apply the cosine edge taper (pixell ``enmap.apod`` equivalent)."""
+    return m * apod_mask(m.shape, width).astype(m.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _window_1d(n):
+    return np.sinc(np.fft.fftfreq(n))
+
+
+def pixel_window(shape, pow=1.0):
+    """2-d separable pixel window W(ly, lx)^pow on the full FFT grid.
+
+    Matches pixell ``enmap.calc_window``: sinc in cycles/pixel.
+    """
+    ny, nx = shape[-2], shape[-1]
+    wy = _window_1d(ny) ** pow
+    wx = _window_1d(nx) ** pow
+    return jnp.asarray(wy[:, None] * wx[None, :])
+
+
+def apply_pixel_window(m, pow=1.0):
+    """Multiply/divide out the map pixel window in Fourier space
+    (pixell ``enmap.apply_window`` equivalent, ``nemo/filters.py:103``)."""
+    fm = fft2(m)
+    fm = fm * pixel_window(m.shape, pow=pow).astype(fm.dtype)
+    return jnp.real(ifft2(fm))
+
+
+@functools.lru_cache(maxsize=64)
+def laxes(shape, pix_scales_rad):
+    """Angular wavenumber axes (ly, lx) for a tile.
+
+    Args:
+        shape: (ny, nx).
+        pix_scales_rad: (dy, dx) pixel scales in radians (evaluated at the
+            tile centre, as the reference does in ``MapFilter.makeRadiansMap``).
+    Returns:
+        (ly, lx) numpy arrays in fftfreq ordering.
+    """
+    ny, nx = shape[-2], shape[-1]
+    dy, dx = pix_scales_rad
+    ly = 2 * np.pi * np.fft.fftfreq(ny, d=dy)
+    lx = 2 * np.pi * np.fft.fftfreq(nx, d=dx)
+    return ly, lx
+
+
+@functools.lru_cache(maxsize=64)
+def modlmap(shape, pix_scales_rad):
+    """|l| on the 2-d FFT grid (pixell ``enmap.modlmap`` equivalent)."""
+    ly, lx = laxes(shape, pix_scales_rad)
+    return np.sqrt(ly[:, None] ** 2 + lx[None, :] ** 2)
+
+
+def fourier_shift_phase(shape, pix_scales_rad, dy_pix, dx_pix):
+    """exp(-i (ly*dy + lx*dx)) phase ramp implementing a continuous shift by
+    (dy_pix, dx_pix) pixels; used to centre analytic templates."""
+    ny, nx = shape[-2], shape[-1]
+    fy = jnp.fft.fftfreq(ny)
+    fx = jnp.fft.fftfreq(nx)
+    phase = jnp.exp(-2j * jnp.pi * (fy[:, None] * dy_pix + fx[None, :] * dx_pix))
+    return phase
+
+
+def radial_distance_map(shape, pix_scales_rad, center=None):
+    """Map of angular distance (radians) from a reference point.
+
+    Replicates ``MapFilter.makeRadiansMap`` (``nemo/filters.py:214-239``):
+    flat-sky distances with x/y pixel scales fixed at the map centre, centre
+    pixel at (floor coords of) shape/2.
+    """
+    ny, nx = shape[-2], shape[-1]
+    dy, dx = pix_scales_rad
+    if center is None:
+        cy, cx = ny // 2, nx // 2
+    else:
+        cy, cx = center
+    yy = (np.arange(ny) - cy) * dy
+    xx = (np.arange(nx) - cx) * dx
+    return np.sqrt(yy[:, None] ** 2 + xx[None, :] ** 2)

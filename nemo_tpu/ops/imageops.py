@@ -1,0 +1,144 @@
+"""Image-space operators with scipy.ndimage-parity semantics, in JAX.
+
+The reference uses scipy.ndimage for noise-covariance smoothing
+(``gaussian_filter``, ``nemo/filters.py:583``), edge trimming
+(``rank_filter`` rank 0 == minimum filter, ``filters.py:737``), real-space
+kernel convolution (``ndimage.convolve``, ``filters.py:1201``) and mask
+dilation (``mahotas.dilate``, ``nemo/maps.py:256``).  These run on TPU here,
+vectorised over batched tiles; each is tested for numerical parity against
+scipy on the CPU backend.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=32)
+def _gaussian_weights(sigma, truncate=4.0):
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1)
+    w = np.exp(-0.5 * (x / sigma) ** 2)
+    w /= w.sum()
+    return w, radius
+
+
+def _correlate1d_reflect(m, weights, radius, axis):
+    """1-d correlation along ``axis`` with scipy's 'reflect' boundary
+    (numpy 'symmetric')."""
+    pad = [(0, 0)] * m.ndim
+    pad[axis] = (radius, radius)
+    padded = jnp.pad(m, pad, mode="symmetric")
+    w = jnp.asarray(weights, dtype=m.dtype)
+    # Move target axis last, flatten the rest, use conv over one spatial dim
+    moved = jnp.moveaxis(padded, axis, -1)
+    lead_shape = moved.shape[:-1]
+    flat = moved.reshape((-1, 1, moved.shape[-1]))
+    kern = w[::-1].reshape((1, 1, -1))  # correlation via flipped convolution
+    out = jax.lax.conv_general_dilated(
+        flat, kern, window_strides=(1,), padding="VALID")
+    out = out.reshape(lead_shape + (out.shape[-1],))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def gaussian_filter(m, sigma, truncate=4.0):
+    """scipy.ndimage.gaussian_filter parity (mode='reflect').
+
+    ``sigma`` may be a scalar or per-axis (sy, sx) for the last two axes.
+    """
+    if np.isscalar(sigma):
+        sigma = (sigma, sigma)
+    sy, sx = sigma
+    out = m
+    if sy > 0:
+        wy, ry = _gaussian_weights(float(sy), truncate)
+        out = _correlate1d_reflect(out, wy, ry, axis=out.ndim - 2)
+    if sx > 0:
+        wx, rx = _gaussian_weights(float(sx), truncate)
+        out = _correlate1d_reflect(out, wx, rx, axis=out.ndim - 1)
+    return out
+
+
+def minimum_filter(m, size):
+    """scipy.ndimage.rank_filter(m, 0, size=(size, size)) parity.
+
+    With 'reflect' boundaries a minimum filter is equivalent to ignoring
+    out-of-bounds pixels, which reduce_window achieves by padding with +inf.
+    Window centring matches scipy (origin 0): spans [i - size//2,
+    i + size - 1 - size//2].
+    """
+    size = int(size)
+    lo = size // 2
+    hi = size - 1 - lo
+    pad_cfg = [(0, 0, 0)] * (m.ndim - 2) + [(lo, hi, 0), (lo, hi, 0)]
+    window = [1] * (m.ndim - 2) + [size, size]
+    strides = [1] * m.ndim
+    big = jnp.array(jnp.inf, dtype=m.dtype)
+    padded = jax.lax.pad(m, big, pad_cfg)
+    return jax.lax.reduce_window(padded, big, jax.lax.min,
+                                 window_dimensions=window,
+                                 window_strides=strides, padding="VALID")
+
+
+def maximum_filter(m, size):
+    """Max filter with the same centring conventions as minimum_filter."""
+    size = int(size)
+    lo = size // 2
+    hi = size - 1 - lo
+    pad_cfg = [(0, 0, 0)] * (m.ndim - 2) + [(lo, hi, 0), (lo, hi, 0)]
+    window = [1] * (m.ndim - 2) + [size, size]
+    strides = [1] * m.ndim
+    small = jnp.array(-jnp.inf, dtype=m.dtype)
+    padded = jax.lax.pad(m, small, pad_cfg)
+    return jax.lax.reduce_window(padded, small, jax.lax.max,
+                                 window_dimensions=window,
+                                 window_strides=strides, padding="VALID")
+
+
+def binary_dilate_cross(mask, iterations=1):
+    """Binary dilation with a 3x3 cross (4-connectivity), like
+    ``mahotas.dilate`` with its default structuring element
+    (``nemo/maps.py:256``).  Runs as an unrolled 5-point max."""
+    m = mask.astype(jnp.float32)
+
+    def step(m, _):
+        up = jnp.roll(m, -1, axis=-2).at[..., -1, :].set(0)
+        down = jnp.roll(m, 1, axis=-2).at[..., 0, :].set(0)
+        left = jnp.roll(m, -1, axis=-1).at[..., :, -1].set(0)
+        right = jnp.roll(m, 1, axis=-1).at[..., :, 0].set(0)
+        out = jnp.maximum(m, jnp.maximum(jnp.maximum(up, down),
+                                         jnp.maximum(left, right)))
+        return out, None
+
+    m, _ = jax.lax.scan(step, m, None, length=iterations)
+    return m > 0
+
+
+def convolve2d_reflect(m, kernel):
+    """scipy.ndimage.convolve parity (mode='reflect') for an odd-sized 2-d
+    kernel.  Used by the real-space matched filter (``nemo/filters.py:1201``,
+    whose kernels are forced to odd dimensions at ``filters.py:973-976``).
+
+    For odd k, ndimage.convolve(input, W)[i] = sum_m W[m] input[i + k//2 - m],
+    i.e. cross-correlation with the flipped kernel over a centred window.
+    XLA's conv primitive computes cross-correlation, so we flip once.
+    """
+    ky, kx = kernel.shape
+    if ky % 2 == 0 or kx % 2 == 0:
+        raise ValueError("convolve2d_reflect requires odd-sized kernels")
+    pad = [(0, 0)] * (m.ndim - 2) + [(ky // 2, ky // 2), (kx // 2, kx // 2)]
+    padded = jnp.pad(m, pad, mode="symmetric")
+    flat = padded.reshape((-1, 1) + padded.shape[-2:])
+    kern = jnp.asarray(kernel, dtype=m.dtype)[::-1, ::-1][None, None]
+    out = jax.lax.conv_general_dilated(flat, kern, window_strides=(1, 1),
+                                       padding="VALID")
+    return out.reshape(m.shape[:-2] + out.shape[-2:])
+
+
+def median_filter_host(m, size):
+    """Host-side median filter (scipy), used only in per-tile preprocessing
+    for hole filling (``nemo/maps.py:365``); not on the device hot path."""
+    from scipy import ndimage
+    return ndimage.median_filter(np.asarray(m), int(size))

@@ -1,0 +1,164 @@
+import numpy as np
+import pytest
+from scipy import ndimage
+
+import jax.numpy as jnp
+
+from nemo_tpu.ops import fourier, hankel, imageops, interp, paint, solve
+
+
+def test_apod_profile():
+    m = np.ones((64, 80))
+    out = np.asarray(fourier.apod(jnp.asarray(m), 20))
+    assert out[0, 40] == 0.0
+    assert abs(out[19, 40] - 1.0) < 1e-12
+    assert abs(out[32, 40] - 1.0) < 1e-12
+    # symmetric
+    np.testing.assert_allclose(out, out[::-1], atol=1e-12)
+    np.testing.assert_allclose(out, out[:, ::-1], atol=1e-12)
+
+
+def test_pixel_window_roundtrip():
+    rng = np.random.default_rng(1)
+    m = rng.normal(size=(32, 48))
+    fwd = np.asarray(fourier.apply_pixel_window(jnp.asarray(m), pow=1.0))
+    back = np.asarray(fourier.apply_pixel_window(jnp.asarray(fwd), pow=-1.0))
+    np.testing.assert_allclose(back, m, atol=1e-8)
+
+
+def test_modlmap():
+    shape = (60, 90)
+    pix = (np.radians(0.5 / 60), np.radians(0.5 / 60))
+    lmap = fourier.modlmap(shape, pix)
+    assert lmap[0, 0] == 0
+    # Nyquist l = pi / pix
+    assert abs(lmap[30, 0] - np.pi / pix[0]) < 1e-6
+    assert lmap.shape == shape
+
+
+def test_gaussian_filter_scipy_parity():
+    rng = np.random.default_rng(2)
+    m = rng.normal(size=(57, 83))
+    for sigma in (1.0, 3.0, (3, 3), (2.5, 0.8)):
+        ours = np.asarray(imageops.gaussian_filter(jnp.asarray(m), sigma))
+        ref = ndimage.gaussian_filter(m, sigma)
+        np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+
+def test_minimum_filter_scipy_parity():
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(41, 37))
+    for size in (3, 4, 7, 10):
+        ours = np.asarray(imageops.minimum_filter(jnp.asarray(m), size))
+        ref = ndimage.rank_filter(m, 0, size=(size, size))
+        np.testing.assert_allclose(ours, ref, atol=0)
+
+
+def test_convolve2d_scipy_parity():
+    rng = np.random.default_rng(4)
+    m = rng.normal(size=(40, 44))
+    k = rng.normal(size=(9, 7))
+    ours = np.asarray(imageops.convolve2d_reflect(jnp.asarray(m), k))
+    ref = ndimage.convolve(m, k, mode="reflect")
+    np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+
+def test_binary_dilate_cross():
+    m = np.zeros((11, 11), dtype=bool)
+    m[5, 5] = True
+    out = np.asarray(imageops.binary_dilate_cross(jnp.asarray(m), 1))
+    assert out.sum() == 5
+    assert out[4, 5] and out[6, 5] and out[5, 4] and out[5, 6]
+    out3 = np.asarray(imageops.binary_dilate_cross(jnp.asarray(m), 3))
+    # diamond of radius 3: 1+4+8+12 = 25
+    assert out3.sum() == 25
+
+
+def test_hankel_gaussian():
+    rft = hankel.RadialFourierTransform()
+    sigma = 0.01
+    f = np.exp(-rft.r ** 2 / (2 * sigma ** 2))
+    F = rft.real2harm(f)
+    F_true = 2 * np.pi * sigma ** 2 * np.exp(-sigma ** 2 * rft.l ** 2 / 2)
+    l, Fu, Ftu = rft.unpad(rft.l, F, F_true)
+    sel = (l > 1) & (l < 2e4)
+    assert np.max(np.abs(Fu[sel] - Ftu[sel]) / Ftu.max()) < 1e-7
+    f2 = rft.harm2real(F)
+    r, fu, f2u = rft.unpad(rft.r, f, f2)
+    sel = r < 8 * sigma
+    assert np.max(np.abs(fu[sel] - f2u[sel])) < 1e-5
+
+
+def test_solve_small_parity():
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 3, 4):
+        A = rng.normal(size=(100, n, n))
+        A = A @ np.swapaxes(A, -1, -2) + np.eye(n)  # SPD
+        b = rng.normal(size=(100, n))
+        x = np.asarray(solve.solve_small(jnp.asarray(A), jnp.asarray(b)))
+        ref = np.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(x, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_solve_singular_gives_zero():
+    A = np.zeros((3, 2, 2))
+    b = np.ones((3, 2))
+    x = np.asarray(solve.solve_small(jnp.asarray(A), jnp.asarray(b)))
+    np.testing.assert_array_equal(x, 0)
+
+
+def test_subpixel_matches_global_spline():
+    from scipy.interpolate import RectBivariateSpline
+    rng = np.random.default_rng(6)
+    m = rng.normal(size=(120, 140))
+    m = ndimage.gaussian_filter(m, 2)
+    ys = np.array([60.3, 10.7, 100.2])
+    xs = np.array([70.9, 30.1, 5.4])
+    spl = RectBivariateSpline(np.arange(120), np.arange(140), m, kx=3, ky=3)
+    ref = np.array([spl(y, x)[0][0] for y, x in zip(ys, xs)])
+    ours = interp.subpixel_values(m, ys, xs)
+    np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_paint_template_centered():
+    shape = (64, 64)
+    pix = (np.radians(0.5 / 60), np.radians(0.5 / 60))
+    r = np.linspace(0, 0.01, 500)
+    v = np.exp(-r / 0.001)
+    out = np.asarray(paint.paint_template_centered(shape, pix, r, v))
+    assert abs(out[32, 32] - 1.0) < 1e-10  # centre pixel peak
+    # radial symmetry around centre
+    assert abs(out[32, 35] - out[32, 29]) < 1e-10
+    assert abs(out[35, 32] - out[29, 32]) < 1e-10
+
+
+def test_paint_objects_subpixel():
+    shape = (64, 64)
+    pixscale = np.radians(0.5 / 60)
+    pix = (pixscale, pixscale)
+    r = np.linspace(0, 0.02, 2000)
+    sigma_r = 3 * pixscale
+    v = np.exp(-r ** 2 / (2 * sigma_r ** 2))
+    rmax = 0.002  # ~13.7 pixels
+    out = np.asarray(paint.paint_objects(
+        shape, pix, [20.0, 40.5], [30.0, 10.25], [2.0, 1.0], r, v, rmax))
+    # On-pixel object: exact peak
+    assert abs(out[20, 30] - 2.0) < 1e-9
+    # Off-pixel object: value at nearest pixel = profile at the offset
+    expected = np.interp(np.hypot(0.5, 0.25) * pixscale, r, v)
+    assert abs(out[40, 10] - expected) < 1e-9
+    # truncation: nothing painted beyond rmax
+    assert out[60, 60] == 0
+    assert out[20, 30 + 15] == 0
+
+
+def test_fourier_shift_phase():
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(32, 32))
+    sm = ndimage.gaussian_filter(m, 3)  # smooth so shift is accurate
+    fm = np.fft.fft2(sm)
+    phase = np.asarray(fourier.fourier_shift_phase((32, 32), None, 3.0, 5.0))
+    shifted = np.real(np.fft.ifft2(fm * phase))
+    np.testing.assert_allclose(shifted[10:-10, 10:-10],
+                               np.roll(sm, (3, 5), axis=(0, 1))[10:-10, 10:-10],
+                               atol=1e-6)
