@@ -1,0 +1,88 @@
+"""Generalised NFW (GNFW) pressure profiles and line-of-sight integrals.
+
+The reference computes the cylindrically-integrated GNFW profile one impact
+parameter at a time, using scipy ``fmin`` to locate the integrand peak and a
+log-spaced Riemann sum (``nemo/gnfw.py:76-112``, originally by M.
+Hasselfield).  Here the integral is recast with the substitution
+x = b sinh(t) (so r = b cosh(t)), which removes both the small-x power-law
+behaviour and the data-dependent bounds:
+
+    y(b) = integral_0^inf P(sqrt(x^2 + b^2)) dx
+         = b * integral_0^inf P(b cosh t) cosh t dt
+
+The integrand decays like exp(-(beta-1) t), so a fixed t-grid trapezoid is
+accurate for every b simultaneously - a single fully-vectorised (and
+jittable) array expression instead of a python loop + optimiser per point.
+"""
+
+import numpy as np
+
+# Arnaud et al. (2010) UPP parameters, as in the reference defaults
+# (``nemo/gnfw.py:25-33``).
+DEFAULT_PARAMS = {
+    "P0": 8.403,
+    "c500": 1.177,
+    "gamma": 0.3081,
+    "alpha": 1.0510,
+    "beta": 5.4905,
+}
+
+# Battaglia et al. (2012) Table 1 shape for M500c, in A10 conventions
+# (``nemo/signals.py:529``).
+BATTAGLIA12_PARAMS = {
+    "P0": 7.49,
+    "c500": 1.408,
+    "gamma": 0.3,
+    "alpha": 1.0,
+    "beta": 4.49,
+}
+
+
+def profile3d(x, params=None):
+    """Dimensionless GNFW pressure profile P(x), x = r/R500."""
+    p = dict(DEFAULT_PARAMS)
+    if params:
+        p.update({k: v for k, v in params.items() if k in p})
+    G, A, B, c500, P0 = p["gamma"], p["alpha"], p["beta"], p["c500"], p["P0"]
+    cx = np.asarray(x) * c500
+    with np.errstate(divide="ignore"):
+        prof = P0 * cx ** -G * (1 + cx ** A) ** ((G - B) / A)
+    return np.where(np.asarray(x) > 0, prof, 0.0)
+
+
+def los_integral(b, params=None, tmax=30.0, npts=1024):
+    """Line-of-sight integral of the GNFW profile at impact parameter(s) b.
+
+    Vectorised over b; typical accuracy ~1e-8 relative to adaptive
+    quadrature for the default parameters.
+    """
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    t = np.linspace(0.0, tmax, npts)
+    cosh_t = np.cosh(t)
+    r = b[:, None] * cosh_t[None, :]
+    integrand = profile3d(r, params) * cosh_t[None, :]
+    out = b * np.trapezoid(integrand, t, axis=1)
+    return out if out.shape[0] > 1 else float(out[0])
+
+
+def cylindrical_profile(params=None, bmin=1e-6, bmax=100.0, npts=300,
+                        truncation_tol=1e-6):
+    """Unit-peak cylindrically-integrated profile on a log b grid.
+
+    Mirrors makeArnaudModelProfile's construction (``signals.py:474-492``):
+    log-spaced impact parameters, truncated where successive (unnormalised)
+    values change by < ``truncation_tol``, then normalised to peak 1.
+
+    Returns:
+        (bRange, profile) arrays.
+    """
+    b = np.logspace(np.log10(bmin), np.log10(bmax), npts)
+    y = los_integral(b, params)
+    dy = np.abs(np.diff(y))
+    idx = np.where(dy < truncation_tol)[0]
+    if len(idx) > 0 and idx[0] > 0:
+        cut = idx[0] + 1
+        b = b[:cut]
+        y = y[:cut]
+    y = y / y.max()
+    return b, y
