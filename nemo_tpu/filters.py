@@ -1,0 +1,810 @@
+"""Matched-filter engine (Fourier-space MMF and real-space kernel variants).
+
+TPU-native rebuild of ``nemo/filters.py``.  The class structure mirrors the
+reference so configs and call sites translate directly:
+
+* :class:`MapFilter` - base class (geometry, beams, noise-map estimation);
+* :class:`MatchedFilter` - Fourier-space multi-frequency matched filter
+  (``nemo/filters.py:519-859``);
+* :class:`RealSpaceMatchedFilter` - truncated real-space kernel variant
+  (``filters.py:862-1218``);
+* template mixins Beam/ArnaudModel/BattagliaModel and the six concrete
+  classes (``filters.py:1222-1331``), resolved through an explicit registry
+  instead of ``eval`` (``filters.py:85``).
+
+The numerics differ from the reference in *implementation*, not math:
+
+* the per-pixel python loop solving filt = N^-1 (w |s|) at every Fourier
+  pixel (``filters.py:624-630``) is a single closed-form batched solve
+  (:mod:`nemo_tpu.ops.solve`) over the full grid;
+* noise covariance smoothing, apodisation, FFTs, RMS-map estimation and
+  edge trimming are jitted JAX ops batched over frequencies;
+* FFT normalisation constants cancel in the signal-norm calibration, which
+  is performed exactly as the reference does (known-amplitude template
+  through the filter, peak read off with a cubic spline).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import profiles, sz
+from .models.beams import BeamProfile
+from .ops import fourier, grf, imageops, interp
+from .ops import noise as noise_ops
+from .ops import solve as solve_ops
+from .utils import fits as nfits
+
+
+# ----------------------------------------------------------------------------
+def filterMaps(unfilteredMapsDictList, filterParams, tileName,
+               diagnosticsDir=".", selFnDir=".", verbose=True,
+               undoPixelWindow=True, useCachedFilter=False,
+               returnFilter=False):
+    """Build and apply a filter to the unfiltered map(s) for one tile.
+
+    Parity with ``nemo/filters.py:54-109`` including the pixel-window
+    deconvolution of the output signal map.
+    """
+    f = filterParams
+    label = f["label"] + "#" + tileName
+    if verbose:
+        print("... making filtered map %s" % label)
+    filterClass = getFilterClass(f["class"])
+    filterObj = filterClass(f["label"], unfilteredMapsDictList, f["params"],
+                            tileName=tileName, diagnosticsDir=diagnosticsDir,
+                            selFnDir=selFnDir)
+    filteredMapDict = filterObj.buildAndApply(useCachedFilter=useCachedFilter)
+
+    if undoPixelWindow:
+        data = filteredMapDict["data"]
+        mask = np.equal(data, 0)
+        data = np.array(fourier.apply_pixel_window(jnp.asarray(data),
+                                                   pow=-1.0))
+        data[mask] = 0
+        filteredMapDict["data"] = data
+
+    if returnFilter:
+        return filteredMapDict, filterObj
+    return filteredMapDict
+
+
+# ----------------------------------------------------------------------------
+class MapFilter:
+    """Base class: holds the preprocessed per-frequency tile maps plus the
+    geometry and beam metadata needed to build filters."""
+
+    def __init__(self, label, unfilteredMapsDictList, paramsDict,
+                 tileName="PRIMARY", diagnosticsDir=None, selFnDir=None):
+        self.label = label
+        self.params = dict(paramsDict)
+        self.tileName = tileName
+        self.diagnosticsDir = diagnosticsDir
+        self.selFnDir = selFnDir
+        if diagnosticsDir is not None:
+            self.filterFileName = os.path.join(
+                diagnosticsDir, tileName,
+                "filter_%s#%s.fits" % (label, tileName))
+        else:
+            self.filterFileName = None
+
+        # Preprocess per-frequency maps for this tile (lazy: each mapDict is
+        # a MapDict that loads + preprocesses its tile on demand).
+        self.unfilteredMapsDictList = []
+        for mapDict in unfilteredMapsDictList:
+            if "mapToUse" in self.params and self.params["mapToUse"] is not None:
+                if mapDict.get("label") != self.params["mapToUse"]:
+                    continue
+            newDict = mapDict.copy() if hasattr(mapDict, "copy") else dict(mapDict)
+            if hasattr(newDict, "preprocess"):
+                newDict.preprocess(tileName=tileName,
+                                   diagnosticsDir=diagnosticsDir)
+            self.unfilteredMapsDictList.append(newDict)
+        self.wcs = self.unfilteredMapsDictList[0]["wcs"]
+        self.shape = self.unfilteredMapsDictList[0]["data"].shape
+
+        # Combined flag mask (filters.py:169-171)
+        self.flagMask = np.zeros(self.shape, dtype=int)
+        for i, mapDict in enumerate(self.unfilteredMapsDictList):
+            self.flagMask = self.flagMask + (
+                np.asarray(mapDict["flagMask"]) * (i + 1))
+
+        # Beam solid angles for Jy conversions (filters.py:173-192)
+        self.beamSolidAnglesDict = {}
+        for mapDict in self.unfilteredMapsDictList:
+            if "solidAngle_nsr" in mapDict and mapDict["solidAngle_nsr"]:
+                sa = mapDict["solidAngle_nsr"]
+            else:
+                sa = BeamProfile(
+                    beamFileName=mapDict["beamFileName"]).solidAngle_nsr
+            self.beamSolidAnglesDict[mapDict["obsFreqGHz"]] = sa
+
+        self.apodPix = 20
+
+        for mapDict in self.unfilteredMapsDictList:
+            if mapDict["data"].shape != self.shape:
+                raise ValueError(
+                    "Maps at different frequencies have different dimensions")
+
+        # Pixel scales at the tile centre (radians), as makeRadiansMap
+        # (filters.py:214-239) measures them.
+        cy, cx = self.shape[0] // 2, self.shape[1] // 2
+        ra0, dec0 = self.wcs.pix2wcs(cx, cy)
+        ra1, dec1 = self.wcs.pix2wcs(cx + 1, cy + 1)
+        from .utils.wcs import calcAngSepDeg
+        self.degPerPixX = float(calcAngSepDeg(ra0, dec0, ra1, dec0))
+        self.degPerPixY = float(calcAngSepDeg(ra0, dec0, ra0, dec1))
+        self.pixScalesRad = (np.radians(self.degPerPixY),
+                             np.radians(self.degPerPixX))
+
+        self.signalNorm = 1.0
+        self.fRelWeights = {}
+
+    # -- noise map ------------------------------------------------------------
+    def makeNoiseMap(self, mapData):
+        """Grid-cell RMS estimation (``filters.py:345-483``), on device."""
+        noiseParams = self.params["noiseParams"]
+        estimator = noiseParams.get("RMSEstimator", "default")
+        if estimator == "biweight":
+            # biweight estimator: host fallback for now (rarely configured)
+            return self._makeNoiseMapHost(mapData, estimator)
+        grid = noiseParams.get("noiseGridArcmin", None)
+        if grid == "smart":
+            return self._makeNoiseMapHost(mapData, estimator)
+        if grid is None:
+            return np.asarray(noise_ops.whole_map_rms(
+                jnp.asarray(mapData), estimator=estimator))
+        gridSize = int(round((grid / 60.0) / self.wcs.getPixelSizeDeg()))
+        return np.asarray(noise_ops.grid_rms_map(
+            jnp.asarray(mapData), gridSize, estimator=estimator))
+
+    def _makeNoiseMapHost(self, mapData, estimator):
+        """Host numpy port of the 'smart'/biweight noise options - exact but
+        slow; these are off the hot path for the standard configs."""
+        raise NotImplementedError(
+            "'smart'/biweight noise estimation lands in a later revision")
+
+    # -- template hooks ---------------------------------------------------------
+    def makeSignalTemplateMap(self, beam, amplitude=None):
+        raise NotImplementedError
+
+    def makeRealSpaceFilterProfile(self):
+        """1-d real-space profile of the filter (``filters.py:282-304``)."""
+        realSpace = np.fft.fftshift(
+            np.real(np.fft.ifft2(np.asarray(self.filt))), axes=(-2, -1))
+        y0 = realSpace.shape[1] // 2
+        x0 = realSpace.shape[2] // 2
+        prof = realSpace[:, y0, x0:]
+        prof = prof / np.abs(prof).max()
+        arcminRange = np.arange(prof.shape[1]) * self.degPerPixX * 60.0
+        return prof, arcminRange
+
+    # -- caching ---------------------------------------------------------------
+    def saveFilter(self):
+        header = nfits.Header()
+        header["SIGNORM"] = float(self.signalNorm)
+        for count, key in enumerate(self.fRelWeights, start=1):
+            header["RW%d_GHZ" % count] = key
+            header["RW%d" % count] = float(self.fRelWeights[key])
+        os.makedirs(os.path.dirname(self.filterFileName), exist_ok=True)
+        nfits.write_image(self.filterFileName,
+                          np.asarray(self.filt, dtype=np.float32), header)
+
+    def loadFilter(self):
+        data, header = nfits.read_image(self.filterFileName)
+        self.filt = np.asarray(data, dtype=np.float64)
+        self.signalNorm = header["SIGNORM"]
+        self.fRelWeights = {}
+        for i in range(1, 10):
+            if "RW%d_GHZ" % i in header:
+                self.fRelWeights[header["RW%d_GHZ" % i]] = header["RW%d" % i]
+
+
+# ----------------------------------------------------------------------------
+# Jitted numeric cores
+
+def _freq_weights(unfilteredMapsDictList, params):
+    """Signal frequency weighting w (``filters.py:589-611``)."""
+    w = []
+    for mapDict in unfilteredMapsDictList:
+        if mapDict.get("units") == "yc":
+            w.append(1.0)
+        elif "specWeight" in mapDict and mapDict["specWeight"] is not None:
+            w.append(mapDict["specWeight"])
+        elif params["outputUnits"] == "yc":
+            w.append(sz.fSZ(mapDict["obsFreqGHz"]))
+        elif params["outputUnits"] == "uK":
+            alpha = params.get("alpha", None)
+            if alpha is not None:
+                ref = unfilteredMapsDictList[0]["obsFreqGHz"]
+                w.append((mapDict["obsFreqGHz"] / ref) ** alpha)
+            else:
+                w.append(1.0)
+        else:
+            raise ValueError("outputUnits must be 'yc' or 'uK'")
+    return np.array(w, dtype=float)
+
+
+@jax.jit
+def _build_filter_core(noiseStack, fSignalsAbs, w, apodM):
+    """noiseStack: (nf, ny, nx) real maps used for the noise model.
+    fSignalsAbs: (nf, ny, nx) |FFT| of unit-normalised signal templates.
+    Returns filt (nf, ny, nx)."""
+    nf = noiseStack.shape[0]
+    fNoise = fourier.fft2(noiseStack * apodM[None])
+    # N_ij = smooth3(Re(F_i conj F_j)) (filters.py:567-587)
+    prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
+    prods = imageops.gaussian_filter(
+        prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
+    N = prods.reshape(nf, nf, *noiseStack.shape[-2:])
+    # filt = N^-1 (w |s|) at every (ly, lx) (filters.py:624-630)
+    A = jnp.moveaxis(N, (0, 1), (-2, -1))              # (ny, nx, nf, nf)
+    b = jnp.moveaxis(fSignalsAbs, 0, -1) * w            # (ny, nx, nf)
+    x = solve_ops.solve_small(A, b)
+    return jnp.moveaxis(x, -1, 0)
+
+
+@jax.jit
+def _apply_filter_fourier(fMaps, filt):
+    """sum_freq Re(ifft(F * filt)) - unnormalised ifft in the reference
+    (filters.py:851); constant factors cancel in signalNorm."""
+    return jnp.sum(jnp.real(fourier.ifft2(fMaps * filt)), axis=0)
+
+
+@jax.jit
+def _fft_apod_stack(dataStack, apodM):
+    return fourier.fft2(dataStack * apodM[None])
+
+
+# ----------------------------------------------------------------------------
+class MatchedFilter(MapFilter):
+    """Fourier-space multi-frequency matched filter (``filters.py:519``)."""
+
+    def buildAndApply(self, useCachedFilter=False):
+        params = self.params
+        nf = len(self.unfilteredMapsDictList)
+        apodM = fourier.apod_mask(self.shape, self.apodPix)
+
+        dataStack = jnp.asarray(np.stack(
+            [np.asarray(m["data"], dtype=np.float64)
+             for m in self.unfilteredMapsDictList]))
+        fMapsToFilter = _fft_apod_stack(dataStack, apodM)
+
+        surveyMask = np.asarray(self.unfilteredMapsDictList[0]["surveyMask"])
+        psMask = np.asarray(self.unfilteredMapsDictList[0]["pointSourceMask"])
+
+        # File-based idempotency, as the reference (filters.py:536,691-696):
+        # an existing cached filter is always reused.
+        haveCache = (self.filterFileName is not None
+                     and os.path.exists(self.filterFileName))
+        if haveCache:
+            self.loadFilter()
+            self.params["saveRMSMap"] = False
+            self.params["saveFilter"] = False
+            self.params["savePlots"] = False
+        else:
+            self._buildFilter(dataStack, apodM)
+
+        filteredMap = self.applyFilter(fMapsToFilter)
+
+        # Units (filters.py:702-714)
+        if params["outputUnits"] == "yc":
+            mapUnits = "yc"
+            combinedObsFreqGHz = "yc"
+            beamSolidAngle_nsr = 0.0
+        elif params["outputUnits"] == "uK":
+            combinedObsFreqGHz = float(list(self.beamSolidAnglesDict)[0])
+            mapUnits = "uK"
+            beamSolidAngle_nsr = self.beamSolidAnglesDict[combinedObsFreqGHz]
+        else:
+            raise ValueError("outputUnits must be 'yc' or 'uK'")
+
+        filteredMap = filteredMap * psMask
+
+        RMSMap = self.makeNoiseMap(filteredMap)
+        validMask = RMSMap > 0
+        SNMap = np.array(filteredMap)
+        SNMap[validMask] = SNMap[validMask] / RMSMap[validMask]
+
+        # Edge trim via min filter (filters.py:725-744)
+        trimSizePix = self._trimSizePix()
+        if trimSizePix > 0:
+            edgeCheck = np.asarray(imageops.minimum_filter(
+                jnp.abs(jnp.asarray(filteredMap) + (1 - psMask)),
+                trimSizePix))
+            edgeCheck = (edgeCheck > 0).astype(float)
+        else:
+            edgeCheck = np.ones(filteredMap.shape)
+        filteredMap = filteredMap * edgeCheck
+        surveyMask = edgeCheck * surveyMask * psMask
+        filteredMap = filteredMap * surveyMask
+
+        apodMask = np.asarray(
+            fourier.apod_mask(filteredMap.shape, self.apodPix)) == 1
+        surveyMask = surveyMask * apodMask
+
+        SNMap = SNMap * surveyMask
+        SNMap[np.isnan(SNMap)] = 0.0
+        RMSMap = RMSMap * surveyMask
+
+        if params.get("saveRMSMap"):
+            from .utils.wcs import WCS  # noqa
+            RMSFileName = os.path.join(
+                self.selFnDir, self.tileName,
+                "RMSMap_%s#%s.fits" % (self.label, self.tileName))
+            os.makedirs(os.path.dirname(RMSFileName), exist_ok=True)
+            nfits.write_image(RMSFileName, RMSMap, self.wcs.header,
+                              compressionType="RICE_1")
+        if params.get("saveFilter") and self.filterFileName is not None:
+            self.saveFilter()
+
+        return {"data": np.asarray(filteredMap), "wcs": self.wcs,
+                "obsFreqGHz": combinedObsFreqGHz,
+                "SNMap": np.asarray(SNMap), "surveyMask": surveyMask,
+                "flagMask": self.flagMask, "mapUnits": mapUnits,
+                "beamSolidAngle_nsr": beamSolidAngle_nsr, "label": self.label,
+                "tileName": self.tileName}
+
+    # ------------------------------------------------------------------
+    def _trimSizePix(self):
+        params = self.params
+        if params.get("edgeTrimArcmin", 0) and params["edgeTrimArcmin"] > 0:
+            return int(round((params["edgeTrimArcmin"] / 60.0)
+                             / self.wcs.getPixelSizeDeg()))
+        grid = params["noiseParams"].get("noiseGridArcmin", None)
+        if grid is not None and grid != "smart":
+            gridSize = int(round((grid / 60.0)
+                                 / self.wcs.getPixelSizeDeg()))
+            return int(round(gridSize * 3.0))
+        return 0
+
+    def _noiseStack(self, dataStack):
+        """Maps whose power defines the noise covariance
+        (``filters.py:538-565``)."""
+        method = self.params["noiseParams"]["method"]
+        if method in ("dataMap", "max(dataMap,CMB)"):
+            maps_ = []
+            for i, mapDict in enumerate(self.unfilteredMapsDictList):
+                d = np.asarray(dataStack[i])
+                cats = self.params.get("noiseModelCatalog")
+                if cats:
+                    from . import maps as maps_mod
+                    if not isinstance(cats, list):
+                        cats = [cats]
+                    for cat in cats:
+                        model = maps_mod.makeModelImage(
+                            d.shape, self.wcs, cat, mapDict["beamFileName"],
+                            obsFreqGHz=mapDict["obsFreqGHz"])
+                        if model is not None:
+                            d = d - model
+                maps_.append(d)
+            return jnp.asarray(np.stack(maps_))
+        if method == "model":
+            # CMB + white noise from the weights (filters.py:552-562)
+            maps_ = []
+            for i, mapDict in enumerate(self.unfilteredMapsDictList):
+                weights = np.asarray(mapDict["weights"])
+                valid = weights > 0
+                RMS = np.mean(1 / np.sqrt(weights[valid])) if valid.any() else 10.0
+                RMS = max(RMS, 10.0)
+                beam = BeamProfile(beamFileName=mapDict["beamFileName"])
+                key = jax.random.PRNGKey(3141592654 + i)
+                cmb = grf.sim_cmb_map(key, self.shape, self.pixScalesRad,
+                                      beamBell=beam.Bell, beamEll=beam.ell,
+                                      noiseLevel=RMS)
+                maps_.append(np.asarray(cmb))
+            return jnp.asarray(np.stack(maps_))
+        raise ValueError("Unknown noiseParams method '%s'" % method)
+
+    def _buildFilter(self, dataStack, apodM):
+        params = self.params
+        noiseStack = self._noiseStack(dataStack)
+
+        w = _freq_weights(self.unfilteredMapsDictList, params)
+
+        # Unit-normalised signal templates per band (filters.py:613-621)
+        fSignals = []
+        for mapDict in self.unfilteredMapsDictList:
+            signalMap = self.makeSignalTemplateMap(mapDict["beamFileName"])
+            fSignals.append(np.asarray(fourier.fft2(jnp.asarray(signalMap))))
+        fSignalsAbs = jnp.abs(jnp.asarray(np.stack(fSignals)))
+
+        filt = _build_filter_core(noiseStack, fSignalsAbs, jnp.asarray(w),
+                                  apodM)
+        if params["noiseParams"]["method"] == "max(dataMap,CMB)":
+            # The maximum(CMB model, data power) refinement happens inside
+            # the covariance; supported via a second pass:
+            fgPower = self._foregroundsPower()
+            fNoise = fourier.fft2(noiseStack * apodM[None])
+            prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
+            prods = jnp.maximum(prods, jnp.asarray(fgPower)[None, None])
+            nf = noiseStack.shape[0]
+            prods = imageops.gaussian_filter(
+                prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
+            N = prods.reshape(nf, nf, *self.shape)
+            A = jnp.moveaxis(N, (0, 1), (-2, -1))
+            b = jnp.moveaxis(fSignalsAbs, 0, -1) * jnp.asarray(w)
+            filt = jnp.moveaxis(solve_ops.solve_small(A, b), -1, 0)
+        self.filt = np.asarray(filt)
+
+        self._calibrateSignalNorm()
+
+    def _foregroundsPower(self):
+        """CMB-like 2-d power in the same units as |fft|^2 of a map
+        (``filters.py:264-279``)."""
+        Cl = grf.approxLensedClTT()
+        lmap = fourier.modlmap(self.shape, self.pixScalesRad)
+        Cl2d = np.interp(lmap, np.arange(len(Cl)), Cl, right=0.0)
+        ny, nx = self.shape
+        omega_pix = self.pixScalesRad[0] * self.pixScalesRad[1]
+        return Cl2d * (ny * nx) / omega_pix
+
+    def _calibrateSignalNorm(self):
+        """Normalise with a known-amplitude template (filters.py:635-690)."""
+        params = self.params
+        y0 = 2e-4
+        signalMaps = []
+        if params["outputUnits"] == "yc":
+            for mapDict in self.unfilteredMapsDictList:
+                if mapDict.get("units") == "yc":
+                    signalMap = self.makeSignalTemplateMap(
+                        mapDict["beamFileName"], amplitude=y0)
+                else:
+                    deltaT0 = sz.convertToDeltaT(y0, mapDict["obsFreqGHz"])
+                    signalMap = self.makeSignalTemplateMap(
+                        mapDict["beamFileName"], amplitude=deltaT0)
+                signalMap = np.asarray(fourier.apply_pixel_window(
+                    jnp.asarray(signalMap), pow=1.0))
+                signalMaps.append(signalMap)
+            fSignalMaps = jnp.asarray(np.stack(
+                [np.asarray(fourier.fft2(jnp.asarray(s)))
+                 for s in signalMaps]))
+            filteredSignal = np.asarray(_apply_filter_fourier(
+                fSignalMaps, jnp.asarray(self.filt)))
+            cy, cx = self.shape[0] / 2.0, self.shape[1] / 2.0
+            peak = interp.subpixel_value(filteredSignal, cy, cx)
+            self.signalNorm = y0 / peak
+            # fRel weights from the per-frequency filtered-signal cube
+            maxIdx = np.argmax(filteredSignal)
+            total = filteredSignal.flatten()[maxIdx]
+            cube = np.asarray(jnp.real(fourier.ifft2(
+                fSignalMaps * jnp.asarray(self.filt))))
+            self.fRelWeights = {}
+            for plane, mapDict in zip(cube, self.unfilteredMapsDictList):
+                self.fRelWeights[mapDict["obsFreqGHz"]] = float(
+                    plane.flatten()[maxIdx] / total)
+        elif params["outputUnits"] == "uK":
+            for mapDict in self.unfilteredMapsDictList:
+                signalMaps.append(np.asarray(
+                    self.makeSignalTemplateMap(mapDict["beamFileName"])))
+            fSignalMaps = jnp.asarray(np.stack(
+                [np.asarray(fourier.fft2(jnp.asarray(s)))
+                 for s in signalMaps]))
+            filteredSignal = np.asarray(_apply_filter_fourier(
+                fSignalMaps, jnp.asarray(self.filt)))
+            self.signalNorm = 1.0 / filteredSignal.max()
+        else:
+            raise ValueError("outputUnits must be 'yc' or 'uK'")
+
+    def applyFilter(self, mapDataToFilter):
+        """Apply the filter (``filters.py:824-859``); accepts real map cubes
+        (FFT'd with apodisation here) or already-FFT'd complex cubes."""
+        mapDataToFilter = jnp.asarray(mapDataToFilter)
+        if jnp.iscomplexobj(mapDataToFilter):
+            fMaps = mapDataToFilter
+        else:
+            apodM = fourier.apod_mask(self.shape, self.apodPix)
+            fMaps = _fft_apod_stack(mapDataToFilter, apodM)
+        if fMaps.shape != self.filt.shape:
+            raise ValueError("Filter/map shape mismatch: %s vs %s "
+                             "(filter reshaping not yet supported)"
+                             % (fMaps.shape, self.filt.shape))
+        filteredMap = np.asarray(_apply_filter_fourier(
+            fMaps, jnp.asarray(self.filt)))
+        if self.params.get("bckSub") and self.params.get("bckSubScaleArcmin"):
+            from . import maps as maps_mod
+            filteredMap = maps_mod.subtractBackground(
+                filteredMap, self.wcs,
+                smoothScaleDeg=self.params["bckSubScaleArcmin"] / 60.0)
+        return filteredMap * self.signalNorm
+
+
+# ----------------------------------------------------------------------------
+class RealSpaceMatchedFilter(MapFilter):
+    """Truncated real-space kernel matched filter (``filters.py:862``).
+
+    The kernel is built from a Fourier matched filter constructed in a deep
+    sub-region, transformed to real space, truncated at kernelMaxArcmin and
+    applied by direct convolution (a jitted XLA conv here).
+    """
+
+    def loadFilter(self):
+        data, header = nfits.read_image(self.filterFileName)
+        self.kern2d = np.asarray(data, dtype=np.float64)
+        self.signalNorm = header["SIGNORM"]
+        self.bckSubScaleArcmin = header.get("BCKSCALE", 0)
+        self.fRelWeights = {}
+        for i in range(1, 10):
+            if "RW%d_GHZ" % i in header:
+                self.fRelWeights[header["RW%d_GHZ" % i]] = header["RW%d" % i]
+
+    def buildKernel(self, RADecSection):
+        if self.filterFileName is not None and \
+                os.path.exists(self.filterFileName):
+            return self.loadFilter()
+
+        # Build a Fourier MF on the kernel sub-region
+        from . import maps as maps_mod
+        kernelDictList = []
+        for mapDict in self.unfilteredMapsDictList:
+            kd = maps_mod.MapDict(
+                {k: mapDict[k] for k in mapDict.keys()
+                 if k not in ("data", "weights", "wcs", "surveyMask",
+                              "pointSourceMask", "flagMask")},
+                tileCoordsDict=getattr(mapDict, "tileCoordsDict", None))
+            kd["RADecSection"] = RADecSection
+            kernelDictList.append(kd)
+        mfClassName = self.params["noiseParams"].get(
+            "matchedFilterClass",
+            self.__class__.__name__.replace("RealSpaceMatchedFilter",
+                                            "MatchedFilter"))
+        mfClass = getFilterClass(mfClassName)
+        kernelLabel = "realSpaceKernel_%s" % self.label
+        subDir = os.path.join(self.diagnosticsDir,
+                              kernelLabel + "#" + self.tileName)
+        os.makedirs(os.path.join(subDir, "diagnostics", self.tileName),
+                    exist_ok=True)
+        os.makedirs(os.path.join(subDir, "selFn", self.tileName),
+                    exist_ok=True)
+        matchedFilter = mfClass(kernelLabel, kernelDictList, self.params,
+                                tileName=self.tileName,
+                                diagnosticsDir=os.path.join(subDir,
+                                                            "diagnostics"),
+                                selFnDir=os.path.join(subDir, "selFn"))
+        matchedFilter.buildAndApply()
+
+        kernelMaxArcmin = self.params["noiseParams"]["kernelMaxArcmin"]
+        prof, arcminRange = matchedFilter.makeRealSpaceFilterProfile()
+        rIndex = np.where(arcminRange > kernelMaxArcmin)[0][0]
+        mask = arcminRange < kernelMaxArcmin
+
+        if self.params["noiseParams"].get("symmetrize", False):
+            rRadians = np.radians(arcminRange / 60.0)
+            radMap = fourier.radial_distance_map(
+                matchedFilter.shape, matchedFilter.pixScalesRad)
+            profile2d = np.stack([
+                np.interp(radMap, rRadians[mask], prof[i, mask], right=0.0)
+                for i in range(prof.shape[0])])
+        else:
+            profile2d = np.fft.fftshift(
+                np.real(np.fft.ifft2(matchedFilter.filt)), axes=(-2, -1))
+
+        z, yy, xx = np.where(np.abs(profile2d) == np.abs(profile2d).max())
+        y, x = yy[0], xx[0]
+        yMin, yMax = y - rIndex, y + rIndex
+        xMin, xMax = x - rIndex, x + rIndex
+        if (yMax - yMin) % 2 == 0:
+            yMin += 1
+        if (xMax - xMin) % 2 == 0:
+            xMin += 1
+        self.kern2d = profile2d[:, yMin:yMax, xMin:xMax]
+
+        if "bckSubScaleArcmin" in self.params:
+            self.bckSubScaleArcmin = self.params["bckSubScaleArcmin"]
+        else:
+            func = np.min if prof[0, 0] > 0 else np.max
+            self.bckSubScaleArcmin = float(
+                arcminRange[prof[0] == func(prof[0])][0])
+
+        # Signal-norm calibration on the full-tile geometry
+        signalMaps = []
+        y0 = 2e-4
+        for mapDict in self.unfilteredMapsDictList:
+            if self.params["outputUnits"] == "yc":
+                if mapDict["obsFreqGHz"] is not None:
+                    amp = sz.convertToDeltaT(y0, mapDict["obsFreqGHz"])
+                else:
+                    amp = y0
+                signalMaps.append(np.asarray(self.makeSignalTemplateMap(
+                    mapDict["beamFileName"], amplitude=amp)))
+            else:
+                signalMaps.append(np.asarray(self.makeSignalTemplateMap(
+                    mapDict["beamFileName"])))
+        signalMaps = np.stack(signalMaps)
+        filteredSignal = self.applyFilter(signalMaps, calcFRelWeights=True)
+        if self.params["outputUnits"] == "yc":
+            self.signalNorm = y0 / filteredSignal.max()
+        else:
+            self.signalNorm = 1.0 / filteredSignal.max()
+
+        if self.filterFileName is not None:
+            header = nfits.Header()
+            header["SIGNORM"] = float(self.signalNorm)
+            if self.params.get("bckSub"):
+                header["BCKSCALE"] = float(self.bckSubScaleArcmin)
+            for count, key in enumerate(self.fRelWeights, start=1):
+                header["RW%d_GHZ" % count] = key
+                header["RW%d" % count] = float(self.fRelWeights[key])
+            os.makedirs(os.path.dirname(self.filterFileName), exist_ok=True)
+            nfits.write_image(self.filterFileName,
+                              np.asarray(self.kern2d, dtype=np.float32),
+                              header)
+
+    def buildAndApply(self, useCachedFilter=False):
+        params = self.params
+        surveyMask = np.asarray(self.unfilteredMapsDictList[0]["surveyMask"])
+        psMask = np.asarray(self.unfilteredMapsDictList[0]["pointSourceMask"])
+
+        noiseParams = params["noiseParams"]
+        if noiseParams["RADecSection"] == "auto":
+            cRA, cDec = self.wcs.getCentreWCSCoords()
+            half = 2.0
+            RADecSection = [cRA - half / np.cos(np.radians(cDec)),
+                            cRA + half / np.cos(np.radians(cDec)),
+                            cDec - half, cDec + half]
+        else:
+            RADecSection = noiseParams["RADecSection"]
+        self.buildKernel(RADecSection)
+
+        dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
+                              for m in self.unfilteredMapsDictList])
+        filteredMap = self.applyFilter(dataStack)
+
+        filteredMap = filteredMap * psMask
+        RMSMap = self.makeNoiseMap(filteredMap)
+        validMask = RMSMap > 0
+        SNMap = np.array(filteredMap)
+        SNMap[validMask] = SNMap[validMask] / RMSMap[validMask]
+
+        if params["outputUnits"] == "yc":
+            mapUnits = "yc"
+            combinedObsFreqGHz = "yc"
+            beamSolidAngle_nsr = 0.0
+        else:
+            combinedObsFreqGHz = float(list(self.beamSolidAnglesDict)[0])
+            mapUnits = "uK"
+            beamSolidAngle_nsr = self.beamSolidAnglesDict[combinedObsFreqGHz]
+
+        if "edgeTrimArcmin" in params:
+            trimSizePix = int(round((params["edgeTrimArcmin"] / 60.0)
+                                    / self.wcs.getPixelSizeDeg()))
+        else:
+            gridSize = int(round(
+                (params["noiseParams"]["noiseGridArcmin"] / 60.0)
+                / self.wcs.getPixelSizeDeg()))
+            trimSizePix = int(round(gridSize * 3.0))
+        if trimSizePix > 0:
+            edgeCheck = np.asarray(imageops.minimum_filter(
+                jnp.abs(jnp.asarray(filteredMap) + (1 - psMask)),
+                trimSizePix))
+            edgeCheck = (edgeCheck > 0).astype(float)
+        else:
+            edgeCheck = np.ones(filteredMap.shape)
+        filteredMap = filteredMap * edgeCheck
+        surveyMask = edgeCheck * surveyMask * psMask
+
+        apodMask = np.asarray(
+            fourier.apod_mask(filteredMap.shape, self.apodPix)) == 1
+        surveyMask = surveyMask * apodMask
+        SNMap = SNMap * surveyMask
+        SNMap[np.isnan(SNMap)] = 0.0
+        RMSMap = RMSMap * surveyMask
+
+        if params.get("saveRMSMap"):
+            RMSFileName = os.path.join(
+                self.selFnDir, self.tileName,
+                "RMSMap_%s#%s.fits" % (self.label, self.tileName))
+            os.makedirs(os.path.dirname(RMSFileName), exist_ok=True)
+            nfits.write_image(RMSFileName, RMSMap, self.wcs.header,
+                              compressionType="RICE_1")
+
+        return {"data": np.asarray(filteredMap), "wcs": self.wcs,
+                "obsFreqGHz": combinedObsFreqGHz,
+                "SNMap": np.asarray(SNMap), "surveyMask": surveyMask,
+                "flagMask": self.flagMask, "mapUnits": mapUnits,
+                "beamSolidAngle_nsr": beamSolidAngle_nsr, "label": self.label,
+                "tileName": self.tileName}
+
+    def applyFilter(self, mapDataToFilter, calcFRelWeights=False):
+        mapDataToFilter = np.asarray(mapDataToFilter)
+        filtered = np.zeros_like(mapDataToFilter)
+        if self.params.get("bckSub") and self.bckSubScaleArcmin > 0:
+            from . import maps as maps_mod
+            for i in range(mapDataToFilter.shape[0]):
+                filtered[i] = maps_mod.subtractBackground(
+                    mapDataToFilter[i], self.wcs,
+                    smoothScaleDeg=self.bckSubScaleArcmin / 60.0)
+        else:
+            filtered = filtered + mapDataToFilter
+
+        out = []
+        for i in range(filtered.shape[0]):
+            out.append(np.asarray(imageops.convolve2d_reflect(
+                jnp.asarray(filtered[i]), jnp.asarray(self.kern2d[i]))))
+        out = np.stack(out)
+
+        if calcFRelWeights:
+            total2d = out.sum(axis=0)
+            maxIndex = np.argmax(total2d)
+            totalSignal = total2d.flatten()[maxIndex]
+            self.fRelWeights = {}
+            for plane, mapDict in zip(out, self.unfilteredMapsDictList):
+                self.fRelWeights[mapDict["obsFreqGHz"]] = float(
+                    plane.flatten()[maxIndex] / totalSignal)
+
+        return out.sum(axis=0) * self.signalNorm
+
+
+# ----------------------------------------------------------------------------
+# Template mixins (filters.py:1222-1277)
+
+class BeamFilter(MapFilter):
+    def makeSignalTemplateMap(self, beamFileName, amplitude=None):
+        return profiles.makeBeamModelSignalMap(
+            self.shape, self.pixScalesRad, beamFileName, amplitude=amplitude)
+
+
+class ArnaudModelFilter(MapFilter):
+    def makeSignalTemplateMap(self, beamFileName, amplitude=None):
+        return profiles.makeArnaudModelSignalMap(
+            self.params["z"], self.params["M500MSun"], self.shape,
+            self.pixScalesRad, beam=beamFileName,
+            GNFWParams=self.params.get("GNFWParams", "default"),
+            amplitude=amplitude, convolveWithBeam=True)
+
+
+class BattagliaModelFilter(MapFilter):
+    def makeSignalTemplateMap(self, beamFileName, amplitude=None):
+        return profiles.makeBattagliaModelSignalMap(
+            self.params["z"], self.params["M500MSun"], self.shape,
+            self.pixScalesRad, beam=beamFileName,
+            GNFWParams=self.params.get("GNFWParams", "default"),
+            amplitude=amplitude, convolveWithBeam=True)
+
+
+class ArnaudModelMatchedFilter(MatchedFilter, ArnaudModelFilter):
+    pass
+
+
+class BattagliaModelMatchedFilter(MatchedFilter, BattagliaModelFilter):
+    pass
+
+
+class BeamMatchedFilter(MatchedFilter, BeamFilter):
+    pass
+
+
+class ArnaudModelRealSpaceMatchedFilter(RealSpaceMatchedFilter,
+                                        ArnaudModelFilter):
+    pass
+
+
+class BattagliaModelRealSpaceMatchedFilter(RealSpaceMatchedFilter,
+                                           BattagliaModelFilter):
+    pass
+
+
+class BeamRealSpaceMatchedFilter(RealSpaceMatchedFilter, BeamFilter):
+    pass
+
+
+FILTER_REGISTRY = {
+    "ArnaudModelMatchedFilter": ArnaudModelMatchedFilter,
+    "BattagliaModelMatchedFilter": BattagliaModelMatchedFilter,
+    "BeamMatchedFilter": BeamMatchedFilter,
+    "ArnaudModelRealSpaceMatchedFilter": ArnaudModelRealSpaceMatchedFilter,
+    "BattagliaModelRealSpaceMatchedFilter":
+        BattagliaModelRealSpaceMatchedFilter,
+    "BeamRealSpaceMatchedFilter": BeamRealSpaceMatchedFilter,
+}
+
+
+def getFilterClass(name):
+    """Registry-based dispatch replacing the reference's ``eval``
+    (``filters.py:85``)."""
+    if name not in FILTER_REGISTRY:
+        raise KeyError("Unknown filter class '%s' (available: %s)"
+                       % (name, sorted(FILTER_REGISTRY)))
+    return FILTER_REGISTRY[name]

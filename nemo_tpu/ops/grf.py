@@ -1,0 +1,111 @@
+"""Gaussian random field simulation: CMB and instrument-noise maps.
+
+Replaces ``nemo/maps.py:1223-1352`` (``simCMBMap`` via pixell
+``curvedsky.rand_map`` and ``simNoiseMap``) with flat-sky per-tile
+realisations: a tile's Fourier modes are drawn with
+<|F(l)|^2> = N_pix * C(l) / Omega_pix, so that the empirical 2-d power
+spectrum matches the input C_l.  The curved-sky difference only matters at
+the largest scales (l < ~50 for >10-degree tiles) and is documented.
+
+Randomness uses explicit jax.random keys throughout (the reference relies
+on global np.random seeding, ``maps.py:44``).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fourier
+
+
+# Approximate lensed CMB TT spectrum: log-interpolated anchors of
+# D_l = l(l+1)C_l/2pi in uK^2 through the well-known acoustic peak structure.
+# The reference ships a CAMB table (nemo/data/planck_lensedCls.dat); we
+# synthesise a close stand-in so the framework is self-contained. For
+# self-consistent simulate->detect tests the exact spectrum cancels; for the
+# 'model' noise method it acts as a smooth CMB regulariser.
+_DL_ANCHORS_L = np.array([2, 10, 30, 60, 100, 150, 220, 300, 412, 537, 620,
+                          686, 810, 920, 1020, 1120, 1250, 1400, 1600, 1800,
+                          2000, 2300, 2600, 3000, 4000, 6000, 10000])
+_DL_ANCHORS_D = np.array([1000, 950, 1000, 1150, 1400, 2500, 5750, 3900,
+                          1650, 2550, 2100, 1850, 2500, 1850, 1300, 1250,
+                          900, 550, 320, 190, 110, 55, 28, 12, 2.0, 0.1,
+                          1e-3])
+
+
+def approxLensedClTT(lmax=12000):
+    """C_l (uK^2) for l = 0..lmax."""
+    ell = np.arange(lmax + 1, dtype=float)
+    Dl = np.exp(np.interp(np.log(np.maximum(ell, 2)),
+                          np.log(_DL_ANCHORS_L), np.log(_DL_ANCHORS_D)))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Cl = 2 * np.pi * Dl / (ell * (ell + 1))
+    Cl[:2] = 0.0
+    return Cl
+
+
+def gaussian_field(key, shape, pix_scales_rad, ell, Cl, dtype=jnp.float64):
+    """Draw a real GRF with isotropic power spectrum C(l) on a flat tile."""
+    ny, nx = shape
+    dy, dx = pix_scales_rad
+    lmap = jnp.asarray(fourier.modlmap(shape, pix_scales_rad))
+    Cl2d = jnp.interp(lmap, jnp.asarray(ell, dtype=lmap.dtype),
+                      jnp.asarray(Cl, dtype=lmap.dtype), right=0.0)
+    omega_pix = dy * dx
+    amp = jnp.sqrt(jnp.maximum(Cl2d, 0.0) * (ny * nx) / omega_pix)
+    k1, k2 = jax.random.split(key)
+    xi = (jax.random.normal(k1, shape, dtype=dtype)
+          + 1j * jax.random.normal(k2, shape, dtype=dtype)) / jnp.sqrt(2.0)
+    return jnp.real(fourier.ifft2(amp * xi))
+
+
+def sim_cmb_map(key, shape, pix_scales_rad, beamBell=None, beamEll=None,
+                noiseLevel=None, ClTT=None, dtype=jnp.float64):
+    """Simulated (optionally beam-convolved) CMB map plus white noise.
+
+    Parity with ``maps.simCMBMap`` (``nemo/maps.py:1223-1264``): the beam is
+    applied to C_l (amplitude, matching the reference's ``ps *= lbeam``).
+    """
+    if ClTT is None:
+        Cl = approxLensedClTT()
+    else:
+        Cl = np.asarray(ClTT)
+    ell = np.arange(len(Cl), dtype=float)
+    if beamBell is not None:
+        lbeam = np.interp(ell, np.asarray(beamEll), np.asarray(beamBell))
+        Cl = Cl * lbeam  # NOTE: reference multiplies C_l by B_l (not B_l^2)
+    k1, k2 = jax.random.split(key)
+    m = gaussian_field(k1, shape, pix_scales_rad, ell, Cl, dtype=dtype)
+    if noiseLevel is not None:
+        m = m + sim_noise_map(k2, shape, noiseLevel, dtype=dtype)
+    return m
+
+
+def sim_noise_map(key, shape, noiseLevel, pix_scales_rad=None, lKnee=None,
+                  alpha=-3.0, lmax_atm=6000, dtype=jnp.float64):
+    """White or 1/f ('atmospheric') noise map.
+
+    Parity with ``maps.simNoiseMap`` (``nemo/maps.py:1267-1352``): with
+    ``lKnee`` the band-limited modes are shaped by
+    N_l = (lKnee/l)^-alpha + 1 while modes beyond ``lmax_atm`` stay white,
+    then scaled by the per-pixel noise level.
+    """
+    noiseLevel = jnp.asarray(noiseLevel, dtype=dtype)
+    white = jax.random.normal(key, shape, dtype=dtype)
+    if lKnee is None:
+        if noiseLevel.ndim == 0:
+            return white * noiseLevel
+        return jnp.where(noiseLevel > 0, white * noiseLevel, 0.0)
+    if pix_scales_rad is None:
+        raise ValueError("pix_scales_rad needed for 1/f noise")
+    lmap = jnp.asarray(fourier.modlmap(shape, pix_scales_rad))
+    with np.errstate(divide="ignore"):
+        Nl = jnp.where(lmap > 0, (lKnee / jnp.maximum(lmap, 1e-9)) ** -alpha
+                       + 1.0, 0.0)
+    shape_l = jnp.where(lmap <= lmax_atm, jnp.sqrt(Nl), 1.0)
+    shaped = jnp.real(fourier.ifft2(fourier.fft2(white) * shape_l))
+    if noiseLevel.ndim == 0:
+        return shaped * noiseLevel
+    return jnp.where(noiseLevel > 0, shaped * noiseLevel, 0.0)
