@@ -1,0 +1,149 @@
+import numpy as np
+import pytest
+
+from nemo_tpu import catalogs, filters, photometry
+from nemo_tpu.utils.tables import Table
+from tests.test_filters import FILTER_PARAMS, _make_sim_tile
+
+
+@pytest.fixture(scope="module")
+def filtered(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("phot")
+    mapDict, cluster = _make_sim_tile(y0=1e-3)
+    f = {"label": "Arnaud_M2e14_z0p4", "class": "ArnaudModelMatchedFilter",
+         "params": dict(FILTER_PARAMS)}
+    out = filters.filterMaps([mapDict], f, "PRIMARY",
+                             diagnosticsDir=str(tmp / "diagnostics"),
+                             selFnDir=str(tmp / "selFn"))
+    return out, mapDict
+
+
+def test_find_objects_recovers_cluster(filtered):
+    out, mapDict = filtered
+    cat = photometry.findObjects(out, threshold=4.0, minObjPix=1,
+                                 rejectBorder=0, removeRings=False)
+    assert len(cat) >= 1
+    # The strongest detection should be the injected central cluster
+    i = np.argmax(cat["SNR"])
+    ny, nx = out["data"].shape
+    raC, decC = out["wcs"].pix2wcs(nx / 2, ny / 2)
+    sep = catalogs.calcAngSepDeg(cat["RADeg"][i], cat["decDeg"][i], raC, decC)
+    assert sep * 60 < 0.5  # within 0.5 arcmin
+    assert cat["SNR"][i] > 10
+    assert cat["name"][i].startswith("ACT-CL J")
+    # template / tileName bookkeeping
+    assert cat["template"][i] == "Arnaud_M2e14_z0p4"
+    assert cat["tileName"][i] == "PRIMARY"
+
+
+def test_measure_fluxes(filtered):
+    out, mapDict = filtered
+    cat = photometry.findObjects(out, threshold=4.0, minObjPix=1,
+                                 rejectBorder=0, removeRings=False)
+    photometry.measureFluxes(cat, out, photFilteredMapDict={
+        "SNMap": out["SNMap"], "data": out["data"]})
+    i = np.argmax(cat["SNR"])
+    # y_c column in units of 1e-4: injected 1e-3 -> ~10
+    assert 8.0 < cat["y_c"][i] < 11.0
+    assert cat["err_y_c"][i] > 0
+    assert "fixed_y_c" in cat.keys()
+    np.testing.assert_allclose(cat["fixed_y_c"], cat["y_c"], rtol=1e-6)
+    # deltaT at 148 GHz should be negative for clusters
+    assert cat["deltaT_c"][i] < 0
+
+
+def test_forced_photometry(filtered):
+    out, mapDict = filtered
+    ny, nx = out["data"].shape
+    raC, decC = out["wcs"].pix2wcs(nx / 2, ny / 2)
+    inputCat = Table({"RADeg": np.array([raC]), "decDeg": np.array([decC]),
+                      "name": np.array(["target"])})
+    cat = photometry.makeForcedPhotometryCatalog(out, inputCat)
+    assert len(cat) == 1
+    photometry.measureFluxes(cat, out)
+    assert 8.0 < cat["y_c"][0] < 11.0
+
+
+def test_iau_names():
+    # 10h30m, +2d30' -> J1030.0+0230
+    name = catalogs.makeName(157.5, 2.5)
+    assert name == "ACT-CL J1030.0+0230"
+    name = catalogs.makeName(0.0, -0.5, prefix="MOCK-CL")
+    assert name == "MOCK-CL J0000.0-0030"
+    long = catalogs.makeLongName(157.5, 2.5)
+    assert long.startswith("ACT-CL J103000.0+0230")
+
+
+def test_galactic_lat():
+    # North galactic pole
+    b = catalogs.galacticLatDeg(192.85948, 27.12825)
+    assert abs(b - 90) < 0.01
+    # Galactic centre
+    b = catalogs.galacticLatDeg(266.40499, -28.93617)
+    assert abs(b) < 0.01
+
+
+def test_select_from_catalog():
+    tab = Table({"SNR": np.array([3.0, 6.0, 10.0]),
+                 "name": np.array(["a", "b", "c"])})
+    out = catalogs.selectFromCatalog(tab, ["SNR > 5.0"])
+    assert len(out) == 2
+    out = catalogs.selectFromCatalog(tab, ["SNR > 5.0", "SNR < 8"])
+    assert len(out) == 1 and out["name"][0] == "b"
+
+
+def test_optimal_catalog_merge():
+    catalogDict = {
+        "filt1#t": {"catalog": Table({
+            "RADeg": np.array([30.0, 31.0]),
+            "decDeg": np.array([0.0, 0.5]),
+            "SNR": np.array([5.0, 8.0]),
+            "name": np.array(["x", "y"])})},
+        "filt2#t": {"catalog": Table({
+            "RADeg": np.array([30.0001, 35.0]),
+            "decDeg": np.array([0.0001, 1.0]),
+            "SNR": np.array([7.0, 4.0]),
+            "name": np.array(["x2", "z"])})},
+    }
+    merged = catalogs.makeOptimalCatalog(catalogDict)
+    assert len(merged) == 3
+    # The duplicate at (30, 0) keeps the SNR = 7 entry
+    i = np.argmin(np.abs(np.asarray(merged["RADeg"]) - 30.0))
+    assert merged["SNR"][i] == 7.0
+
+
+def test_remove_duplicates():
+    tab = Table({
+        "RADeg": np.array([30.0, 30.0001, 40.0]),
+        "decDeg": np.array([0.0, 0.0001, 0.0]),
+        "SNR": np.array([5.0, 9.0, 6.0]),
+        "name": np.array(["a", "b", "c"]),
+    })
+    out, nDup, names = catalogs.removeDuplicates(tab)
+    assert len(out) == 2
+    assert nDup == 2
+    assert set(out["name"]) == {"b", "c"}
+
+
+def test_cross_match():
+    ref = Table({"RADeg": np.array([10.0, 20.0]),
+                 "decDeg": np.array([0.0, 0.0]),
+                 "SNR": np.array([5.0, 6.0])})
+    other = Table({"RADeg": np.array([10.001, 50.0]),
+                   "decDeg": np.array([0.0, 0.0]),
+                   "z": np.array([0.3, 0.7])})
+    refM, otherM, seps = catalogs.crossMatch(ref, other, radiusArcmin=2.5)
+    assert len(refM) == 1
+    assert otherM["z"][0] == 0.3
+    left = catalogs.removeCrossMatched(ref, other, radiusArcmin=2.5)
+    assert len(left) == 1 and left["RADeg"][0] == 20.0
+
+
+def test_catalog_within_image():
+    from nemo_tpu.utils import wcs as nwcs
+    w = nwcs.makeWCS((100, 100), 1.0 / 60),
+    w = nwcs.makeWCS((100, 100), 1.0 / 60, centreRADeg=30.0)
+    tab = Table({"RADeg": np.array([30.0, 90.0]),
+                 "decDeg": np.array([0.0, 0.0])})
+    cut = catalogs.getCatalogWithinImage(tab, (100, 100), w)
+    assert len(cut) == 1
