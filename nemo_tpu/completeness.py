@@ -1,0 +1,649 @@
+"""Survey selection function and completeness.
+
+Rebuild of ``nemo/completeness.py``: the SelFn object loads the noise
+(RMS) tables, area masks, Q and fRel weights produced by the main pipeline
+and recomputes the completeness on a (log10M, z) grid for any cosmology +
+scaling-relation parameters - the hot path for cosmological inference
+(called per MCMC step).  The 'fast' method's area-weighted survival-function
+sums (``completeness.py:425-460``) are plain vectorised array math.
+"""
+
+import glob
+import os
+
+import numpy as np
+from scipy import interpolate, stats
+
+from . import catalogs, maps, startup
+from .mock import MockSurvey
+from .models import sz
+from .models.qfit import QFit
+from .utils import fits as nfits
+from .utils.tables import Table, vstack
+from .utils.wcs import WCS
+
+
+class FootprintError(Exception):
+    pass
+
+
+# -----------------------------------------------------------------------------
+def _loadTile(tileName, baseDir, baseFileName, extension="fits"):
+    """Load a tile image from MEF-or-per-tile-file layouts
+    (``completeness.py:797-828``)."""
+    cand1 = os.path.join(baseDir, "%s#%s.%s" % (baseFileName, tileName,
+                                                extension))
+    cand2 = os.path.join(baseDir, tileName,
+                         "%s#%s.%s" % (baseFileName, tileName, extension))
+    cand3 = os.path.join(baseDir, "%s.%s" % (baseFileName, extension))
+    for fileName in (cand1, cand2, cand3):
+        if os.path.exists(fileName):
+            break
+    else:
+        raise FileNotFoundError("No %s found for tile %s under %s"
+                                % (baseFileName, tileName, baseDir))
+    hdus = nfits.read(fileName)
+    # Prefer the extension named after the tile; else first with data
+    data = None
+    header = None
+    for h in hdus:
+        if h.name.upper() == tileName.upper() and h.data is not None:
+            data, header = h.data, h.header
+            break
+    if data is None:
+        for h in hdus:
+            if h.data is not None and not h.is_table:
+                data, header = h.data, h.header
+                break
+    return np.asarray(data), WCS(header)
+
+
+def loadAreaMask(tileName, selFnDir):
+    return _loadTile(tileName, selFnDir, "areaMask")
+
+
+def loadFlagMask(tileName, selFnDir):
+    return _loadTile(tileName, selFnDir, "flagMask")
+
+
+def loadRMSMap(tileName, selFnDir, photFilter):
+    return _loadTile(tileName, selFnDir, "RMSMap_%s" % photFilter)
+
+
+def loadIntersectionMask(tileName, selFnDir, footprint):
+    return _loadTile(tileName, selFnDir, "intersect_%s" % footprint)
+
+
+def getTileTotalAreaDeg2(tileName, selFnDir, masksList=[],
+                         footprintLabel=None):
+    """Tile area in deg^2 after masking (``completeness.py:831-859``)."""
+    areaMap, wcs = loadAreaMask(tileName, selFnDir)
+    areaMapSqDeg = (maps.getPixelAreaArcmin2Map(areaMap.shape, wcs)
+                    * areaMap) / 3600.0
+    total = areaMapSqDeg.sum()
+    if footprintLabel is not None:
+        intersectMask = makeIntersectionMask(tileName, selFnDir,
+                                             footprintLabel,
+                                             masksList=masksList)
+        total = (areaMapSqDeg * intersectMask).sum()
+    return float(total)
+
+
+def makeIntersectionMask(tileName, selFnDir, label, masksList=[]):
+    """Intersection of the survey mask with external footprint masks
+    (``completeness.py:862-946``); cached on disk."""
+    mef = os.path.join(selFnDir, "intersect_%s.fits" % label)
+    perTile = os.path.join(selFnDir, tileName,
+                           "intersect_%s#%s.fits" % (label, tileName))
+    if os.path.exists(mef) or os.path.exists(perTile):
+        mask, _ = loadIntersectionMask(tileName, selFnDir, label)
+        return mask
+    if not masksList:
+        raise ValueError("No cached intersection mask and empty masksList")
+    areaMap, wcs = loadAreaMask(tileName, selFnDir)
+    intersectMask = np.zeros(areaMap.shape)
+    ny, nx = areaMap.shape
+    coordsX = wcs.pix2wcs(np.arange(nx, dtype=float), np.zeros(nx))
+    coordsY = wcs.pix2wcs(np.zeros(ny), np.arange(ny, dtype=float))
+    outRA = coordsX[:, 0]
+    outDec = coordsY[:, 1]
+    for fileName in masksList:
+        maskData, header = nfits.read_image(fileName)
+        maskWCS = WCS(header)
+        pix = maskWCS.wcs2pix(outRA, np.zeros(nx))
+        xIn = np.round(pix[:, 0]).astype(int)
+        pixY = maskWCS.wcs2pix(np.full(ny, outRA[nx // 2]), outDec)
+        yIn = np.round(pixY[:, 1]).astype(int)
+        xOK = (xIn >= 0) & (xIn < maskData.shape[1])
+        yOK = (yIn >= 0) & (yIn < maskData.shape[0])
+        sub = np.zeros(areaMap.shape)
+        sub[np.ix_(yOK, xOK)] = maskData[np.ix_(yIn[yOK], xIn[xOK])]
+        intersectMask = np.maximum(intersectMask, sub)
+    intersectMask = (intersectMask > 0.5).astype(int)
+    os.makedirs(os.path.dirname(perTile), exist_ok=True)
+    nfits.write_image(perTile, (intersectMask * areaMap).astype(np.uint8),
+                      wcs.header, compressionType="PLIO_1")
+    return intersectMask
+
+
+def getRMSTab(tileName, photFilterLabel, selFnDir, footprintLabel=None):
+    """Noise level vs survey area table (``completeness.py:949-1005``)."""
+    RMSTabFileName = os.path.join(selFnDir, "RMSTab.fits")
+    if footprintLabel is not None:
+        RMSTabFileName = RMSTabFileName.replace(
+            ".fits", "_%s.fits" % footprintLabel)
+    if os.path.exists(RMSTabFileName):
+        tab = Table.read(RMSTabFileName)
+        return tab[np.asarray(tab["tileName"]) == tileName]
+
+    RMSMap, wcs = loadRMSMap(tileName, selFnDir, photFilterLabel)
+    areaMap, wcs = loadAreaMask(tileName, selFnDir)
+    areaMapSqDeg = (maps.getPixelAreaArcmin2Map(areaMap.shape, wcs)
+                    * areaMap) / 3600.0
+    if footprintLabel is not None:
+        intersectMask = makeIntersectionMask(tileName, selFnDir,
+                                             footprintLabel)
+        areaMapSqDeg = areaMapSqDeg * intersectMask
+        RMSMap = RMSMap * intersectMask
+
+    RMSValues, inverse = np.unique(RMSMap[RMSMap != 0], return_inverse=True)
+    tileArea = np.bincount(inverse, weights=areaMapSqDeg[RMSMap != 0],
+                           minlength=len(RMSValues))
+    RMSTab = Table({"areaDeg2": tileArea, "y0RMS": RMSValues})
+    tol = 0.003
+    if abs(tileArea.sum() - areaMapSqDeg.sum()) > tol:
+        raise ValueError("Area mismatch between areaMask and RMSTab for "
+                         "tile '%s'" % tileName)
+    if np.any(tileArea < 0):
+        raise ValueError("Negative area in tile '%s'" % tileName)
+    return RMSTab
+
+
+def downsampleRMSTab(RMSTab, stepSize=0.001 * 1e-4):
+    """Rebin an RMS table in noise (``completeness.py:1008-1037``)."""
+    y0 = np.asarray(RMSTab["y0RMS"])
+    area = np.asarray(RMSTab["areaDeg2"])
+    binEdges = np.arange(y0.min(), y0.max() + stepSize, stepSize)
+    y0Binned, areaBinned = [], []
+    for i in range(max(len(binEdges) - 1, 1)):
+        if len(binEdges) > 1:
+            sel = (y0 >= binEdges[i]) & (y0 < binEdges[i + 1])
+        else:
+            sel = np.ones(len(y0), dtype=bool)
+        if sel.sum() > 0:
+            y0Binned.append(np.average(y0[sel], weights=area[sel]))
+            areaBinned.append(area[sel].sum())
+    return Table({"y0RMS": np.array(y0Binned),
+                  "areaDeg2": np.array(areaBinned)})
+
+
+# -----------------------------------------------------------------------------
+def _parseSourceInjectionData(injTab, inputTab, SNRCut):
+    """Injection-sim completeness(theta, y0) grid + injection-derived Q
+    (``completeness.py:653-693``)."""
+    theta500s = np.unique(np.asarray(inputTab["theta500Arcmin"]))
+    inFlux = np.asarray(inputTab["inFlux"])
+    binEdges = np.linspace(inFlux.min(), inFlux.max(), 101)
+    binCentres = (binEdges[1:] + binEdges[:-1]) / 2
+    compThetaGrid = np.zeros((len(theta500s), len(binCentres)))
+    thetaQ = np.zeros(len(theta500s))
+    for i, t in enumerate(theta500s):
+        injSel = (np.asarray(injTab["theta500Arcmin"]) == t) & \
+            (np.asarray(injTab["SNR"]) > SNRCut)
+        inputSel = np.asarray(inputTab["theta500Arcmin"]) == t
+        injFlux = np.asarray(injTab["inFlux"])[injSel]
+        outFlux = np.asarray(injTab["outFlux"])[injSel]
+        recN, _ = np.histogram(injFlux, bins=binEdges)
+        inpN, _ = np.histogram(inFlux[inputSel], bins=binEdges)
+        valid = inpN > 0
+        compThetaGrid[i][valid] = recN[valid] / inpN[valid]
+        if len(outFlux) > 0:
+            thetaQ[i] = np.median(outFlux / injFlux)
+    return theta500s, binCentres, compThetaGrid, thetaQ
+
+
+# -----------------------------------------------------------------------------
+class SelFn:
+    """Survey selection function (``completeness.py:46-649``)."""
+
+    def __init__(self, selFnDir, SNRCut, configFileName=None, footprint=None,
+                 zStep=0.01, zMax=3.0, tileNames=None,
+                 enableDrawSample=False, mockOversampleFactor=1.0,
+                 downsampleRMS=True, applyMFDebiasCorrection=True,
+                 applyRelativisticCorrection=True, setUpAreaMask=False,
+                 enableCompletenessCalc=True, delta=500, rhoType="critical",
+                 massFunction="Tinker08", maxTheta500Arcmin=None,
+                 method="fast", QSource="fit", noiseCut=None,
+                 biasModel=None):
+        self.SNRCut = SNRCut
+        self.biasModel = biasModel
+        self.footprint = None if footprint == "full" else footprint
+        self.downsampleRMS = downsampleRMS
+        self.applyMFDebiasCorrection = applyMFDebiasCorrection
+        self.applyRelativisticCorrection = applyRelativisticCorrection
+        self.selFnDir = selFnDir
+        self.zStep = zStep
+        self.maxTheta500Arcmin = maxTheta500Arcmin
+        self.method = method
+
+        if configFileName is None:
+            configFileName = os.path.join(selFnDir, "config.yml")
+            if not os.path.exists(configFileName):
+                raise FileNotFoundError("No config.yml in selFnDir")
+        self._config = startup.NemoConfig(configFileName,
+                                          makeOutputDirs=False,
+                                          setUpMaps=False, verbose=False,
+                                          selFnDir=selFnDir)
+        parDict = self._config.parDict
+        self.tileNames = tileNames if tileNames is not None \
+            else self._config.tileNames
+        self.photFilterLabel = parDict["photFilter"]
+
+        if self.footprint is not None:
+            labels = [f["label"]
+                      for f in parDict.get("selFnFootprints", [])]
+            if self.footprint not in labels:
+                raise ValueError("Footprint '%s' not defined in config"
+                                 % self.footprint)
+
+        self.tileTab = None
+        self.WCSDict = None
+        self.areaMaskDict = None
+        if setUpAreaMask:
+            self._setUpAreaMask()
+
+        if enableCompletenessCalc:
+            self.scalingRelationDict = parDict["massOptions"]
+            defaults = {"H0": 70.0, "Om0": 0.30, "Ob0": 0.05,
+                        "sigma8": 0.8, "ns": 0.95}
+            for key, val in defaults.items():
+                self.scalingRelationDict.setdefault(key, val)
+
+            RMSTabFileName = os.path.join(self.selFnDir, "RMSTab.fits")
+            if self.footprint is not None:
+                RMSTabFileName = RMSTabFileName.replace(
+                    ".fits", "_%s.fits" % self.footprint)
+            if not os.path.exists(RMSTabFileName):
+                raise FootprintError(RMSTabFileName)
+            self.RMSTab = Table.read(RMSTabFileName)
+            self.RMSTab = self.RMSTab[
+                np.asarray(self.RMSTab["areaDeg2"]) > 0]
+            if noiseCut is not None:
+                self.RMSTab = self.RMSTab[
+                    np.asarray(self.RMSTab["y0RMS"]) < noiseCut]
+            self.RMSDict = {}
+            keptTiles = []
+            totalAreaDeg2 = 0.0
+            for tileName in self.tileNames:
+                tileTab = self.RMSTab[
+                    np.asarray(self.RMSTab["tileName"]) == tileName]
+                if downsampleRMS and len(tileTab) > 0:
+                    tileTab = downsampleRMSTab(tileTab)
+                if len(tileTab) > 0:
+                    self.RMSDict[tileName] = tileTab
+                    keptTiles.append(tileName)
+                    totalAreaDeg2 += float(np.sum(tileTab["areaDeg2"]))
+            self.tileNames = keptTiles
+            self.totalAreaDeg2 = totalAreaDeg2
+            self.tileAreas = np.array(
+                [float(np.sum(np.asarray(self.RMSTab["areaDeg2"])[
+                    np.asarray(self.RMSTab["tileName"]) == t]))
+                 for t in self.tileNames])
+            self.fracArea = self.tileAreas / self.totalAreaDeg2
+
+            self.mockOversampleFactor = mockOversampleFactor
+            self.y0NoiseAverageDict = {}
+            for tileName in self.tileNames:
+                t = self.RMSDict[tileName]
+                w = np.asarray(t["areaDeg2"])
+                self.y0NoiseAverageDict[tileName] = float(
+                    np.average(np.asarray(t["y0RMS"]), weights=w))
+
+            fRelPath = os.path.join(self.selFnDir, "fRelWeights.fits")
+            if os.path.exists(fRelPath):
+                self.fRelDict = loadFRelWeights(fRelPath)
+            else:
+                self.fRelDict = {t: {148.0: 1.0} for t in self.tileNames}
+
+            if self.method == "injection":
+                injTab = Table.read(os.path.join(
+                    self.selFnDir, "sourceInjectionData.fits"))
+                inputTab = Table.read(os.path.join(
+                    self.selFnDir, "sourceInjectionInputCatalog.fits"))
+                theta500s, binCentres, compThetaGrid, thetaQ = \
+                    _parseSourceInjectionData(injTab, inputTab, self.SNRCut)
+                self.compThetaInterpolator = \
+                    interpolate.RectBivariateSpline(theta500s, binCentres,
+                                                    compThetaGrid, kx=3,
+                                                    ky=3)
+
+            self.Q = QFit(QSource=QSource, selFnDir=self.selFnDir,
+                          tileNames=keptTiles)
+
+            H0 = self.scalingRelationDict["H0"]
+            Om0 = self.scalingRelationDict["Om0"]
+            Ob0 = self.scalingRelationDict["Ob0"]
+            sigma8 = self.scalingRelationDict["sigma8"]
+            ns = self.scalingRelationDict["ns"]
+            self.mockSurvey = MockSurvey(5e13, self.totalAreaDeg2, 0.0, zMax,
+                                         H0, Om0, Ob0, sigma8, ns,
+                                         zStep=self.zStep,
+                                         enableDrawSample=enableDrawSample,
+                                         delta=delta, rhoType=rhoType,
+                                         massFunction=massFunction)
+            self.update(H0, Om0, Ob0, sigma8, ns)
+
+    # ------------------------------------------------------------------
+    def _setUpAreaMask(self):
+        self.WCSDict = {}
+        self.areaMaskDict = {}
+        self.tileTab = Table({"tileName": np.array(list(self.tileNames))})
+        for tileName in self.tileNames:
+            if self.footprint is None:
+                areaMap, wcs = loadAreaMask(tileName, self.selFnDir)
+            else:
+                areaMap, wcs = loadIntersectionMask(tileName, self.selFnDir,
+                                                    self.footprint)
+            self.WCSDict[tileName] = wcs
+            self.areaMaskDict[tileName] = areaMap
+        self.tileTab = self.tileTab  # placeholder for RA/dec ranges
+
+    def checkCoordsInAreaMask(self, RADeg, decDeg):
+        """True where coords land on valid survey area
+        (``completeness.py:341-375``)."""
+        if self.WCSDict is None:
+            self._setUpAreaMask()
+        RADeg = np.atleast_1d(np.asarray(RADeg, dtype=float))
+        decDeg = np.atleast_1d(np.asarray(decDeg, dtype=float))
+        inMask = np.zeros(len(RADeg), dtype=bool)
+        for tileName in self.tileNames:
+            wcs = self.WCSDict[tileName]
+            areaMask = self.areaMaskDict[tileName]
+            if areaMask.sum() == 0:
+                continue
+            coords = wcs.wcs2pix(RADeg, decDeg)
+            x = np.round(coords[:, 0]).astype(int)
+            y = np.round(coords[:, 1]).astype(int)
+            ok = (x >= 0) & (y >= 0) & (x < areaMask.shape[1]) & \
+                 (y < areaMask.shape[0])
+            sel = np.where(ok)[0]
+            inMask[sel] |= areaMask[y[sel], x[sel]] > 0
+        return inMask
+
+    def cutCatalogToSurveyArea(self, catalog):
+        raKey, decKey = catalogs.getTableRADecKeys(catalog)
+        return catalog[self.checkCoordsInAreaMask(catalog[raKey],
+                                                  catalog[decKey])]
+
+    # ------------------------------------------------------------------
+    def update(self, H0, Om0, Ob0, sigma8, ns, scalingRelationDict=None):
+        """Recompute compMz for new parameters (``completeness.py:378-460``)."""
+        if scalingRelationDict is not None:
+            self.scalingRelationDict = scalingRelationDict
+        self.mockSurvey.update(H0, Om0, Ob0, sigma8, ns)
+
+        if self.method == "injection":
+            y0Grid, theta500Grid = self._makeSignalGrids(applyQ=False)
+            compMz = np.zeros(y0Grid.shape)
+            for i in range(y0Grid.shape[0]):
+                compMz[i] = np.array(
+                    [self.compThetaInterpolator(theta500Grid[i][j],
+                                                y0Grid[i][j] / 1e-4)[0][0]
+                     for j in range(y0Grid.shape[1])])
+            self.compMz = np.clip(compMz, 0, 1)
+            self.y0TildeGrid = self.Q.getQ(theta500Grid) * y0Grid
+        else:
+            compMzCube = []
+            y0GridCube = []
+            for tileName in self.RMSDict:
+                y0Grid, theta500Grid = self._makeSignalGrids(
+                    tileName=tileName)
+                RMSTab = self.RMSDict[tileName]
+                area = np.asarray(RMSTab["areaDeg2"])
+                areaWeights = area / area.sum()
+                y0RMS = np.asarray(RMSTab["y0RMS"])
+                y0Lim = self.SNRCut * y0RMS
+                # Vectorised area-weighted survival-function sum
+                # (completeness.py:439-451) over noise bins
+                compMz = np.zeros(y0Grid.shape)
+                for i in range(len(y0RMS)):
+                    if self.biasModel is not None:
+                        trueSNR = y0Grid / y0RMS[i]
+                        corr = self.biasModel["func"](
+                            trueSNR, *self.biasModel["params"])
+                    else:
+                        corr = 1.0
+                    totalErr = np.sqrt((y0RMS[i] / y0Grid) ** 2
+                                       + self.scalingRelationDict[
+                                           "sigma_int"] ** 2)
+                    sfi = stats.norm.sf(y0Lim[i], loc=y0Grid * corr,
+                                        scale=totalErr * (y0Grid * corr))
+                    compMz = compMz + sfi * areaWeights[i]
+                if self.maxTheta500Arcmin is not None:
+                    compMz = compMz * (theta500Grid
+                                       < self.maxTheta500Arcmin)
+                compMzCube.append(compMz)
+                y0GridCube.append(y0Grid)
+            self.compMz = np.average(np.array(compMzCube), axis=0,
+                                     weights=self.fracArea)
+            self.y0TildeGrid = np.average(np.array(y0GridCube), axis=0,
+                                          weights=self.fracArea)
+
+    def _makeSignalGrids(self, applyQ=True, tileName=None):
+        """y0~(M, z) and theta500(M, z) grids (``completeness.py:463-497``)."""
+        ms = self.mockSurvey
+        tenToA0 = self.scalingRelationDict["tenToA0"]
+        B0 = self.scalingRelationDict["B0"]
+        Mpivot = self.scalingRelationDict["Mpivot"]
+        y0Grid = np.zeros((len(ms.z), len(ms.log10M)))
+        theta500Grid = np.zeros_like(y0Grid)
+        for k in range(len(ms.z)):
+            zk = ms.z[k]
+            if ms.delta != 500 or ms.rhoType != "critical":
+                log10M500s = np.log10(ms._toM500c(ms.M, zk))
+            else:
+                log10M500s = ms.log10M
+            theta500s = interpolate.splev(log10M500s,
+                                          ms.theta500Splines[k])
+            Qs = self.Q.getQ(theta500s, zk, tileName=tileName)
+            y0 = tenToA0 * ms.Ez[k] ** 2 * (ms.M / Mpivot) ** (1 + B0)
+            if applyQ:
+                y0 = y0 * Qs
+            if self.applyRelativisticCorrection:
+                fRels = interpolate.splev(log10M500s, ms.fRelSplines[k])
+                y0 = y0 * fRels
+            y0Grid[k] = y0
+            theta500Grid[k] = theta500s
+        y0Grid[y0Grid <= 0] = 1e-9
+        return y0Grid, theta500Grid
+
+    # ------------------------------------------------------------------
+    def projectCatalogToMz(self, tab):
+        """Project a catalog onto the (z, log10M) grid with uncertainties
+        (``completeness.py:500-532``)."""
+        from .models import scaling
+        proj = np.zeros(self.mockSurvey.clusterCount.shape)
+        sr = self.scalingRelationDict
+        for row in tab:
+            P = scaling.calcPMass(
+                row["fixed_y_c"] * 1e-4, row["fixed_err_y_c"] * 1e-4,
+                row["redshift"], row["redshiftErr"], self.Q,
+                self.mockSurvey, tenToA0=sr["tenToA0"], B0=sr["B0"],
+                Mpivot=sr["Mpivot"], sigma_int=sr["sigma_int"],
+                applyMFDebiasCorrection=self.applyMFDebiasCorrection,
+                fRelWeightsDict=self.fRelDict.get(row["tileName"],
+                                                  {148.0: 1.0}),
+                return2D=True, tileName=row["tileName"])
+            proj += P
+        return proj
+
+    def addPDetToCatalog(self, tab):
+        """Detection probability column (``completeness.py:572-593``)."""
+        log_y0Lim = np.log(self.SNRCut * np.asarray(tab["fixed_err_y_c"])
+                           * 1e-4)
+        log_y0 = np.log(np.asarray(tab["fixed_y_c"]) * 1e-4)
+        log_y0Err = 1 / np.asarray(tab["fixed_SNR"])
+        sigma_int = self.scalingRelationDict["sigma_int"]
+        log_totalErr = np.sqrt(log_y0Err ** 2 + sigma_int ** 2)
+        tab["Pdet"] = stats.norm.sf(log_y0Lim, loc=log_y0,
+                                    scale=log_totalErr)
+        return tab
+
+    def generateMockSample(self, mockOversampleFactor=None,
+                           applyPoissonScatter=True, rng=None):
+        """Mock catalog matching the survey noise (``completeness.py:596-628``)."""
+        if mockOversampleFactor is None:
+            mockOversampleFactor = self.mockOversampleFactor
+        mockTabsList = []
+        for tileName, areaDeg2 in zip(self.tileNames, self.tileAreas):
+            mockTab = self.mockSurvey.drawSample(
+                self.RMSDict[tileName], self.scalingRelationDict, QFit=self.Q,
+                wcs=None, photFilterLabel=self.photFilterLabel,
+                tileName=tileName, makeNames=False, SNRLimit=self.SNRCut,
+                applySNRCut=True, areaDeg2=areaDeg2 * mockOversampleFactor,
+                applyPoissonScatter=applyPoissonScatter,
+                applyIntrinsicScatter=True, applyNoiseScatter=True,
+                applyRelativisticCorrection=self.applyRelativisticCorrection,
+                biasModel=self.biasModel, rng=rng)
+            if mockTab is not None and len(mockTab) > 0:
+                mockTabsList.append(mockTab)
+        return vstack(mockTabsList)
+
+    def getMassLimit(self, completenessFraction, zBinEdges=None):
+        """Mass limit vs z at the given completeness
+        (``completeness.py:631-649``)."""
+        return calcMassLimit(completenessFraction, self.compMz,
+                             self.mockSurvey)
+
+
+# -----------------------------------------------------------------------------
+def calcMassLimit(completenessFraction, compMz, mockSurvey, zBinEdges=[]):
+    """Mass limit (1e14 MSun) vs z from a completeness grid
+    (``completeness.py:1238-1264``)."""
+    massLimit_zGrid = np.zeros(compMz.shape[0])
+    for i in range(compMz.shape[0]):
+        comp = compMz[i]
+        above = np.where(comp >= completenessFraction)[0]
+        if len(above) > 0:
+            massLimit_zGrid[i] = 10 ** mockSurvey.log10M[above[0]] / 1e14
+        else:
+            massLimit_zGrid[i] = np.nan
+    if len(zBinEdges) > 0:
+        out = []
+        for i in range(len(zBinEdges) - 1)                :
+            sel = (mockSurvey.z >= zBinEdges[i]) & \
+                  (mockSurvey.z < zBinEdges[i + 1])
+            out.append(np.nanmean(massLimit_zGrid[sel]))
+        return np.array(out)
+    return massLimit_zGrid
+
+
+def completenessByFootprint(config):
+    """Survey-averaged completeness stats per footprint
+    (``completeness.py:1067-1128``); writes diagnostics tables."""
+    footprints = ["full"] + [f["label"] for f in
+                             config.parDict.get("selFnFootprints", [])]
+    SNRCut = config.parDict.get("selFnOptions", {}).get("fixedSNRCut", 5.0)
+    method = config.parDict.get("selFnOptions", {}).get("method", "fast")
+    QSource = config.parDict.get("selFnOptions", {}).get("QSource", "fit")
+    results = {}
+    for footprint in footprints:
+        try:
+            selFn = SelFn(config.selFnDir, SNRCut,
+                          configFileName=config.configFileName or None,
+                          footprint=None if footprint == "full"
+                          else footprint, method=method, QSource=QSource)
+        except (FootprintError, FileNotFoundError):
+            continue
+        massLim = selFn.getMassLimit(0.9)
+        tab = Table({"z": selFn.mockSurvey.z,
+                     "MLim_90pc_1e14MSun": massLim})
+        outPath = os.path.join(config.diagnosticsDir,
+                               "completeness90pc_%s.fits" % footprint)
+        tab.write(outPath)
+        results[footprint] = tab
+    return results
+
+
+def loadFRelWeights(fRelWeightsFileName):
+    """fRel weights per tile from FITS table (``signals.py:847-861``)."""
+    tab = Table.read(fRelWeightsFileName)
+    out = {}
+    for i in range(len(tab)):
+        row = tab[i]
+        out[row["tileName"]] = {}
+        for key in tab.keys():
+            if key != "tileName":
+                out[row["tileName"]][float(key)] = row[key]
+    return out
+
+
+def getFRelWeights(config):
+    """Collect fRel weights from cached filter headers into a table
+    (``signals.py:815-844``)."""
+    if config.parDict.get("photFilter") is None:
+        return {}
+    fRelWeightsFileName = os.path.join(config.selFnDir, "fRelWeights.fits")
+    if not os.path.exists(fRelWeightsFileName):
+        rows = {"tileName": []}
+        for tileName in config.allTileNames:
+            filterFileName = os.path.join(
+                config.diagnosticsDir, tileName,
+                "filter_%s#%s.fits" % (config.parDict["photFilter"],
+                                       tileName))
+            if not os.path.exists(filterFileName):
+                continue
+            _, header = nfits.read_image(filterFileName)
+            rows["tileName"].append(tileName)
+            for i in range(1, 10):
+                if "RW%d_GHZ" % i in header:
+                    freq = str(header["RW%d_GHZ" % i])
+                    rows.setdefault(freq, [])
+                    rows[freq].append(header["RW%d" % i])
+        if rows["tileName"]:
+            tab = Table({k: np.array(v) for k, v in rows.items()})
+            tab.write(fRelWeightsFileName)
+    if os.path.exists(fRelWeightsFileName):
+        return loadFRelWeights(fRelWeightsFileName)
+    return {}
+
+
+def tidyUp(config):
+    """Fuse per-tile products into MEFs and clean up
+    (``completeness.py:1671-1729``)."""
+    photFilter = config.parDict.get("photFilter")
+    fuseSpecs = []
+    if photFilter is not None:
+        fuseSpecs.append(("RMSMap_%s" % photFilter, config.selFnDir,
+                          "RICE_1"))
+    for baseFileName, baseDir, compression in fuseSpecs:
+        outPath = os.path.join(baseDir, "%s.fits" % baseFileName)
+        if os.path.exists(outPath):
+            continue
+        arrays = {}
+        headers = {}
+        for tileName in config.allTileNames:
+            try:
+                data, wcs = _loadTile(tileName, baseDir, baseFileName)
+            except FileNotFoundError:
+                continue
+            arrays[tileName] = data
+            headers[tileName] = wcs.header
+        if arrays:
+            nfits.write_mef(outPath, arrays, headers=headers,
+                            compressionType=compression)
+    # Tile area table
+    areaPath = os.path.join(config.selFnDir, "tileAreas.fits")
+    if not os.path.exists(areaPath):
+        names = []
+        areas = []
+        for tileName in config.allTileNames:
+            try:
+                area = getTileTotalAreaDeg2(tileName, config.selFnDir)
+            except FileNotFoundError:
+                continue
+            names.append(tileName)
+            areas.append(area)
+        if names:
+            Table({"tileName": np.array(names),
+                   "areaDeg2": np.array(areas)}).write(areaPath)

@@ -1,0 +1,738 @@
+"""Map and tile runtime: lazy tile loading, preprocessing, simulation,
+model-image painting, tiling and stitching.
+
+Rebuild of ``nemo/maps.py``.  Host code handles FITS/WCS bookkeeping; all
+heavy array work (apodisation, convolution, GRF simulation, painting)
+dispatches to the JAX ops layer.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import catalogs
+from .models import cosmology as cosmo_mod
+from .models import profiles, sz
+from .models.beams import BeamProfile
+from .ops import fourier, grf, imageops
+from .utils import fits as nfits
+from .utils.tables import Table
+from .utils.wcs import WCS, calcAngSepDeg, clipUsingRADecCoords
+
+# Re-exports for parity with the reference module layout (maps.py:652-688)
+convertToY = sz.convertToY
+convertToDeltaT = sz.convertToDeltaT
+
+
+# -----------------------------------------------------------------------------
+def pixScalesRad(wcs, shape=None):
+    """(dy, dx) pixel scales in radians at the map centre."""
+    if shape is None:
+        shape = (wcs.naxis2, wcs.naxis1)
+    cy, cx = shape[0] // 2, shape[1] // 2
+    ra0, dec0 = wcs.pix2wcs(cx, cy)
+    ra1, dec1 = wcs.pix2wcs(cx + 1, cy + 1)
+    dx = calcAngSepDeg(ra0, dec0, ra1, dec0)
+    dy = calcAngSepDeg(ra0, dec0, ra0, dec1)
+    return (float(np.radians(dy)), float(np.radians(dx)))
+
+
+# -----------------------------------------------------------------------------
+class MapDict(dict):
+    """A sky-map descriptor + per-tile preprocessing, mirroring
+    ``nemo/maps.py:47-476``."""
+
+    def __init__(self, inputDict, tileCoordsDict=None):
+        super().__init__(inputDict)
+        self.tileCoordsDict = tileCoordsDict
+        self._maskKeys = ["pointSourceMask", "surveyMask", "flagMask",
+                          "extendedMask"]
+        self.validMapKeys = ["mapFileName", "weightsFileName"] + self._maskKeys
+
+    def copy(self):
+        return MapDict(self, tileCoordsDict=self.tileCoordsDict)
+
+    def loadTile(self, mapKey, tileName, returnWCS=False):
+        """Load (and clip) one tile of the map pointed to by ``mapKey``
+        (``maps.py:83-172``)."""
+        if mapKey not in self.validMapKeys:
+            raise ValueError("mapKey must be one of %s" % self.validMapKeys)
+        path = self.get(mapKey)
+        if isinstance(path, np.ndarray):
+            data = path
+            wcs = self.tileCoordsDict and WCS(
+                self.tileCoordsDict[tileName]["header"])
+        elif os.path.isdir(str(path)):
+            data, header = nfits.read_image(
+                os.path.join(path, tileName + ".fits"))
+            wcs = WCS(header)
+        else:
+            hdus = nfits.read(path)
+            hdu = next(h for h in hdus if h.data is not None)
+            full = hdu.data
+            if self.tileCoordsDict is not None and \
+                    tileName in self.tileCoordsDict:
+                minX, maxX, minY, maxY = \
+                    self.tileCoordsDict[tileName]["clippedSection"]
+                if full.ndim == 3:
+                    data = full[0, minY:maxY, minX:maxX]
+                else:
+                    data = full[minY:maxY, minX:maxX]
+                wcs = WCS(self.tileCoordsDict[tileName]["header"])
+            else:
+                data = full[0] if full.ndim == 3 else full
+                wcs = WCS(hdu.header)
+        data = np.array(data)
+
+        if mapKey in self._maskKeys and data.dtype != np.uint8:
+            data = data.astype(np.uint8)
+
+        # Zero the overlap border of survey masks so area isn't counted
+        # twice across tiles (maps.py:144-150)
+        if mapKey == "surveyMask" and self.tileCoordsDict is not None and \
+                tileName in self.tileCoordsDict:
+            minX, maxX, minY, maxY = \
+                self.tileCoordsDict[tileName]["areaMaskInClipSection"]
+            data[:minY, :] = 0
+            data[maxY:, :] = 0
+            data[:, :minX] = 0
+            data[:, maxX:] = 0
+
+        if returnWCS:
+            return data, wcs
+        return data
+
+    def preprocess(self, tileName="PRIMARY", diagnosticsDir=None):
+        """The per-tile preprocessing chain (``maps.py:175-475``)."""
+        if self.get("_preprocessedTile") == tileName:
+            return
+        data, wcs = self.loadTile("mapFileName", tileName, returnWCS=True)
+        data = np.array(data, dtype=np.float64)
+
+        if "calibFactor" in self and self["calibFactor"] is not None:
+            data = data * self["calibFactor"]
+
+        if self.get("units") == "Jy/sr":
+            # Historical fixed conversion factors (maps.py:218-225)
+            conv = {148: 1.072480e9, 219: 1.318837e9}
+            if int(self["obsFreqGHz"]) not in conv:
+                raise ValueError("No Jy/sr conversion for %.0f GHz"
+                                 % self["obsFreqGHz"])
+            data = (data / conv[int(self["obsFreqGHz"])]) * 2.726 * 1e6
+
+        if self.get("weightsFileName"):
+            weights = self.loadTile("weightsFileName", tileName)
+            weights = np.array(weights, dtype=np.float64)
+            if weights.ndim == 3:
+                weights = weights[0]
+            elif weights.ndim == 4:
+                weights = weights[0, 0]
+        else:
+            weights = np.ones(data.shape)
+        data[weights == 0] = 0
+
+        if self.get("surveyMask"):
+            surveyMask = self.loadTile("surveyMask", tileName)
+        else:
+            surveyMask = np.ones(data.shape, dtype=np.uint8)
+            surveyMask[weights == 0] = 0
+
+        if self.get("apodizeUsingSurveyMask"):
+            apodMask = np.asarray(imageops.binary_dilate_cross(
+                jnp.asarray(surveyMask > 0), 120))
+            apodMask = np.asarray(imageops.gaussian_filter(
+                jnp.asarray(apodMask.astype(float)), 20))
+            data = data * apodMask
+
+        if self.get("pointSourceMask"):
+            psMask = self.loadTile("pointSourceMask", tileName)
+        else:
+            psMask = np.ones(data.shape, dtype=np.uint8)
+
+        if self.get("flagMask"):
+            flagMask = self.loadTile("flagMask", tileName) * surveyMask
+        else:
+            flagMask = np.zeros(data.shape, dtype=np.uint8)
+
+        if self.get("RADecSection"):
+            RAMin, RAMax, decMin, decMax = self["RADecSection"]
+            clip = clipUsingRADecCoords(data, wcs, RAMin, RAMax, decMin,
+                                        decMax)
+            data = clip["data"]
+            weights = clipUsingRADecCoords(weights, wcs, RAMin, RAMax,
+                                           decMin, decMax)["data"]
+            psMask = clipUsingRADecCoords(psMask, wcs, RAMin, RAMax, decMin,
+                                          decMax)["data"]
+            surveyMask = clipUsingRADecCoords(surveyMask, wcs, RAMin, RAMax,
+                                              decMin, decMax)["data"]
+            flagMask = clipUsingRADecCoords(flagMask, wcs, RAMin, RAMax,
+                                            decMin, decMax)["data"]
+            wcs = clip["wcs"]
+            if data.size == 0:
+                raise ValueError("RADecSection clip returned empty array")
+
+        # Source-free CMB substitution for contamination sims
+        # (maps.py:292-320)
+        if "CMBSimSeed" in self:
+            key = jax.random.PRNGKey(int(self["CMBSimSeed"]))
+            beam = BeamProfile(beamFileName=self["beamFileName"])
+            randMap = np.asarray(grf.sim_cmb_map(
+                key, data.shape, pixScalesRad(wcs, data.shape),
+                beamBell=beam.Bell, beamEll=beam.ell))
+            randMap[weights == 0] = 0
+            mask = data != 0
+            whiteNoiseLevel = np.zeros(weights.shape)
+            whiteNoiseLevel[weights != 0] = 1 / np.sqrt(
+                weights[weights != 0])
+            nkey = jax.random.PRNGKey(int(self["CMBSimSeed"]) + 1)
+            noise = np.asarray(grf.sim_noise_map(nkey, data.shape,
+                                                 jnp.asarray(whiteNoiseLevel)))
+            data = np.where(mask, randMap + noise, 0.0)
+
+        # Injection of model objects (position-recovery / completeness sims)
+        if "injectSources" in self:
+            inj = self["injectSources"]
+            GNFWParams = inj.get("GNFWParams", None)
+            obsFreqGHz = self["obsFreqGHz"] if GNFWParams else None
+            validAreaSection = None
+            if self.tileCoordsDict is not None and \
+                    tileName in self.tileCoordsDict:
+                validAreaSection = \
+                    self.tileCoordsDict[tileName]["areaMaskInClipSection"]
+            modelMap = makeModelImage(
+                data.shape, wcs, inj["catalog"], self["beamFileName"],
+                obsFreqGHz=self["obsFreqGHz"],
+                GNFWParams=GNFWParams if GNFWParams else "default",
+                profile=inj.get("profile", "A10"),
+                validAreaSection=validAreaSection,
+                override=inj.get("override"))
+            if modelMap is not None:
+                modelMap[weights == 0] = 0
+                data = data + modelMap
+
+        if self.get("applyBeamConvolution"):
+            data = convolveMapWithBeam(data, wcs, self["beamFileName"])
+
+        if "smoothKernel" in self:
+            if "smoothAttenuationFactor" in self:
+                data = data * self["smoothAttenuationFactor"]
+            data = convolveMapWithBeam(data, wcs, self["smoothKernel"])
+
+        # Hole-filling background (maps.py:355-365)
+        holeFillingKeys = ["maskPointSourcesFromCatalog",
+                           "maskAndFillFromCatalog", "extendedMask"]
+        bckData = None
+        if any(self.get(k) is not None and k in self
+               for k in holeFillingKeys):
+            pixRad = (10.0 / 60.0) / wcs.getPixelSizeDeg()
+            bckData = imageops.median_filter_host(data, int(pixRad))
+
+        if self.get("maskPointSourcesFromCatalog"):
+            cats = self["maskPointSourcesFromCatalog"]
+            if not isinstance(cats, list):
+                cats = [cats]
+            psMask = np.ones(data.shape, dtype=np.uint8)
+            for catalogInfo in cats:
+                if isinstance(catalogInfo, dict):
+                    catalogPath = catalogInfo["path"]
+                    fluxCutJy = catalogInfo.get("fluxCutJy", 0.0)
+                else:
+                    catalogPath = catalogInfo
+                    fluxCutJy = 0.0
+                tab = catalogPath if isinstance(catalogPath, Table) \
+                    else Table.read(catalogPath)
+                if "fluxJy" in tab.keys():
+                    tab = tab[np.asarray(tab["fluxJy"]) > fluxCutJy]
+                tab = catalogs.getCatalogWithinImage(tab, data.shape, wcs)
+                for row in tab:
+                    if "rArcmin" in tab.keys():
+                        maskRadiusArcmin = row["rArcmin"]
+                    elif "ellipse_A" in tab.keys():
+                        xPixArcmin = (wcs.getXPixelSizeDeg()
+                                      / np.cos(np.radians(row["decDeg"]))) * 60
+                        maskRadiusArcmin = (row["ellipse_A"] / xPixArcmin) / 2
+                    else:
+                        raise ValueError(
+                            "need 'rArcmin' or 'ellipse_A' column")
+                    holeMask = _distance_mask(data.shape, wcs, row["RADeg"],
+                                              row["decDeg"],
+                                              maskRadiusArcmin / 60.0)
+                    surveyMask[holeMask] = 0
+                    psMask[holeMask] = 0
+                    data[holeMask] = bckData[holeMask]
+
+        if self.get("subtractModelFromCatalog"):
+            cats = self["subtractModelFromCatalog"]
+            if not isinstance(cats, list):
+                cats = [cats]
+            for tab in cats:
+                if not isinstance(tab, Table):
+                    tab = Table.read(tab)
+                tab = catalogs.getCatalogWithinImage(tab, data.shape, wcs)
+                model = makeModelImage(data.shape, wcs, tab,
+                                       self["beamFileName"],
+                                       obsFreqGHz=self["obsFreqGHz"])
+                if model is not None:
+                    data = data - model
+                    flagMask = flagMask + (model > 1)
+
+        if self.get("maskAndFillFromCatalog"):
+            cats = self["maskAndFillFromCatalog"]
+            if not isinstance(cats, list):
+                cats = [cats]
+            for tab in cats:
+                if not isinstance(tab, Table):
+                    tab = Table.read(tab)
+                tab = catalogs.getCatalogWithinImage(tab, data.shape, wcs)
+                if len(tab) > 0 and "ellipse_A" not in tab.keys():
+                    raise ValueError("maskAndFillFromCatalog requires "
+                                     "measureShapes: True")
+                for row in tab:
+                    xPixArcmin = (wcs.getXPixelSizeDeg()
+                                  / np.cos(np.radians(row["decDeg"]))) * 60
+                    maskRadiusArcmin = (row["ellipse_A"] / xPixArcmin) / 2
+                    if self.get("maskHoleDilationFactor"):
+                        maskRadiusArcmin *= self["maskHoleDilationFactor"]
+                    holeMask = _distance_mask(data.shape, wcs, row["RADeg"],
+                                              row["decDeg"],
+                                              maskRadiusArcmin / 60.0)
+                    surveyMask[holeMask] = 0
+                    psMask[holeMask] = 0
+                    data[holeMask] = bckData[holeMask]
+
+        self["data"] = data
+        self["weights"] = weights
+        self["wcs"] = wcs
+        self["surveyMask"] = surveyMask
+        self["pointSourceMask"] = psMask
+        self["flagMask"] = flagMask
+        self["tileName"] = tileName
+        self["_preprocessedTile"] = tileName
+
+        if self["data"].shape != self["pointSourceMask"].shape or \
+                self["data"].shape != self["surveyMask"].shape:
+            raise ValueError("Map and mask dimensions do not match")
+
+
+class MapDictList:
+    """List of MapDicts sharing a tileCoordsDict (``maps.py:478-499``)."""
+
+    def __init__(self, mapDictList, tileCoordsDict=None):
+        self.mapDicts = [MapDict(m, tileCoordsDict=tileCoordsDict)
+                         for m in mapDictList]
+
+    def __iter__(self):
+        return iter(self.mapDicts)
+
+    def __getitem__(self, item):
+        return self.mapDicts[item]
+
+    def __len__(self):
+        return len(self.mapDicts)
+
+
+class TileDict(dict):
+    """Tile-name -> 2-d array container with MEF / stitched writers
+    (``maps.py:502-605``)."""
+
+    def __init__(self, inputDict, tileCoordsDict=None):
+        super().__init__(inputDict)
+        self.tileCoordsDict = tileCoordsDict
+
+    def copy(self):
+        return TileDict(self, tileCoordsDict=self.tileCoordsDict)
+
+    def saveMEF(self, outFileName, compressionType=None):
+        headers = {}
+        for tileName in self.keys():
+            if self.tileCoordsDict and tileName in self.tileCoordsDict:
+                headers[tileName] = self.tileCoordsDict[tileName]["header"]
+        nfits.write_mef(outFileName, {k: np.asarray(v)
+                                      for k, v in self.items()},
+                        headers=headers, compressionType=compressionType)
+
+    def saveStitchedFITS(self, outFileName, stitchedWCS,
+                         compressionType=None):
+        d = np.zeros((stitchedWCS.naxis2, stitchedWCS.naxis1))
+        for tileName in self.keys():
+            minX, maxX, minY, maxY = \
+                self.tileCoordsDict[tileName]["clippedSection"]
+            tile = np.asarray(self[tileName])
+            h = min(maxY - minY, tile.shape[0])
+            w = min(maxX - minX, tile.shape[1])
+            d[minY:minY + h, minX:minX + w] = \
+                np.maximum(d[minY:minY + h, minX:minX + w], tile[:h, :w])
+        nfits.write_image(outFileName, d, stitchedWCS.header,
+                          compressionType=compressionType)
+
+
+def _distance_mask(shape, wcs, RADeg, decDeg, maxDistDeg):
+    """Boolean mask of pixels within maxDistDeg of a position (bounded box,
+    like ``makeDegreesDistanceMap``, ``maps.py:2414-2471``)."""
+    degMap = np.full(shape, 1e6)
+    degMap, _, _ = makeDegreesDistanceMap(degMap, wcs, RADeg, decDeg,
+                                          maxDistDeg)
+    return degMap < maxDistDeg
+
+
+def makeDegreesDistanceMap(degreesMap, wcs, RADeg, decDeg, maxDistDegrees):
+    """Fill (in place) a map with angular distance from a position, within
+    a bounding box (``maps.py:2414-2471``)."""
+    x0, y0 = wcs.wcs2pix(RADeg, decDeg)
+    ra1, dec1 = wcs.pix2wcs(x0 + 1, y0 + 1)
+    xPixScale = calcAngSepDeg(RADeg, decDeg, ra1, decDeg)
+    yPixScale = calcAngSepDeg(RADeg, decDeg, RADeg, dec1)
+    Y, X = degreesMap.shape
+    xDistPix = int(round(maxDistDegrees / xPixScale))
+    yDistPix = int(round(maxDistDegrees / yPixScale))
+    minX = max(int(round(x0)) - xDistPix, 0)
+    maxX = min(int(round(x0)) + xDistPix, X)
+    minY = max(int(round(y0)) - yDistPix, 0)
+    maxY = min(int(round(y0)) + yDistPix, Y)
+    xDeg = (np.arange(X) - x0) * xPixScale
+    yDeg = (np.arange(Y) - y0) * yPixScale
+    block = np.sqrt(yDeg[minY:maxY, None] ** 2 + xDeg[None, minX:maxX] ** 2)
+    degreesMap[minY:maxY, minX:maxX] = block
+    return degreesMap, [minX, maxX], [minY, maxY]
+
+
+# -----------------------------------------------------------------------------
+def autotiler(surveyMask, wcs, targetTileWidth, targetTileHeight):
+    """Break a survey mask into approximately equal tiles
+    (``maps.py:691-791``): label connected mask regions, slice each into
+    dec rows, stretch tile widths by 1/cos(dec), handle the 180-deg wrap.
+    """
+    from scipy import ndimage
+
+    mapCentreRA, mapCentreDec = wcs.getCentreWCSCoords()
+    skyWidth, skyHeight = wcs.getFullSizeSkyDeg()
+    handle180Wrap = (mapCentreRA < 0.1 and skyWidth < 0.1) or skyWidth > 359.9
+
+    segMap, numObjects = ndimage.label(np.asarray(surveyMask) > 0)
+    fieldIDs = np.arange(1, numObjects + 1)
+    maskSections = ndimage.find_objects(segMap)
+    tileList = []
+    for maskSection, f in zip(maskSections, fieldIDs):
+        yMin = maskSection[0].start
+        yMax = maskSection[0].stop - 1
+        if yMax - yMin < 1000:  # skip stray blobs (maps.py:735)
+            continue
+        xc = int((maskSection[1].start + (maskSection[1].stop - 1)) / 2)
+        RAc, decMin = wcs.pix2wcs(xc, yMin)
+        RAc, decMax = wcs.pix2wcs(xc, yMax)
+        numRows = int((decMax - decMin) / targetTileHeight)
+        if numRows == 0:
+            raise ValueError("targetTileHeight larger than map height")
+        tileHeight = np.ceil(((decMax - decMin) / numRows) * 100) / 100
+
+        for i in range(numRows):
+            decBottom = decMin + i * tileHeight
+            decTop = decMin + (i + 1) * tileHeight
+            xc2, yBottom = wcs.wcs2pix(RAc, decBottom)
+            xc2, yTop = wcs.wcs2pix(RAc, decTop)
+            yBottom = int(yBottom)
+            yTop = int(yTop)
+            strip = segMap[min(yBottom, yTop):max(yBottom, yTop)]
+            ys, xs = np.where(strip == f)
+            if len(xs) == 0:
+                continue
+            xMin, xMax = xs.min(), xs.max()
+            yc = int((yTop + yBottom) / 2)
+            stripWidthDeg = (xMax - xMin) * wcs.getXPixelSizeDeg()
+            RAMax, decc = wcs.pix2wcs(int(xMin), yc)
+            RAMin, decc = wcs.pix2wcs(int(xMax), yc)
+            stretch = 1 / np.cos(np.radians(decTop))
+            numCols = max(int(stripWidthDeg / (targetTileWidth * stretch)), 1)
+            tileWidth = np.ceil((stripWidthDeg / numCols) * 100) / 100
+            for j in range(numCols):
+                RALeft = RAMax - j * tileWidth
+                RARight = RAMax - (j + 1) * tileWidth
+                if RALeft < 0:
+                    RALeft += 360
+                if RARight < 0:
+                    RARight += 360
+                if handle180Wrap:
+                    if RARight < 180.01 and RALeft < 180 + tileWidth \
+                            and RALeft > 180.01:
+                        RARight = 180.01
+                tileList.append({
+                    "tileName": "%d_%d_%d" % (f, i, j),
+                    "RADecSection": [float(RARight), float(RALeft),
+                                     float(decBottom), float(decTop)]})
+    return tileList
+
+
+def saveTilesDS9RegionsFile(parDict, DS9RegionFileName):
+    """DS9 regions showing the tiling (``maps.py:794-817``)."""
+    with open(DS9RegionFileName, "w") as f:
+        f.write("# Region file format: DS9 version 4.1\n")
+        f.write('global color=blue width=1 font="helvetica 10 normal"\n')
+        f.write("fk5\n")
+        for tileDict in parDict["tileDefinitions"]:
+            ra0, ra1, dec0, dec1 = tileDict["RADecSection"]
+            f.write("polygon(%.6f, %.6f, %.6f, %.6f, %.6f, %.6f, %.6f, "
+                    '%.6f) # text="%s"\n'
+                    % (ra0, dec0, ra0, dec1, ra1, dec1, ra1, dec0,
+                       tileDict["tileName"]))
+
+
+def checkMask(fileName):
+    """Raise if a mask contains negative values (``maps.py:925-955``)."""
+    data, _ = nfits.read_image(fileName)
+    if np.any(np.asarray(data) < 0):
+        raise ValueError("Mask file '%s' contains negative values" % fileName)
+
+
+# -----------------------------------------------------------------------------
+# Simulation
+
+def simCMBMap(shape, wcs, noiseLevel=None, beam=None, seed=None):
+    """Simulated CMB map (``maps.py:1223-1264``); flat-sky per tile."""
+    if seed is None:
+        seed = np.random.randint(0, 2 ** 31 - 1)
+    key = jax.random.PRNGKey(int(seed))
+    beamEll = beamBell = None
+    if beam is not None:
+        if isinstance(beam, str):
+            beam = BeamProfile(beamFileName=beam)
+        beamEll, beamBell = beam.ell, beam.Bell
+    return np.asarray(grf.sim_cmb_map(key, shape, pixScalesRad(wcs, shape),
+                                      beamBell=beamBell, beamEll=beamEll,
+                                      noiseLevel=noiseLevel))
+
+
+def simNoiseMap(shape, noiseLevel, wcs=None, lKnee=None, alpha=-3,
+                noiseMode="perPixel", seed=None):
+    """White or 1/f noise map (``maps.py:1267-1352``)."""
+    if seed is None:
+        seed = np.random.randint(0, 2 ** 31 - 1)
+    key = jax.random.PRNGKey(int(seed))
+    if noiseMode == "perSquareArcmin":
+        if lKnee is not None:
+            raise ValueError("1/f noise requires noiseMode='perPixel'")
+        arcmin2Map = getPixelAreaArcmin2Map(shape, wcs)
+        noiseLevel = noiseLevel / arcmin2Map
+    pix = pixScalesRad(wcs, shape) if wcs is not None else None
+    return np.asarray(grf.sim_noise_map(key, shape, noiseLevel,
+                                        pix_scales_rad=pix, lKnee=lKnee,
+                                        alpha=alpha))
+
+
+def addWhiteNoise(mapData, noisePerPix, seed=None):
+    rng = np.random.default_rng(seed)
+    return mapData + rng.normal(0, noisePerPix, mapData.shape)
+
+
+# -----------------------------------------------------------------------------
+def smoothMap(data, wcs, RADeg="centre", decDeg="centre",
+              smoothScaleDeg=5.0 / 60.0):
+    """Gaussian smoothing with sky-scale kernel (``maps.py:1433-1458``)."""
+    ra0, dec0 = wcs.getCentreWCSCoords()
+    if RADeg != "centre":
+        ra0 = float(RADeg)
+    if decDeg != "centre":
+        dec0 = float(decDeg)
+    x0, y0 = wcs.wcs2pix(ra0, dec0)
+    ra1, dec1 = wcs.pix2wcs(x0 + 1, y0 + 1)
+    xPixScale = calcAngSepDeg(ra0, dec0, ra1, dec0)
+    yPixScale = calcAngSepDeg(ra0, dec0, ra0, dec1)
+    sy = smoothScaleDeg / yPixScale
+    sx = smoothScaleDeg / xPixScale
+    return np.asarray(imageops.gaussian_filter(jnp.asarray(data), (sy, sx)))
+
+
+def subtractBackground(data, wcs, RADeg="centre", decDeg="centre",
+                       smoothScaleDeg=30.0 / 60.0):
+    """High-pass via difference of Gaussians (``maps.py:1355-1368``)."""
+    return data - smoothMap(data, wcs, RADeg=RADeg, decDeg=decDeg,
+                            smoothScaleDeg=smoothScaleDeg)
+
+
+def convolveMapWithBeam(data, wcs, beam, maxDistDegrees=1.0):
+    """Beam-convolve a map.  The reference builds a truncated real-space
+    kernel and uses scipy convolve + shift (``maps.py:1371-1430``); here the
+    convolution is an exact multiply by B_ell in Fourier space (no kernel
+    truncation error, no odd/even shift fix-ups)."""
+    if isinstance(beam, str):
+        beam = BeamProfile(beamFileName=beam)
+    pix = pixScalesRad(wcs, data.shape)
+    lmap = fourier.modlmap(data.shape, pix)
+    Bl2d = np.interp(lmap, beam.ell, beam.Bell, right=0.0)
+    fm = fourier.fft2(jnp.asarray(data))
+    return np.asarray(jnp.real(fourier.ifft2(fm * jnp.asarray(Bl2d))))
+
+
+def getPixelAreaArcmin2Map(shape, wcs):
+    """Pixel area in arcmin^2 vs position (``maps.py:1461-1482``)."""
+    RACentre, decCentre = wcs.getCentreWCSCoords()
+    x0, y0 = wcs.wcs2pix(RACentre, decCentre)
+    x1 = x0 + 1
+    ys = np.arange(shape[0], dtype=float)
+    ra0, dec0 = wcs.pix2wcs(np.full(shape[0], x0), ys)[:, 0], \
+        wcs.pix2wcs(np.full(shape[0], x0), ys)[:, 1]
+    ra1, dec1 = wcs.pix2wcs(np.full(shape[0], x1), ys + 1)[:, 0], \
+        wcs.pix2wcs(np.full(shape[0], x1), ys + 1)[:, 1]
+    xPixScale = calcAngSepDeg(ra0, dec0, ra1, dec0)
+    yPixScale = calcAngSepDeg(ra0, dec0, ra0, dec1)
+    pixAreas = xPixScale * yPixScale * 3600.0
+    return np.tile(pixAreas[:, None], (1, shape[1]))
+
+
+# -----------------------------------------------------------------------------
+def makeModelImage(shape, wcs, catalog, beamFileName, obsFreqGHz=None,
+                   GNFWParams="default", profile="A10", cosmoModel=None,
+                   applyPixelWindow=True, override=None,
+                   validAreaSection=None, minSNR=-99, TCMBAlpha=0):
+    """Paint model clusters or point sources into a blank map
+    (``maps.py:1734-1899``)."""
+    if isinstance(catalog, str):
+        catalog = Table.read(catalog)
+    catalog = catalogs.getCatalogWithinImage(catalog, shape, wcs)
+
+    SNRKey = None
+    for k in ("SNR", "fixed_SNR"):
+        if k in catalog.keys():
+            SNRKey = k
+            break
+    if SNRKey is not None:
+        catalog = catalog[np.asarray(catalog[SNRKey]) > minSNR]
+
+    if validAreaSection is not None and len(catalog) > 0:
+        x0, x1, y0, y1 = validAreaSection
+        coords = wcs.wcs2pix(np.asarray(catalog["RADeg"], dtype=float),
+                             np.asarray(catalog["decDeg"], dtype=float))
+        x = coords[:, 0]
+        y = coords[:, 1]
+        catalog = catalog[(x >= x0) & (x < x1) & (y >= y0) & (y < y1)]
+
+    if len(catalog) == 0:
+        return None
+
+    cosmoModel = cosmoModel or cosmo_mod.fiducialCosmoModel()
+    pix = pixScalesRad(wcs, shape)
+    modelMap = np.zeros(shape)
+
+    beam = BeamProfile(beamFileName=beamFileName)
+
+    isCluster = ("y_c" in catalog.keys() or "true_y_c" in catalog.keys())
+    if isCluster:
+        makeSignalMap = profiles.makeArnaudModelSignalMap if profile == "A10" \
+            else profiles.makeBattagliaModelSignalMap
+        coords = wcs.wcs2pix(np.asarray(catalog["RADeg"], dtype=float),
+                             np.asarray(catalog["decDeg"], dtype=float))
+        xs, ys = coords[:, 0], coords[:, 1]
+        if override is not None:
+            z = override["redshift"]
+            M500 = override["M500"]
+            y0s = np.asarray(catalog["y_c"], dtype=float) * 1e-4
+            theta500 = cosmo_mod.calcTheta500Arcmin(z, M500, cosmoModel)
+            maxSizeDeg = _quantizeSizeDeg(5 * theta500 / 60)
+            modelMap = np.asarray(makeSignalMap(
+                z, M500, shape, pix, beam=beam, ys=ys, xs=xs,
+                GNFWParams=GNFWParams, amplitude=y0s,
+                maxSizeDeg=maxSizeDeg, cosmoModel=cosmoModel))
+            if obsFreqGHz is not None:
+                modelMap = sz.convertToDeltaT(modelMap,
+                                              obsFrequencyGHz=obsFreqGHz,
+                                              TCMBAlpha=TCMBAlpha, z=z)
+        else:
+            for i, row in enumerate(catalog):
+                if "true_M500c" in catalog.keys():
+                    M500 = row["true_M500c"] * 1e14
+                    z = row["redshift"]
+                    y0 = row["true_y_c"] * 1e-4
+                else:
+                    if "template" not in catalog.keys():
+                        raise ValueError("No M500, z, or template column "
+                                         "found in catalog")
+                    bits = str(row["template"]).split("#")[0].split("_")
+                    M500 = float(bits[1][1:].replace("p", "."))
+                    z = float(bits[2][1:].replace("p", "."))
+                    y0 = row["y_c"] * 1e-4
+                theta500 = cosmo_mod.calcTheta500Arcmin(z, M500, cosmoModel)
+                maxSizeDeg = _quantizeSizeDeg(5 * theta500 / 60)
+                signalMap = np.asarray(makeSignalMap(
+                    z, M500, shape, pix, beam=beam, ys=[ys[i]], xs=[xs[i]],
+                    GNFWParams=GNFWParams, amplitude=y0,
+                    maxSizeDeg=maxSizeDeg, cosmoModel=cosmoModel))
+                if obsFreqGHz is not None:
+                    signalMap = sz.convertToDeltaT(
+                        signalMap, obsFrequencyGHz=obsFreqGHz,
+                        TCMBAlpha=TCMBAlpha, z=z)
+                modelMap = modelMap + signalMap
+    else:
+        # Point sources, all sharing the beam profile - painted in one shot
+        coords = wcs.wcs2pix(np.asarray(catalog["RADeg"], dtype=float),
+                             np.asarray(catalog["decDeg"], dtype=float))
+        xs, ys = coords[:, 0], coords[:, 1]
+        amps = np.asarray(catalog["deltaT_c"], dtype=float)
+        numFWHM = 5.0
+        maxSizeDeg = _quantizeSizeDeg((beam.FWHMArcmin * numFWHM) / 60)
+        modelMap = np.asarray(profiles.makeBeamModelSignalMap(
+            shape, pix, beam, ys=ys, xs=xs, amplitude=amps,
+            maxSizeDeg=maxSizeDeg))
+
+    if applyPixelWindow:
+        modelMap = np.asarray(fourier.apply_pixel_window(
+            jnp.asarray(modelMap), pow=1.0))
+    return modelMap
+
+
+def _quantizeSizeDeg(sizeDeg, steps=(0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 15.0)):
+    """Quantise painting truncation radii so jitted painting kernels are
+    reused across objects instead of recompiling per radius."""
+    for s in steps:
+        if sizeDeg <= s:
+            return s
+    return steps[-1]
+
+
+# -----------------------------------------------------------------------------
+def maskOutSources(mapData, wcs, catalog, radiusArcmin=7.0, mask=0.0,
+                   growMaskedArea=1.0):
+    """Blank circular regions at catalog positions (``maps.py:1083-1157``)."""
+    maskMap = np.zeros(mapData.shape)
+    maskedData = np.array(mapData, dtype=np.float64)
+    rng = np.random.default_rng(1234)
+    for row in catalog:
+        holeMask = _distance_mask(mapData.shape, wcs, row["RADeg"],
+                                  row["decDeg"],
+                                  (radiusArcmin * growMaskedArea) / 60.0)
+        if mask == "whiteNoise":
+            annulus = _distance_mask(mapData.shape, wcs, row["RADeg"],
+                                     row["decDeg"],
+                                     2 * radiusArcmin / 60.0) & ~holeMask
+            vals = maskedData[annulus]
+            maskedData[holeMask] = rng.normal(vals.mean(), vals.std(),
+                                              holeMask.sum())
+        else:
+            maskedData[holeMask] = mask
+        maskMap[holeMask] = 1.0
+    return {"data": maskedData, "mask": maskMap}
+
+
+def stitchTilesQuickLook(filePattern, outFileName, outWCS, outShape,
+                         fluxRescale=1.0):
+    """Paste tile FITS files into one big map (``maps.py:1027-1080``)."""
+    import glob
+    outData = np.zeros(outShape)
+    inFiles = glob.glob(filePattern)
+    if len(inFiles) < 1:
+        return None
+    for f in inFiles:
+        d, header = nfits.read_image(f)
+        inWCS = WCS(header)
+        coords = inWCS.pix2wcs(np.zeros(d.shape[0]), np.arange(d.shape[0]))
+        yOut = np.round(outWCS.wcs2pix(coords[:, 0], coords[:, 1])[:, 1]
+                        ).astype(int)
+        coordsx = inWCS.pix2wcs(np.arange(d.shape[1]), np.zeros(d.shape[1]))
+        xOut = np.round(outWCS.wcs2pix(coordsx[:, 0], coordsx[:, 1])[:, 0]
+                        ).astype(int)
+        ok_y = (yOut >= 0) & (yOut < outShape[0])
+        ok_x = (xOut >= 0) & (xOut < outShape[1])
+        outData[np.ix_(yOut[ok_y], xOut[ok_x])] += d[np.ix_(ok_y, ok_x)]
+    nfits.write_image(outFileName, outData * fluxRescale, outWCS.header,
+                      compressionType="RICE_1")
+    return outData

@@ -1,0 +1,275 @@
+"""The filter mismatch function Q (Hasselfield et al. 2013).
+
+Rebuild of the reference's ``QFit`` class and ``fitQ`` routine
+(``nemo/signals.py:140-347, 864-1129``): Q(theta500[, z]) is measured per
+tile by pushing a grid of model clusters through the tile's reference
+filter and recording the peak response ratio; it is then interpolated when
+converting between y0~ and mass.
+"""
+
+import os
+
+import numpy as np
+from scipy import interpolate
+
+from ..utils import fits as nfits
+from ..utils.tables import Table
+from . import cosmology as cosmo_mod
+from . import sz
+
+
+class QFit:
+    """Interpolated Q(theta500 [, z]) per tile (``signals.py:140-347``)."""
+
+    def __init__(self, QSource="fit", selFnDir=None, QFitFileName=None,
+                 tileNames=None):
+        self._zGrid = np.array([0.05, 0.1, 0.2, 0.3, 0.4, 0.6, 0.8, 1.0,
+                                1.2, 1.6, 2.0])
+        self._theta500ArcminGrid = np.logspace(np.log10(0.1), np.log10(55),
+                                               10)
+        self.zMin = self._zGrid.min()
+        self.zMax = self._zGrid.max()
+        self.zDependent = None
+        self.zDepThetaMax = None
+        self.selFnDir = selFnDir
+        self.fitDict = {}
+        self.QSource = QSource
+        if QSource not in ("fit", "injection", "hybrid"):
+            raise ValueError("QSource must be 'fit', 'injection' or "
+                             "'hybrid'")
+        if QSource in ("fit", "hybrid"):
+            if QFitFileName is None and selFnDir is not None:
+                QFitFileName = os.path.join(selFnDir, "QFit.fits")
+            if QFitFileName is not None:
+                self.loadQ(QFitFileName, tileNames=tileNames)
+        elif QSource == "injection":
+            theta500s, thetaQ = self._loadInjectionData()
+            self.fitDict[None] = interpolate.InterpolatedUnivariateSpline(
+                theta500s, thetaQ, ext=1)
+            self.zDependent = False
+
+    def _loadInjectionData(self):
+        from .. import completeness
+        if self.selFnDir is None:
+            raise ValueError("selFnDir required for injection QSource")
+        injTab = Table.read(os.path.join(self.selFnDir,
+                                         "sourceInjectionData.fits"))
+        inputTab = Table.read(os.path.join(
+            self.selFnDir, "sourceInjectionInputCatalog.fits"))
+        theta500s, binCentres, compThetaGrid, thetaQ = \
+            completeness._parseSourceInjectionData(injTab, inputTab, 5.0)
+        return theta500s, thetaQ
+
+    def loadQ(self, QFitFileName, tileNames=None):
+        """Load per-tile Q tables from a MEF (``signals.py:204-267``)."""
+        hdus = nfits.read(QFitFileName)
+        available = [h.name for h in hdus if h.is_table]
+        if tileNames is None:
+            tileNames = available
+
+        if self.QSource == "hybrid":
+            injThetas, injQs = self._loadInjectionData()
+            refTheta = None
+
+        QStack, thetaStack = [], []
+        lastTab = None
+        for tileName in tileNames:
+            if tileName not in available:
+                continue
+            cols, header = nfits.read_table(QFitFileName, ext=tileName)
+            QTab = Table(cols)
+            QTab.meta["ZDEPQ"] = header.get("ZDEPQ", 0)
+            self.zMin = min(self.zMin, np.min(QTab["z"])) \
+                if "z" in QTab.keys() else self.zMin
+            self.zMax = max(self.zMax, np.max(QTab["z"])) \
+                if "z" in QTab.keys() else self.zMax
+            if self.QSource == "hybrid":
+                if refTheta is None:
+                    refTheta = np.min(np.asarray(QTab["theta500Arcmin"])[
+                        np.asarray(QTab["Q"]) > 1])
+                sel = np.asarray(QTab["theta500Arcmin"]) <= refTheta
+                hyb = Table({
+                    "theta500Arcmin": np.concatenate(
+                        [np.asarray(QTab["theta500Arcmin"])[sel],
+                         injThetas[injThetas > refTheta]]),
+                    "Q": np.concatenate([np.asarray(QTab["Q"])[sel],
+                                         injQs[injThetas > refTheta]])})
+                hyb.meta = QTab.meta
+                QTab = hyb
+            QStack.append(np.asarray(QTab["Q"]))
+            thetaStack.append(np.asarray(QTab["theta500Arcmin"]))
+            self.fitDict[tileName] = self._makeInterpolator(QTab)
+            lastTab = QTab
+        if lastTab is not None:
+            medQTab = Table({"Q": np.median(np.array(QStack), axis=0),
+                             "theta500Arcmin":
+                                 np.asarray(lastTab["theta500Arcmin"])})
+            if "z" in lastTab.keys():
+                medQTab["z"] = np.asarray(lastTab["z"])
+            medQTab.meta = lastTab.meta
+            self.fitDict[None] = self._makeInterpolator(medQTab)
+
+    def _makeInterpolator(self, QTab):
+        """1-d or 2-d spline per ZDEPQ (``signals.py:270-298``)."""
+        if QTab.meta.get("ZDEPQ", 0) == 0:
+            QTab.sort("theta500Arcmin")
+            spline = interpolate.InterpolatedUnivariateSpline(
+                QTab["theta500Arcmin"], QTab["Q"], ext=1)
+            if self.zDependent:
+                raise ValueError("Mixed z-dependent and z-independent Q")
+            self.zDependent = False
+            self.zDepThetaMax = None
+        else:
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                spline = interpolate.LSQBivariateSpline(
+                    np.asarray(QTab["z"]),
+                    np.asarray(QTab["theta500Arcmin"]),
+                    np.asarray(QTab["Q"]), self._zGrid,
+                    self._theta500ArcminGrid)
+            zs = np.unique(np.asarray(QTab["z"]))
+            thetaMaxs = [np.max(np.asarray(QTab["theta500Arcmin"])[
+                np.asarray(QTab["z"]) == z]) for z in zs]
+            self.zDepThetaMax = interpolate.InterpolatedUnivariateSpline(
+                zs, thetaMaxs)
+            if self.zDependent is False:
+                raise ValueError("Mixed z-dependent and z-independent Q")
+            self.zDependent = True
+        return spline
+
+    def getQ(self, theta500Arcmin, z=None, tileName=None):
+        """Interpolated Q values (``signals.py:301-347``)."""
+        if tileName not in self.fitDict:
+            tileName = None
+        if self.zDependent:
+            Qs = self.fitDict[tileName](z, theta500Arcmin)[0]
+            Qs = np.asarray(Qs)
+            Qs[np.asarray(theta500Arcmin) > self.zDepThetaMax(z)] = 0.0
+            if z < self.zMin or z > self.zMax:
+                Qs = np.zeros_like(Qs)
+        else:
+            Qs = self.fitDict[tileName](theta500Arcmin)
+        Qs = np.asarray(Qs)
+        Qs[Qs < 0] = 0
+        if Qs.ndim == 0 or (np.isscalar(theta500Arcmin)):
+            return float(Qs) if Qs.ndim == 0 else float(np.ravel(Qs)[0])
+        return Qs
+
+
+def fitQ(config):
+    """Measure Q(theta500[, z]) per tile using the cached reference filter
+    (``signals.py:864-1129``); writes selFn/QFit.fits as a MEF of tables."""
+    from .. import filters as filters_mod
+    from ..ops import fourier
+    from ..ops.interp import subpixel_value
+    import jax.numpy as jnp
+
+    cosmoModel = cosmo_mod.fiducialCosmoModel()
+    photFilterLabel = config.parDict["photFilter"]
+    ref = next(f for f in config.parDict["mapFilters"]
+               if f["label"] == photFilterLabel)
+
+    if "Arnaud" in ref["class"]:
+        from .profiles import makeArnaudModelSignalMap as makeSignalModelMap
+        zDepQ = 0
+    elif "Battaglia" in ref["class"]:
+        from .profiles import makeBattagliaModelSignalMap \
+            as makeSignalModelMap
+        zDepQ = 1
+    else:
+        raise ValueError("Q calculation requires Arnaud or Battaglia model")
+
+    # (M, z) grids spanning theta500 ~ 0.1 .. 50+ arcmin (signals.py:902-963)
+    if zDepQ == 0:
+        MRange = [ref["params"]["M500MSun"]]
+        zRange = [ref["params"]["z"]]
+        theta500Arcmin_wanted = 10 ** np.arange(np.log10(0.1), np.log10(50),
+                                                0.05055349)
+        zRange_wanted = np.array([2.0] * 10 + [1.0] * 10 + [0.6] * 10
+                                 + [0.3] * 10 + [0.1] * 10 + [0.07] * 4)
+        zRange_wanted = zRange_wanted[:len(theta500Arcmin_wanted)]
+        for theta, z in zip(theta500Arcmin_wanted, zRange_wanted):
+            MRange.append(cosmo_mod.M500cFromTheta500(theta, z, cosmoModel))
+            zRange.append(z)
+    else:
+        MRange = [ref["params"]["M500MSun"]]
+        zRange = [ref["params"]["z"]]
+        zGrid = [0.05, 0.1, 0.2, 0.3, 0.4, 0.6, 0.8, 1.0, 1.2, 1.6, 2.0]
+        theta500Arcmin_wanted = np.logspace(np.log10(0.1), np.log10(100), 24)
+        for z in zGrid:
+            for theta in theta500Arcmin_wanted:
+                MRange.append(cosmo_mod.M500cFromTheta500(theta, z,
+                                                          cosmoModel))
+                zRange.append(z)
+
+    QTabDict = {}
+    for tileName in config.tileNames:
+        print("... fitting Q in tile %s" % tileName)
+        filt = next(f for f in config.parDict["mapFilters"]
+                    if f["label"] == photFilterLabel)
+        filterClass = filters_mod.getFilterClass(filt["class"])
+        filterObj = filterClass(filt["label"], config.unfilteredMapsDictList,
+                                filt["params"], tileName=tileName,
+                                diagnosticsDir=config.diagnosticsDir)
+        filterObj.loadFilter()
+        realSpace = issubclass(filterObj.__class__,
+                               filters_mod.RealSpaceMatchedFilter)
+
+        beamsDict = {m["obsFreqGHz"]: m["beamFileName"]
+                     for m in config.parDict["unfilteredMaps"]}
+
+        shape = filterObj.shape
+        pix = filterObj.pixScalesRad
+        cy, cx = shape[0] / 2.0, shape[1] / 2.0
+
+        Q, QTheta500Arcmin, Qz = [], [], []
+        y0 = 2e-4
+        for z, M500MSun in zip(zRange, MRange):
+            signalMaps = []
+            for obsFreqGHz in beamsDict:
+                amplitude = sz.convertToDeltaT(y0, obsFreqGHz) \
+                    if obsFreqGHz is not None else y0
+                signalMap = makeSignalModelMap(
+                    z, M500MSun, shape, pix, beam=beamsDict[obsFreqGHz],
+                    amplitude=amplitude, convolveWithBeam=True,
+                    GNFWParams=config.parDict["GNFWParams"])
+                signalMap = np.asarray(fourier.apply_pixel_window(
+                    jnp.asarray(signalMap), pow=1.0))
+                if realSpace:
+                    signalMaps.append(signalMap)
+                else:
+                    signalMaps.append(np.asarray(
+                        fourier.fft2(jnp.asarray(signalMap))))
+            signalMaps = np.array(signalMaps)
+            filteredSignal = filterObj.applyFilter(signalMaps)
+            peak = subpixel_value(np.asarray(filteredSignal), cy, cx)
+            if peak not in Q:
+                Q.append(peak)
+                QTheta500Arcmin.append(
+                    cosmo_mod.calcTheta500Arcmin(z, M500MSun, cosmoModel))
+                Qz.append(z)
+        Q = np.array(Q)
+        if abs(1 - Q[0] / y0) > 1e-2:
+            raise ValueError("Q[0]/y0 = %.4f outside tolerance - filter "
+                             "normalisation is off" % (Q[0] / y0))
+        Q = Q / Q[0]
+        QTab = Table({"Q": Q, "theta500Arcmin": np.array(QTheta500Arcmin),
+                      "z": np.array(Qz)})
+        QTab.sort("theta500Arcmin")
+        QTab.meta["ZDEPQ"] = zDepQ
+        QTab.meta["TILENAME"] = tileName
+        QTabDict[tileName] = QTab
+
+    outFileName = os.path.join(config.selFnDir, "QFit.fits")
+    hdus = [nfits.HDU(data=None, header=None)]
+    for tileName in config.allTileNames:
+        if tileName in QTabDict:
+            hdr = nfits.Header()
+            hdr["ZDEPQ"] = zDepQ
+            hdu = nfits.HDU(data=QTabDict[tileName].as_dict(), header=hdr,
+                            name=tileName)
+            hdu.is_table = True
+            hdus.append(hdu)
+    nfits.write(outFileName, hdus)
+    return QTabDict

@@ -1,0 +1,413 @@
+"""Pipeline orchestration: filter + detect, RMS tables, mocks, spectra.
+
+Rebuild of ``nemo/pipelines.py``.  The reference's MPI rank loop
+(tiles round-robined over processes, results gathered to rank 0,
+``pipelines.py:291-331``) is replaced by a single-process loop whose
+per-tile compute runs on the accelerator; multi-device tile sharding is
+provided by :mod:`nemo_tpu.parallel`.
+"""
+
+import os
+import time
+
+import numpy as np
+
+from . import catalogs, filters, maps, photometry
+from .utils import fits as nfits
+from .utils.tables import Table, vstack
+
+
+def filterMapsAndMakeCatalogs(config, rootOutDir=None, useCachedFilters=False,
+                              useCachedRMSMap=False,
+                              useCachedFilteredMaps=False, measureFluxes=True,
+                              invertMap=False, verbose=True,
+                              writeAreaMask=False, writeFlagMask=False):
+    """Filter maps and construct the optimal catalog
+    (``pipelines.py:33-109``), including multi-pass filterSets."""
+    if config.filterSets != [] and not useCachedFilters \
+            and not useCachedFilteredMaps:
+        if rootOutDir is None:
+            rootOutDir = config.rootOutDir
+        for setNum in config.filterSets:
+            print(">>> Filter set: %d" % setNum)
+            config.setFilterSet(setNum)
+            if setNum == config.filterSets[-1]:
+                writeAreaMask = True
+                writeFlagMask = True
+            config.filterSetOptions[setNum]["catalog"] = \
+                _filterMapsAndMakeCatalogs(config, verbose=True,
+                                           writeAreaMask=writeAreaMask,
+                                           writeFlagMask=writeFlagMask)
+            if config.filterSetOptions[setNum]["addSiphonedFromSets"] \
+                    is not None:
+                toStack = [config.filterSetOptions[setNum]["catalog"]]
+                for sip in config.filterSetOptions[setNum][
+                        "addSiphonedFromSets"]:
+                    toStack.append(config.filterSetOptions[sip]["catalog"])
+                config.filterSetOptions[setNum]["catalog"] = vstack(toStack)
+            if config.filterSetOptions[setNum]["saveCatalog"]:
+                label = config.filterSetOptions[setNum].get(
+                    "label", "filterSet%d" % setNum)
+                outFileName = os.path.join(rootOutDir,
+                                           label + "_catalog.fits")
+                catalogs.writeCatalog(
+                    config.filterSetOptions[setNum]["catalog"], outFileName)
+                catalogs.catalog2DS9(
+                    config.filterSetOptions[setNum]["catalog"],
+                    outFileName.replace(".fits", ".reg"))
+        catalog = config.filterSetOptions[config.filterSets[-1]]["catalog"]
+    else:
+        catalog = _filterMapsAndMakeCatalogs(
+            config, rootOutDir=rootOutDir, useCachedFilters=useCachedFilters,
+            useCachedFilteredMaps=useCachedFilteredMaps,
+            useCachedRMSMap=useCachedRMSMap, measureFluxes=measureFluxes,
+            invertMap=invertMap, verbose=verbose,
+            writeAreaMask=writeAreaMask, writeFlagMask=writeFlagMask)
+    if verbose:
+        print("... filtering and catalogs done: %.1f sec since start"
+              % (time.time() - config._timeStarted))
+    return catalog
+
+
+def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
+                               useCachedFilters=False, useCachedRMSMap=False,
+                               useCachedFilteredMaps=False,
+                               measureFluxes=True, invertMap=False,
+                               verbose=True, writeAreaMask=False,
+                               writeFlagMask=False):
+    """Single-pass tile x filter loop (``pipelines.py:112-354``)."""
+    from . import completeness
+    from .ops import fourier
+    import jax.numpy as jnp
+
+    if rootOutDir is not None:
+        filteredMapsDir = os.path.join(rootOutDir, "filteredMaps")
+        diagnosticsDir = os.path.join(rootOutDir, "diagnostics")
+        for d in (rootOutDir, filteredMapsDir, diagnosticsDir):
+            os.makedirs(d, exist_ok=True)
+    else:
+        rootOutDir = config.rootOutDir
+        filteredMapsDir = config.filteredMapsDir
+        diagnosticsDir = config.diagnosticsDir
+
+    # photFilter first, so fixed_ columns can be measured (pipelines.py:154)
+    photFilter = config.parDict["photFilter"]
+    filtersList = []
+    if photFilter is not None:
+        filtersList += [f for f in config.parDict["mapFilters"]
+                        if f["label"] == photFilter]
+    filtersList += [f for f in config.parDict["mapFilters"]
+                    if photFilter is None or f["label"] != photFilter]
+    photFilteredMapDict = None
+
+    undoPixelWindow = not useCachedRMSMap
+
+    catalogDict = {}
+    areaMaskDict = maps.TileDict({}, tileCoordsDict=config.tileCoordsDict)
+    flagMaskDict = maps.TileDict({}, tileCoordsDict=config.tileCoordsDict)
+    for tileName in config.tileNames:
+        if verbose:
+            print(">>> Making filtered maps - tileName = %s" % tileName)
+        for f in filtersList:
+            label = f["label"] + "#" + tileName
+            catalogDict[label] = {}
+            if f["params"].get("saveDS9Regions"):
+                DS9RegionsPath = os.path.join(
+                    filteredMapsDir, tileName,
+                    "%s_filteredMap.reg" % label)
+            else:
+                DS9RegionsPath = None
+
+            filteredMapFileName = os.path.join(
+                filteredMapsDir, tileName, "%s_filteredMap.fits" % label)
+            SNMapFileName = os.path.join(filteredMapsDir, tileName,
+                                         "%s_SNMap.fits" % label)
+            if useCachedFilteredMaps and os.path.exists(filteredMapFileName):
+                print("... loading cached filtered map %s"
+                      % filteredMapFileName)
+                filteredMapDict = {}
+                data, header = nfits.read_image(filteredMapFileName)
+                from .utils.wcs import WCS
+                filteredMapDict["data"] = np.asarray(data, dtype=np.float64)
+                filteredMapDict["wcs"] = WCS(header)
+                filteredMapDict["mapUnits"] = header.get("BUNIT", "yc")
+                if "BEAMNSR" in header:
+                    filteredMapDict["beamSolidAngle_nsr"] = header["BEAMNSR"]
+                    filteredMapDict["obsFreqGHz"] = header["FREQGHZ"]
+                sn, _ = nfits.read_image(SNMapFileName)
+                filteredMapDict["SNMap"] = np.asarray(sn, dtype=np.float64)
+                filteredMapDict["surveyMask"], _ = \
+                    completeness.loadAreaMask(tileName, config.selFnDir)
+                filteredMapDict["flagMask"] = np.zeros(
+                    filteredMapDict["data"].shape, dtype=np.uint8)
+                filteredMapDict["label"] = f["label"]
+                filteredMapDict["tileName"] = tileName
+            else:
+                filteredMapDict = filters.filterMaps(
+                    config.unfilteredMapsDictList, f, tileName,
+                    diagnosticsDir=diagnosticsDir, selFnDir=config.selFnDir,
+                    verbose=True, undoPixelWindow=undoPixelWindow,
+                    useCachedFilter=useCachedFilters)
+
+            if useCachedRMSMap and photFilter is not None:
+                # See the reference's long comment at pipelines.py:216-232
+                RMSMap, _ = completeness.loadRMSMap(tileName, config.selFnDir,
+                                                    photFilter)
+                validMask = RMSMap > 0
+                SNMap = np.array(filteredMapDict["data"])
+                SNMap[validMask] = SNMap[validMask] / RMSMap[validMask]
+                filteredMapDict["SNMap"] = SNMap
+                mask = filteredMapDict["data"] == 0
+                d = np.array(fourier.apply_pixel_window(
+                    jnp.asarray(filteredMapDict["data"]), pow=-1.0))
+                d[mask] = 0
+                filteredMapDict["data"] = d
+
+            if f["params"].get("saveFilteredMaps"):
+                hdr = dict(filteredMapDict["wcs"].header)
+                hdr["BUNIT"] = filteredMapDict["mapUnits"]
+                if filteredMapDict.get("beamSolidAngle_nsr"):
+                    hdr["BEAMNSR"] = filteredMapDict["beamSolidAngle_nsr"]
+                    hdr["FREQGHZ"] = filteredMapDict["obsFreqGHz"]
+                os.makedirs(os.path.dirname(filteredMapFileName),
+                            exist_ok=True)
+                nfits.write_image(filteredMapFileName,
+                                  filteredMapDict["data"], hdr)
+                nfits.write_image(SNMapFileName, filteredMapDict["SNMap"],
+                                  hdr)
+
+            if f["label"] == photFilter:
+                photFilteredMapDict = {"SNMap": filteredMapDict["SNMap"],
+                                       "data": filteredMapDict["data"]}
+
+            if config.parDict.get("forcedPhotometryCatalog"):
+                catalog = photometry.makeForcedPhotometryCatalog(
+                    filteredMapDict,
+                    config.parDict["forcedPhotometryCatalog"],
+                    useInterpolator=config.parDict["useInterpolator"],
+                    DS9RegionsPath=DS9RegionsPath)
+            else:
+                catalog = photometry.findObjects(
+                    filteredMapDict,
+                    threshold=config.parDict["thresholdSigma"],
+                    minObjPix=config.parDict["minObjPix"],
+                    findCenterOfMass=config.parDict["findCenterOfMass"],
+                    removeRings=config.parDict["removeRings"],
+                    ringThresholdSigma=config.parDict["ringThresholdSigma"],
+                    rejectBorder=config.parDict["rejectBorder"],
+                    objIdent=config.parDict["objIdent"],
+                    longNames=config.parDict["longNames"],
+                    useInterpolator=config.parDict["useInterpolator"],
+                    measureShapes=config.parDict["measureShapes"],
+                    invertMap=invertMap, DS9RegionsPath=DS9RegionsPath)
+
+            if writeAreaMask and tileName not in areaMaskDict:
+                areaMaskDict[tileName] = np.array(
+                    filteredMapDict["surveyMask"], dtype=np.uint8)
+            if writeFlagMask and tileName not in flagMaskDict:
+                flagMaskDict[tileName] = np.asarray(
+                    filteredMapDict["flagMask"], dtype=np.uint8)
+
+            if measureFluxes:
+                photometry.measureFluxes(
+                    catalog, filteredMapDict, config.diagnosticsDir,
+                    photFilteredMapDict=photFilteredMapDict,
+                    useInterpolator=config.parDict["useInterpolator"])
+            else:
+                if photFilter is not None and len(catalog) > 0:
+                    photometry.getSNRValues(
+                        catalog, photFilteredMapDict["SNMap"],
+                        filteredMapDict["wcs"], prefix="fixed_",
+                        useInterpolator=config.parDict["useInterpolator"],
+                        invertMap=invertMap)
+            del filteredMapDict
+            catalogDict[label]["catalog"] = catalog
+
+    optimalCatalog = catalogs.makeOptimalCatalog(
+        catalogDict, constraintsList=config.parDict["catalogCuts"])
+
+    # Tile-overlap duplicates (reference does this in the MPI gather path,
+    # pipelines.py:330-331; needed whenever there are multiple tiles)
+    if len(config.tileNames) > 1 and len(optimalCatalog) > 0:
+        optimalCatalog, numDuplicatesFound, names = \
+            catalogs.removeDuplicates(optimalCatalog)
+
+    if writeAreaMask and len(areaMaskDict) > 0:
+        areaMaskDict.saveMEF(os.path.join(config.selFnDir, "areaMask.fits"),
+                             compressionType="PLIO_1")
+        if config.parDict["stitchTiles"] and config.origWCS is not None:
+            areaMaskDict.saveStitchedFITS(
+                os.path.join(config.selFnDir, "stitched_areaMask.fits"),
+                config.origWCS, compressionType="PLIO_1")
+    if writeFlagMask and len(flagMaskDict) > 0:
+        flagMaskDict.saveMEF(os.path.join(config.selFnDir, "flagMask.fits"),
+                             compressionType="PLIO_1")
+        if config.parDict["stitchTiles"] and config.origWCS is not None:
+            flagMaskDict.saveStitchedFITS(
+                os.path.join(config.selFnDir, "stitched_flagMask.fits"),
+                config.origWCS, compressionType="PLIO_1")
+
+    return optimalCatalog
+
+
+def makeRMSTables(config):
+    """Noise-level vs area tables per tile and footprint
+    (``pipelines.py:357-451``)."""
+    from . import completeness
+
+    if config.parDict["photFilter"] is None:
+        return None
+    photFilterLabel = config.parDict["photFilter"]
+
+    footprintsList = list(config.parDict.get("selFnFootprints", []))
+
+    selFnCollection = {"full": []}
+    for footprintDict in footprintsList:
+        selFnCollection.setdefault(footprintDict["label"], [])
+
+    for tileName in config.tileNames:
+        RMSTab = completeness.getRMSTab(tileName, photFilterLabel,
+                                        config.selFnDir)
+        selFnCollection["full"].append(
+            {"tileName": tileName, "RMSTab": RMSTab,
+             "tileAreaDeg2": float(np.sum(RMSTab["areaDeg2"]))})
+        for footprintDict in footprintsList:
+            completeness.makeIntersectionMask(
+                tileName, config.selFnDir, footprintDict["label"],
+                masksList=footprintDict["maskList"])
+            tileAreaDeg2 = completeness.getTileTotalAreaDeg2(
+                tileName, config.selFnDir,
+                footprintLabel=footprintDict["label"])
+            if tileAreaDeg2 > 0:
+                RMSTab = completeness.getRMSTab(
+                    tileName, photFilterLabel, config.selFnDir,
+                    footprintLabel=footprintDict["label"])
+                selFnCollection[footprintDict["label"]].append(
+                    {"tileName": tileName, "RMSTab": RMSTab,
+                     "tileAreaDeg2": float(np.sum(RMSTab["areaDeg2"]))})
+
+    for footprint in selFnCollection:
+        label = "" if footprint == "full" else "_" + footprint
+        outFileName = os.path.join(config.selFnDir,
+                                   "RMSTab%s.fits" % label)
+        tabList = []
+        for selFnDict in selFnCollection[footprint]:
+            tileTab = selFnDict["RMSTab"]
+            tileTab["tileName"] = np.array([selFnDict["tileName"]]
+                                           * len(tileTab))
+            tabList.append(tileTab)
+        if tabList:
+            tab = vstack(tabList)
+            tab.sort("y0RMS")
+            tab.write(outFileName)
+
+    # footprint columns on the catalog
+    catFileName = os.path.join(
+        config.rootOutDir,
+        "%s_optimalCatalog.fits" % os.path.split(config.rootOutDir)[-1])
+    if os.path.exists(catFileName) and footprintsList:
+        tab = Table.read(catFileName)
+        from .utils.wcs import WCS
+        for footprintDict in footprintsList:
+            for maskPath in footprintDict["maskList"]:
+                m, header = nfits.read_image(maskPath)
+                tab = catalogs.addFootprintColumnToCatalog(
+                    tab, footprintDict["label"], np.asarray(m), WCS(header))
+        catalogs.writeCatalog(tab, catFileName)
+        catalogs.writeCatalog(tab, catFileName.replace(".fits", ".csv"))
+
+
+def makeMockClusterCatalog(config, numMocksToMake=1, combineMocks=False,
+                           writeCatalogs=True, writeInfo=True, verbose=True,
+                           QSource="fit"):
+    """Generate mock cluster catalogs (``pipelines.py:454-641``)."""
+    from . import completeness
+    from .mock import MockSurvey
+    from .models.qfit import QFit
+
+    os.makedirs(config.mocksDir, exist_ok=True)
+    applyPoissonScatter = config.parDict.get("applyPoissonScatter", True)
+    applyIntrinsicScatter = config.parDict.get("applyIntrinsicScatter", True)
+    applyNoiseScatter = config.parDict.get("applyNoiseScatter", True)
+
+    Q = QFit(QSource=QSource, selFnDir=config.selFnDir,
+             tileNames=config.allTileNames)
+    photFilterLabel = config.parDict["photFilter"]
+    thresholdSigma = config.parDict["thresholdSigma"]
+    scalingRelationDict = config.parDict["massOptions"]
+
+    RMSTab = Table.read(os.path.join(config.selFnDir, "RMSTab.fits"))
+    RMSMapDict = {}
+    wcsDict = {}
+    areaDeg2Dict = {}
+    totalAreaDeg2 = 0.0
+    from .utils.wcs import WCS
+    rmsMEF = os.path.join(config.selFnDir,
+                          "RMSMap_%s.fits" % photFilterLabel)
+    perTile = not os.path.exists(rmsMEF)
+    for tileName in config.tileNames:
+        if perTile:
+            RMSMapDict[tileName], wcsDict[tileName] = completeness.loadRMSMap(
+                tileName, config.selFnDir, photFilterLabel)
+        else:
+            data, header = nfits.read_image(rmsMEF, ext=tileName)
+            RMSMapDict[tileName] = np.asarray(data)
+            wcsDict[tileName] = WCS(header)
+        sel = np.asarray(RMSTab["tileName"]) == tileName
+        areaDeg2 = float(np.sum(np.asarray(RMSTab["areaDeg2"])[sel]))
+        areaDeg2Dict[tileName] = areaDeg2
+        totalAreaDeg2 += areaDeg2
+
+    seed = config.parDict.get("seed", None)
+
+    massOptions = config.parDict["massOptions"]
+    mockSurvey = MockSurvey(5e13, totalAreaDeg2, 0.0, 2.0,
+                            massOptions["H0"], massOptions["Om0"],
+                            massOptions["Ob0"], massOptions["sigma8"],
+                            massOptions["ns"], delta=massOptions["delta"],
+                            rhoType=massOptions["rhoType"],
+                            enableDrawSample=True)
+
+    catList = []
+    rng = np.random.default_rng(seed)
+    for i in range(numMocksToMake):
+        mockTabsList = []
+        for tileName in config.tileNames:
+            if RMSMapDict[tileName].sum() == 0 or \
+                    areaDeg2Dict[tileName] < 0.5:
+                continue
+            mockTab = mockSurvey.drawSample(
+                RMSMapDict[tileName], scalingRelationDict, QFit=Q,
+                wcs=wcsDict[tileName], photFilterLabel=photFilterLabel,
+                tileName=tileName, makeNames=True, SNRLimit=thresholdSigma,
+                applySNRCut=True, areaDeg2=areaDeg2Dict[tileName],
+                applyPoissonScatter=applyPoissonScatter,
+                applyIntrinsicScatter=applyIntrinsicScatter,
+                applyNoiseScatter=applyNoiseScatter,
+                rng=rng)
+            if mockTab is not None and len(mockTab) > 0:
+                mockTabsList.append(mockTab)
+        tab = vstack(mockTabsList)
+        catList.append(tab)
+        if writeCatalogs:
+            mockFileName = os.path.join(config.mocksDir,
+                                        "mockCatalog_%d.csv" % (i + 1))
+            tab.meta["QSOURCE"] = QSource
+            catalogs.writeCatalog(tab, mockFileName)
+            catalogs.writeCatalog(tab, mockFileName.replace(".csv", ".fits"))
+
+    if combineMocks:
+        tab = vstack(catList)
+        tab.meta["QSOURCE"] = QSource
+        tab.write(os.path.join(config.mocksDir,
+                               "mockCatalog_combined.fits"))
+
+    if writeInfo:
+        mockKeys = ["massOptions", "makeMockCatalogs", "applyPoissonScatter",
+                    "applyIntrinsicScatter", "applyNoiseScatter"]
+        with open(os.path.join(config.mocksDir, "mockParameters.txt"),
+                  "w") as f:
+            for m in mockKeys:
+                if m in config.parDict:
+                    f.write("%s: %s\n" % (m, config.parDict[m]))
+    return catList
