@@ -1,0 +1,242 @@
+"""Cluster-mode end-to-end tests: MMF detection of injected clusters,
+Q fitting, RMS tables, selection function, mass inference and mocks -
+the equivalents of quick.robot's cluster tests and clusters.robot's
+mock -> mass round trip.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+
+from nemo_tpu import catalogs, completeness, maps, pipelines, startup
+from nemo_tpu.mock import MockSurvey
+from nemo_tpu.models import beams, cosmology, qfit, scaling, sz
+from nemo_tpu.models.qfit import QFit
+from nemo_tpu.ops import grf
+from nemo_tpu.utils import fits as nfits
+from nemo_tpu.utils.tables import Table
+from nemo_tpu.utils import wcs as nwcs
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+SHAPE = (560, 560)
+PIX_ARCMIN = 0.5
+NOISE = {"f150": 30.0, "f090": 40.0}
+FREQS = {"f150": 149.6, "f090": 97.8}
+FWHM = {"f150": 1.4, "f090": 2.1}
+
+
+def _beam(band):
+    os.makedirs(DATA_DIR, exist_ok=True)
+    path = os.path.join(DATA_DIR, "beam_%s.txt" % band)
+    if not os.path.exists(path):
+        beams.makeGaussianBeamFile(path, FWHM[band])
+    return path
+
+
+def _make_cluster_sim(simDir, seed=42, numClusters=8):
+    os.makedirs(simDir, exist_ok=True)
+    w = nwcs.makeWCS(SHAPE, PIX_ARCMIN / 60.0, centreRADeg=30.0,
+                     centreDecDeg=0.0)
+    rng = np.random.default_rng(seed)
+    margin = 80
+    ny, nx = SHAPE
+    xs, ys = [], []
+    while len(xs) < numClusters:
+        x = rng.uniform(margin, nx - margin)
+        y = rng.uniform(margin, ny - margin)
+        if len(xs) == 0 or np.min(np.hypot(np.array(xs) - x,
+                                           np.array(ys) - y)) > 60:
+            xs.append(x)
+            ys.append(y)
+    coords = w.pix2wcs(np.array(xs), np.array(ys))
+    y0s = rng.uniform(1.5e-4, 6e-4, numClusters)  # strong clusters
+    inputTab = Table({
+        "name": np.array(["cl_%d" % i for i in range(numClusters)]),
+        "RADeg": coords[:, 0], "decDeg": coords[:, 1],
+        "y_c": y0s / 1e-4,
+        "template": np.array(["Arnaud_M2e14_z0p4"] * numClusters)})
+    inputTab.write(os.path.join(simDir, "inputCatalog.fits"))
+
+    for i, band in enumerate(("f150", "f090")):
+        model = maps.makeModelImage(SHAPE, w, inputTab, _beam(band),
+                                    obsFreqGHz=FREQS[band])
+        key = jax.random.PRNGKey(seed + i)
+        beam = beams.BeamProfile(beamFileName=_beam(band))
+        pix = maps.pixScalesRad(w, SHAPE)
+        cmb = np.asarray(grf.sim_cmb_map(key, SHAPE, pix,
+                                         beamBell=beam.Bell,
+                                         beamEll=beam.ell,
+                                         noiseLevel=NOISE[band]))
+        nfits.write_image(os.path.join(simDir, "sim_%s.fits" % band),
+                          cmb + model, w.header)
+    return inputTab, w
+
+
+def _cluster_config(simDir, outDir):
+    return {
+        "unfilteredMaps": [
+            {"mapFileName": os.path.join(simDir, "sim_f150.fits"),
+             "weightsFileName": None, "obsFreqGHz": FREQS["f150"],
+             "units": "uK", "beamFileName": _beam("f150")},
+            {"mapFileName": os.path.join(simDir, "sim_f090.fits"),
+             "weightsFileName": None, "obsFreqGHz": FREQS["f090"],
+             "units": "uK", "beamFileName": _beam("f090")}],
+        "thresholdSigma": 4.0,
+        "minObjPix": 1,
+        "findCenterOfMass": True,
+        "useInterpolator": True,
+        "rejectBorder": 0,
+        "objIdent": "ACT-CL",
+        "longNames": False,
+        "removeRings": False,
+        "photFilter": "Arnaud_M2e14_z0p4",
+        "fitQ": True,
+        "outputDir": outDir,
+        "massOptions": {"tenToA0": 4.95e-5, "B0": 0.08, "Mpivot": 3.0e14,
+                        "sigma_int": 0.2, "relativisticCorrection": True},
+        "allFilters": {"class": "ArnaudModelMatchedFilter",
+                       "params": {"noiseParams": {"method": "dataMap",
+                                                  "noiseGridArcmin": 40.0},
+                                  "saveFilteredMaps": True,
+                                  "saveRMSMap": True,
+                                  "outputUnits": "yc",
+                                  "edgeTrimArcmin": 10.0}},
+        "mapFilters": [
+            {"label": "Arnaud_M2e14_z0p4",
+             "params": {"M500MSun": 2.0e14, "z": 0.4}},
+            {"label": "Arnaud_M4e14_z0p2",
+             "params": {"M500MSun": 4.0e14, "z": 0.2}}],
+    }
+
+
+@pytest.fixture(scope="module")
+def cluster_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e_cl")
+    simDir = str(tmp / "sim")
+    outDir = str(tmp / "out")
+    inputTab, w = _make_cluster_sim(simDir)
+    configDict = _cluster_config(simDir, outDir)
+    configPath = str(tmp / "config.yml")
+    with open(configPath, "w") as f:
+        yaml.safe_dump(configDict, f)
+    config = startup.NemoConfig(configPath, writeTileInfo=True)
+    optimalCatalog = pipelines.filterMapsAndMakeCatalogs(
+        config, writeAreaMask=True, writeFlagMask=True)
+    return inputTab, optimalCatalog, config, simDir, w, configPath
+
+
+def test_cluster_recovery(cluster_run):
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    assert len(cat) >= 6
+    refM, outM, seps = catalogs.crossMatch(inputTab, cat, radiusArcmin=1.5)
+    assert len(refM) >= 6
+    # fixed_y_c recovered (input template == photFilter, so ratio ~ 1 with
+    # a small low bias from data-derived noise, like the reference's 0.94)
+    ratios = np.asarray(outM["fixed_y_c"]) / np.asarray(refM["y_c"])
+    assert 0.8 < np.mean(ratios) < 1.1, np.mean(ratios)
+
+
+def test_multi_filter_optimal_catalog(cluster_run):
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    # optimal catalog picks max SNR template per object; with two filter
+    # scales both templates should be represented or at least valid
+    assert set(np.unique(cat["template"])) <= {
+        "Arnaud_M2e14_z0p4", "Arnaud_M4e14_z0p2"}
+    assert "fixed_y_c" in cat.keys()
+
+
+def test_q_fit(cluster_run):
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    qfit.fitQ(config)
+    path = os.path.join(config.selFnDir, "QFit.fits")
+    assert os.path.exists(path)
+    Q = QFit(QSource="fit", selFnDir=config.selFnDir)
+    # Q = 1 at the reference filter scale's theta500
+    cosmo = cosmology.fiducialCosmoModel()
+    thetaRef = cosmology.calcTheta500Arcmin(0.4, 2e14, cosmo)
+    qRef = Q.getQ(np.array([thetaRef]), z=0.4, tileName="PRIMARY")
+    assert abs(qRef[0] - 1.0) < 0.05
+    # Q falls off for much smaller/larger scales
+    qSmall = Q.getQ(np.array([0.2]), z=0.4, tileName="PRIMARY")
+    qBig = Q.getQ(np.array([30.0]), z=0.4, tileName="PRIMARY")
+    assert qSmall[0] < 1.0
+    assert qBig[0] < 1.0
+
+
+def test_rms_tables_and_selfn(cluster_run):
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    pipelines.makeRMSTables(config)
+    rmsPath = os.path.join(config.selFnDir, "RMSTab.fits")
+    assert os.path.exists(rmsPath)
+    tab = Table.read(rmsPath)
+    assert np.all(np.asarray(tab["areaDeg2"]) > 0)
+    totalArea = float(np.sum(tab["areaDeg2"]))
+    # Map is 4.67 deg on a side minus trimmed edges
+    assert 5 < totalArea < 25
+
+    # fRel weights from the cached filters
+    completeness.getFRelWeights(config)
+    assert os.path.exists(os.path.join(config.selFnDir, "fRelWeights.fits"))
+
+    # config.yml must be in selFnDir for SelFn
+    import shutil
+    shutil.copy(configPath, os.path.join(config.selFnDir, "config.yml"))
+    selFn = completeness.SelFn(config.selFnDir, 5.0, zMax=2.0, zStep=0.1)
+    assert selFn.compMz.shape == (len(selFn.mockSurvey.z),
+                                  len(selFn.mockSurvey.log10M))
+    # completeness is 0 at low mass, -> 1 at very high mass (moderate z)
+    zi = np.argmin(np.abs(selFn.mockSurvey.z - 0.4))
+    comp_z04 = selFn.compMz[zi]
+    assert comp_z04[0] < 0.05
+    assert comp_z04[-1] > 0.95
+    assert np.all(np.diff(comp_z04) > -0.02)  # ~monotone
+    # Mass limit at 90% completeness is a sensible cluster mass
+    limit = selFn.getMassLimit(0.9)[zi]
+    assert 0.5 < limit < 20  # 1e14 MSun units
+    # update() with new cosmology runs and changes the grid
+    before = selFn.compMz.copy()
+    selFn.update(70.0, 0.32, 0.05, 0.82, 0.95)
+    assert not np.allclose(before, selFn.compMz)
+
+
+def test_mass_inference_round_trip(cluster_run):
+    """Feed the scaling relation forward then invert: recovered mass within
+    a few % of truth (clusters.robot tolerance: 2-3%)."""
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    mockSurvey = MockSurvey(1e13, 600.0, 0.0, 2.0, 70.0, 0.30, 0.05, 0.80,
+                            0.95)
+    Q = QFit(QSource="fit", selFnDir=config.selFnDir)
+    cosmo = mockSurvey.cosmoModel
+    M500_true = 3e14
+    z = 0.4
+    y0pred, theta500, Qval = scaling.y0FromLogM500(
+        np.log10(M500_true), z, Q, cosmo, tenToA0=4.95e-5, B0=0.08,
+        Mpivot=3e14, applyRelativisticCorrection=False, tileName="PRIMARY")
+    massDict = scaling.calcMass(
+        float(y0pred), float(y0pred) / 20.0, z, 0.0, Q, mockSurvey,
+        applyMFDebiasCorrection=False, applyRelativisticCorrection=False,
+        tileName="PRIMARY")
+    M500_rec = massDict["M500c"] * 1e14
+    assert abs(M500_rec / M500_true - 1) < 0.03, massDict
+    assert massDict["M500c_errPlus"] > 0
+
+
+def test_mock_catalogs(cluster_run):
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    config.parDict["seed"] = 1000
+    catList = pipelines.makeMockClusterCatalog(config, numMocksToMake=1,
+                                               QSource="fit")
+    mock = catList[0]
+    assert len(mock) > 0
+    assert "fixed_SNR" in mock.keys()
+    assert np.all(np.asarray(mock["fixed_SNR"]) > 4.0)
+    # masses are cluster scale
+    assert np.median(np.asarray(mock["true_M500c"])) > 0.5  # 1e14 units
+    # positions should be inside the map
+    coords = w.wcs2pix(np.asarray(mock["RADeg"]),
+                       np.asarray(mock["decDeg"]))
+    assert np.all((coords[:, 0] >= 0) & (coords[:, 0] < SHAPE[1]))
