@@ -9,3 +9,18 @@ numpy/scipy/yaml.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# This runtime pre-imports jax at interpreter startup, so plain env vars are
+# read too late for jax config; apply them here (harmless no-ops if a
+# backend is already initialised).
+import jax as _jax
+
+try:
+    if _os.environ.get("NEMO_TPU_X64"):
+        _jax.config.update("jax_enable_x64", True)
+    if _os.environ.get("JAX_PLATFORMS"):
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+except RuntimeError:
+    pass

@@ -392,40 +392,58 @@ def generateRandomSourcesCatalog(mapData, wcs, numSources, seed=None,
     return tab
 
 
-def generateTestCatalog(config, numSourcesPerTile, label="testCatalog",
-                        SNRCol="fixed_SNR", fluxCol="fixed_y_c",
-                        fluxErrCol="fixed_err_y_c", zSelFn=None,
-                        avoidanceRadiusArcmin=20.0, seed=None):
-    """Random positions within the survey mask with a minimum separation,
-    for source-injection tests (``catalogs.py:683-763``)."""
+def generateTestCatalog(config, numSourcesPerTile, amplitudeColumnName="y_c",
+                        amplitudeRange=(0.001, 10), amplitudeDistribution="linear",
+                        selFn=None, avoidanceRadiusArcmin=5.0,
+                        maskDilationPix=0, label="testCatalog", tileNames=None,
+                        seed=None):
+    """Random positions within the survey mask with a minimum separation
+    and random amplitudes, for source-injection tests
+    (``catalogs.py:683-763``)."""
     rng = np.random.default_rng(seed)
-    rows = []
     from . import completeness
-    for tileName in config.tileNames:
+    from scipy import ndimage
+    rows = []
+    lo, hi = amplitudeRange
+    for tileName in (tileNames or config.tileNames):
         areaMask, wcs = completeness.loadAreaMask(tileName, config.selFnDir)
-        ys, xs = np.where(np.asarray(areaMask) > 0)
+        areaMask = np.asarray(areaMask) > 0
+        if maskDilationPix > 0:
+            # shrink the valid area so objects aren't painted at mask edges
+            areaMask = ndimage.binary_erosion(areaMask,
+                                              iterations=maskDilationPix)
+        ys, xs = np.where(areaMask)
         if len(ys) == 0:
             continue
         got = 0
-        chosen = []
+        chosen_ra = []
+        chosen_dec = []
         attempts = 0
-        while got < numSourcesPerTile and attempts < numSourcesPerTile * 100:
+        while got < numSourcesPerTile and \
+                attempts < numSourcesPerTile * 100:
             attempts += 1
             i = rng.integers(0, len(ys))
             ra, dec = wcs.pix2wcs(float(xs[i]), float(ys[i]))
-            ok = True
-            for (ra0, dec0) in chosen:
-                if calcAngSepDeg(ra, dec, ra0, dec0) < \
-                        avoidanceRadiusArcmin / 60.0:
-                    ok = False
-                    break
-            if ok:
-                chosen.append((ra, dec))
-                rows.append({"name": "%s_%s_%d" % (label, tileName, got + 1),
-                             "RADeg": ra, "decDeg": dec,
-                             "tileName": tileName})
-                got += 1
+            if chosen_ra:
+                seps = calcAngSepDeg(ra, dec, np.array(chosen_ra),
+                                     np.array(chosen_dec))
+                if np.min(seps) < avoidanceRadiusArcmin / 60.0:
+                    continue
+            chosen_ra.append(ra)
+            chosen_dec.append(dec)
+            got += 1
+            if amplitudeDistribution == "linear":
+                amp = rng.uniform(lo, hi)
+            elif amplitudeDistribution == "log":
+                amp = 10 ** rng.uniform(np.log10(lo), np.log10(hi))
+            else:
+                raise ValueError("amplitudeDistribution must be 'linear' "
+                                 "or 'log'")
+            rows.append({"name": "%s_%s_%d" % (label, tileName, got),
+                         "RADeg": ra, "decDeg": dec, "tileName": tileName,
+                         amplitudeColumnName: amp})
     if not rows:
         return Table()
     return catalogListToTab(rows, keysToWrite=["name", "RADeg", "decDeg",
-                                               "tileName"])
+                                               "tileName",
+                                               amplitudeColumnName])

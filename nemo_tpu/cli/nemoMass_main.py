@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""nemoMass: cluster mass inference from y0~ measurements + redshifts.
+
+TPU-native rebuild of the reference CLI (``bin/nemoMass``): cross-matches
+the optimal catalog against a redshift catalog, then infers M500c (and
+other mass definitions) from fixed_y_c through the UPP-style scaling
+relation with Eddington de-biasing.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def makeParser():
+    parser = argparse.ArgumentParser("nemoMass")
+    parser.add_argument("configFileName")
+    parser.add_argument("-c", "--catalog", dest="catFileName", default=None)
+    parser.add_argument("-o", "--output", dest="outFileName", default=None)
+    parser.add_argument("-Q", "--Q-source", dest="QSource", default="fit")
+    parser.add_argument("-x", "--x-match-arcmin", dest="xMatchArcmin",
+                        default=2.5, type=float)
+    parser.add_argument("-z", "--z-column", dest="zColumnName", default=None)
+    parser.add_argument("-e", "--z-error-column", dest="zErrColumnName",
+                        default=None)
+    parser.add_argument("-F", "--forced-photometry", dest="forcedPhotometry",
+                        action="store_true", default=False)
+    parser.add_argument("-M", "--mpi", dest="MPIEnabled",
+                        action="store_true", default=False)
+    parser.add_argument("-n", "--no-strict-errors", action="store_true",
+                        default=False)
+    return parser
+
+
+def _fixRedshiftColumns(zTab, zColumnName=None, zErrColumnName=None):
+    if zColumnName is not None:
+        zTab.rename_column(zColumnName, "redshift")
+    if zErrColumnName is not None:
+        zTab.rename_column(zErrColumnName, "redshiftErr")
+    if "redshift" not in zTab.keys():
+        for p in ("z", "Z", "REDSHIFT", "Redshift", "z_cl", "Photz"):
+            if p in zTab.keys():
+                zTab.rename_column(p, "redshift")
+                break
+        else:
+            raise KeyError("No redshift column found")
+    if "redshiftErr" not in zTab.keys():
+        for p in ("zErr", "dz"):
+            if p in zTab.keys():
+                zTab.rename_column(p, "redshiftErr")
+                break
+        else:
+            zTab["redshiftErr"] = np.zeros(len(zTab))
+    return zTab
+
+
+def calcMassTable(tab, massOptions, Q, fRelWeightsDict, mockSurvey,
+                  otherMassEstimates=None):
+    """Mass columns for every row (``bin/nemoMass:103-215``)."""
+    from nemo_tpu.models import scaling
+
+    otherMassEstimates = otherMassEstimates or [
+        {"delta": 200, "rhoType": "matter"}]
+    massOptions.setdefault("relativisticCorrection", True)
+    massOptions.setdefault("Ez_gamma", 2)
+    massOptions.setdefault("onePlusRedshift_power", 0.0)
+
+    label = mockSurvey.mdefLabel
+    labels = [label] + ["M%d%s" % (d["delta"], d["rhoType"][0])
+                        for d in otherMassEstimates]
+    colNames = []
+    for lab in labels:
+        colNames += [lab, lab + "Uncorr"]
+        if "rescaleFactor" in massOptions:
+            colNames.append(lab + "Cal")
+    for c in colNames:
+        tab[c] = np.zeros(len(tab))
+        tab[c + "_errPlus"] = np.zeros(len(tab))
+        tab[c + "_errMinus"] = np.zeros(len(tab))
+    tab["Q"] = np.zeros(len(tab))
+
+    y_c = np.asarray(tab["fixed_y_c"], dtype=float)
+    err_y_c = np.asarray(tab["fixed_err_y_c"], dtype=float)
+    zs = np.asarray(tab["redshift"], dtype=float)
+    zErrs = np.asarray(tab["redshiftErr"], dtype=float)
+    tiles = np.asarray(tab["tileName"]) if "tileName" in tab.keys() \
+        else np.array([None] * len(tab))
+
+    for i in range(len(tab)):
+        if not (y_c[i] > 0) or np.isnan(zs[i]):
+            continue
+        common = dict(tenToA0=massOptions["tenToA0"], B0=massOptions["B0"],
+                      Mpivot=massOptions["Mpivot"],
+                      sigma_int=massOptions["sigma_int"],
+                      Ez_gamma=massOptions["Ez_gamma"],
+                      onePlusRedshift_power=massOptions[
+                          "onePlusRedshift_power"],
+                      applyRelativisticCorrection=massOptions[
+                          "relativisticCorrection"],
+                      fRelWeightsDict=fRelWeightsDict.get(
+                          tiles[i], {148.0: 1.0}),
+                      tileName=tiles[i])
+        massDict = scaling.calcMass(y_c[i] * 1e-4, err_y_c[i] * 1e-4,
+                                    zs[i], zErrs[i], Q, mockSurvey,
+                                    applyMFDebiasCorrection=True, **common)
+        unCorr = scaling.calcMass(y_c[i] * 1e-4, err_y_c[i] * 1e-4,
+                                  zs[i], zErrs[i], Q, mockSurvey,
+                                  applyMFDebiasCorrection=False, **common)
+        tab[label][i] = massDict[label]
+        tab[label + "_errPlus"][i] = massDict[label + "_errPlus"]
+        tab[label + "_errMinus"][i] = massDict[label + "_errMinus"]
+        tab["Q"][i] = massDict["Q"]
+        tab[label + "Uncorr"][i] = unCorr[label]
+        tab[label + "Uncorr_errPlus"][i] = unCorr[label + "_errPlus"]
+        tab[label + "Uncorr_errMinus"][i] = unCorr[label + "_errMinus"]
+        results = {"": massDict, "Uncorr": unCorr}
+        if "rescaleFactor" in massOptions:
+            rf = massOptions["rescaleFactor"]
+            rfErr = massOptions.get("rescaleFactorErr", 0.0)
+            cal = massDict[label] / rf
+            tab[label + "Cal"][i] = cal
+            frac = np.sqrt(
+                (massDict[label + "_errPlus"] / massDict[label]) ** 2
+                + (rfErr / rf) ** 2)
+            tab[label + "Cal_errPlus"][i] = frac * cal
+            frac = np.sqrt(
+                (massDict[label + "_errMinus"] / massDict[label]) ** 2
+                + (rfErr / rf) ** 2)
+            tab[label + "Cal_errMinus"][i] = frac * cal
+            results["Cal"] = {label: cal,
+                              label + "_errPlus":
+                                  tab[label + "Cal_errPlus"][i],
+                              label + "_errMinus":
+                                  tab[label + "Cal_errMinus"][i]}
+        for suffix, res in results.items():
+            for d in otherMassEstimates:
+                thisLabel = "M%d%s" % (d["delta"], d["rhoType"][0])
+                if res[label] <= 0:
+                    continue
+                thisMass = mockSurvey.cosmoModel.convertMassDef(
+                    res[label] * 1e14, zs[i], massOptions["delta"],
+                    massOptions["rhoType"], d["delta"], d["rhoType"]) / 1e14
+                tab[thisLabel + suffix][i] = thisMass
+                ratio = thisMass / res[label]
+                tab[thisLabel + suffix + "_errPlus"][i] = \
+                    res[label + "_errPlus"] * ratio
+                tab[thisLabel + suffix + "_errMinus"][i] = \
+                    res[label + "_errMinus"] * ratio
+    return tab
+
+
+def main():
+    args = makeParser().parse_args()
+    from nemo_tpu import catalogs, completeness, pipelines, startup
+    from nemo_tpu.mock import MockSurvey
+    from nemo_tpu.models.qfit import QFit
+    from nemo_tpu.utils.tables import Table
+
+    config = startup.NemoConfig(args.configFileName, makeOutputDirs=False,
+                                setUpMaps=False, verbose=False)
+    massOptions = config.parDict["massOptions"]
+
+    if args.catFileName is None:
+        optimalCatalogFileName = os.path.join(
+            config.rootOutDir, "%s_optimalCatalog.fits"
+            % os.path.split(config.rootOutDir)[-1])
+        nemoTab = Table.read(optimalCatalogFileName)
+        zTab = _fixRedshiftColumns(
+            Table.read(massOptions["redshiftCatalog"]),
+            args.zColumnName, args.zErrColumnName)
+        zMatched, nemoMatched, _ = catalogs.crossMatch(
+            zTab, nemoTab, radiusArcmin=args.xMatchArcmin)
+        tab = nemoMatched
+        tab["redshift"] = zMatched["redshift"]
+        tab["redshiftErr"] = zMatched["redshiftErr"]
+        outFileName = args.outFileName or optimalCatalogFileName.replace(
+            "_optimalCatalog.fits", "_mass.fits")
+    else:
+        tab = _fixRedshiftColumns(Table.read(args.catFileName),
+                                  args.zColumnName, args.zErrColumnName)
+        needForced = args.forcedPhotometry or \
+            "fixed_y_c" not in tab.keys()
+        if needForced:
+            config = startup.NemoConfig(args.configFileName,
+                                        setUpMaps=True, verbose=False)
+            config.parDict["forcedPhotometryCatalog"] = tab
+            config.parDict["thresholdSigma"] = -100
+            config.parDict["mapFilters"] = [
+                f for f in config.parDict["mapFilters"]
+                if f["label"] == config.parDict["photFilter"]]
+            forcedTab = pipelines.filterMapsAndMakeCatalogs(
+                config, useCachedFilteredMaps=True)
+            zMatched, forcedMatched, _ = catalogs.crossMatch(tab, forcedTab)
+            forcedMatched["redshift"] = zMatched["redshift"]
+            forcedMatched["redshiftErr"] = zMatched["redshiftErr"]
+            tab = forcedMatched
+        outFileName = args.outFileName or \
+            os.path.basename(args.catFileName).replace(".fits",
+                                                       "_mass.fits")
+
+    Q = QFit(QSource=args.QSource, selFnDir=config.selFnDir)
+    fRelWeightsDict = completeness.getFRelWeights(config)
+
+    minMass, zMin, zMax = 1e13, 0.0, 3.0
+    mockSurvey = MockSurvey(minMass, 700.0, zMin, zMax, massOptions["H0"],
+                            massOptions["Om0"], massOptions["Ob0"],
+                            massOptions["sigma8"], massOptions["ns"],
+                            delta=massOptions["delta"],
+                            rhoType=massOptions["rhoType"])
+    tab = calcMassTable(tab, massOptions, Q, fRelWeightsDict, mockSurvey)
+    catalogs.writeCatalog(tab, outFileName)
+    print("... wrote %s" % outFileName)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""nemoSpec: extract SEDs at catalog positions from multi-frequency maps.
+
+TPU-native rebuild of ``bin/nemoSpec`` (CAP or matched-filter methods).
+"""
+
+import argparse
+
+
+def makeParser():
+    parser = argparse.ArgumentParser("nemoSpec")
+    parser.add_argument("configFileName")
+    parser.add_argument("catFileName", help="Catalog with name, RADeg, "
+                                            "decDeg columns.")
+    parser.add_argument("-o", "--output", dest="outFileName", default=None)
+    parser.add_argument("-m", "--method", dest="method", default="CAP",
+                        help="'CAP' or 'matchedFilter'.")
+    parser.add_argument("-r", "--disk-radius-arcmin", dest="diskRadiusArcmin",
+                        type=float, default=4.0)
+    parser.add_argument("-S", "--save-filtered-maps",
+                        dest="saveFilteredMaps", action="store_true",
+                        default=False)
+    parser.add_argument("-M", "--mpi", dest="MPIEnabled",
+                        action="store_true", default=False)
+    return parser
+
+
+def main():
+    args = makeParser().parse_args()
+    from nemo_tpu import catalogs, pipelines, startup
+    from nemo_tpu.utils.tables import Table
+
+    config = startup.NemoConfig(args.configFileName, writeTileInfo=True)
+    tab = Table.read(args.catFileName)
+    specTab = pipelines.extractSpec(config, tab, method=args.method,
+                                    diskRadiusArcmin=args.diskRadiusArcmin,
+                                    saveFilteredMaps=args.saveFilteredMaps)
+    outFileName = args.outFileName or \
+        args.catFileName.replace(".fits", "_spec.fits")
+    catalogs.writeCatalog(specTab, outFileName)
+    print("... wrote %s" % outFileName)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""nemo driver: filter maps and find clusters / sources.
+
+TPU-native rebuild of the reference CLI (``bin/nemo``): same flags and the
+same output layout; -M is accepted for compatibility (tiles shard over the
+JAX device mesh rather than MPI ranks).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def makeParser():
+    parser = argparse.ArgumentParser("nemo")
+    parser.add_argument("configFileName", help="A .yml configuration file.")
+    parser.add_argument("-S", "--calc-selection-function", dest="calcSelFn",
+                        action="store_true", default=False,
+                        help="Calculate completeness in terms of cluster "
+                             "mass; output under selFn/.")
+    parser.add_argument("-I", "--run-source-injection-test",
+                        dest="sourceInjectionTest", action="store_true",
+                        default=False,
+                        help="Run a source injection test.")
+    parser.add_argument("-f", "--forced-photometry-catalog",
+                        dest="forcedCatalogFileName", default=None,
+                        help="Perform forced photometry at positions in "
+                             "this catalog instead of detecting objects.")
+    parser.add_argument("-M", "--mpi", dest="MPIEnabled",
+                        action="store_true", default=False,
+                        help="Accepted for compatibility; parallelism runs "
+                             "over the JAX device mesh.")
+    parser.add_argument("-T", "--tiling-check", dest="tilingCheck",
+                        action="store_true", default=False,
+                        help="Stop after the tiling stage.")
+    parser.add_argument("-n", "--no-strict-errors",
+                        dest="noStrictMPIExceptions", action="store_true",
+                        default=False, help="Compatibility no-op.")
+    parser.add_argument("-x", "--x64", dest="x64", action="store_true",
+                        default=False,
+                        help="Use float64 (CPU backend parity runs).")
+    return parser
+
+
+def main():
+    args = makeParser().parse_args()
+    if args.x64:
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+    from nemo_tpu import (catalogs, completeness, maps, pipelines,
+                          startup)
+    from nemo_tpu.models import qfit
+
+    config = startup.NemoConfig(args.configFileName,
+                                calcSelFn=args.calcSelFn,
+                                sourceInjectionTest=args.sourceInjectionTest,
+                                MPIEnabled=args.MPIEnabled,
+                                writeTileInfo=True)
+    if args.tilingCheck:
+        print(">>> Tiling check: this config has %d tiles."
+              % len(config.allTileNames))
+        sys.exit()
+
+    config.parDict["forcedPhotometryCatalog"] = args.forcedCatalogFileName
+    if config.parDict["forcedPhotometryCatalog"] is not None:
+        label = os.path.splitext(
+            os.path.basename(config.parDict["forcedPhotometryCatalog"]))[0]
+        label = label + "_" + os.path.basename(config.rootOutDir) \
+            + "_forcedCatalog"
+        optimalCatalogFileName = label + ".csv"
+    else:
+        optimalCatalogFileName = os.path.join(
+            config.rootOutDir, "%s_optimalCatalog.csv"
+            % os.path.split(config.rootOutDir)[-1])
+
+    if not os.path.exists(optimalCatalogFileName):
+        optimalCatalog = pipelines.filterMapsAndMakeCatalogs(
+            config, writeAreaMask=True, writeFlagMask=True)
+        if len(optimalCatalog) > 0:
+            optimalCatalog = catalogs.flagTileBoundarySplits(optimalCatalog)
+            optimalCatalog.sort("name")
+        catalogs.writeCatalog(optimalCatalog, optimalCatalogFileName)
+        catalogs.writeCatalog(optimalCatalog,
+                              optimalCatalogFileName.replace(".csv",
+                                                             ".fits"))
+        catalogs.catalog2DS9(optimalCatalog,
+                             optimalCatalogFileName.replace(".csv", ".reg"),
+                             addInfo=[{"key": "SNR", "fmt": "%.1f"}])
+    else:
+        print("... already made catalog %s" % optimalCatalogFileName)
+
+    if config.parDict.get("photFilter") and config.parDict.get("fitQ"):
+        if not os.path.exists(os.path.join(config.selFnDir, "QFit.fits")):
+            qfit.fitQ(config)
+
+    pipelines.makeRMSTables(config)
+
+    sourceInjTable = None
+    sourceInjPath = os.path.join(config.selFnDir,
+                                 "sourceInjectionData.fits")
+    if not os.path.exists(sourceInjPath):
+        if config.parDict.get("sourceInjectionTest"):
+            sourceInjTable = maps.sourceInjectionTest(config)
+    else:
+        print("... already made source injection data %s" % sourceInjPath)
+
+    print("... stitching maps and tidying up [%.1f sec]"
+          % (time.time() - config._timeStarted))
+    if sourceInjTable is not None:
+        sourceInjTable.write(sourceInjPath)
+        maps.positionRecoveryAnalysis(
+            sourceInjTable,
+            os.path.join(config.diagnosticsDir, "positionRecovery.pdf"),
+            percentiles=[50, 95, 99.7], plotRawData=True,
+            pickleFileName=os.path.join(config.diagnosticsDir,
+                                        "positionRecovery.pkl"),
+            selFnDir=config.selFnDir)
+
+    completeness.getFRelWeights(config)
+    completeness.tidyUp(config)
+
+    if config.parDict.get("calcSelFn"):
+        import shutil
+        selFnConfigPath = os.path.join(config.selFnDir, "config.yml")
+        if not os.path.exists(selFnConfigPath):
+            shutil.copy(args.configFileName, selFnConfigPath)
+        completeness.completenessByFootprint(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -736,3 +736,259 @@ def stitchTilesQuickLook(filePattern, outFileName, outWCS, outShape,
     nfits.write_image(outFileName, outData * fluxRescale, outWCS.header,
                       compressionType="RICE_1")
     return outData
+
+
+# -----------------------------------------------------------------------------
+def sourceInjectionTest(config, rng=None):
+    """Inject objects with known properties, re-run the finder with cached
+    filters, and record position/flux recovery vs S/N
+    (``maps.py:1902-2199``).
+
+    Returns a Table with columns RADeg, decDeg, sourceInjectionModel,
+    [theta500Arcmin,] SNR, rArcmin, inFlux, outFlux, noiseLevel, tileName.
+    """
+    from . import pipelines
+    from .models import cosmology as cosmo_mod
+
+    realExclusionRadiusArcmin = 5.0
+    rng = rng or np.random.default_rng(config.parDict.get("seed"))
+
+    numIterations = config.parDict.get("sourceInjectionIterations", 1)
+    if "sourceInjectionModels" in config.parDict:
+        clusterMode = True
+        sourceInjectionModelList = config.parDict["sourceInjectionModels"]
+        fluxCol = "y_c"
+        noiseLevelCol = "err_y_c"
+        fiducial = cosmo_mod.fiducialCosmoModel()
+        for m in sourceInjectionModelList:
+            theta = cosmo_mod.calcTheta500Arcmin(m["redshift"], m["M500"],
+                                                 fiducial)
+            m["label"] = "%.2f" % theta
+            m["theta500Arcmin"] = theta
+    else:
+        clusterMode = False
+        sourceInjectionModelList = [{"label": "pointSource"}]
+        fluxCol = "deltaT_c"
+        noiseLevelCol = "err_deltaT_c"
+    numSourcesPerTile = config.parDict.get("sourcesPerTile", 300)
+
+    catFileName = os.path.join(
+        config.rootOutDir, "%s_optimalCatalog.fits"
+        % os.path.split(config.rootOutDir)[-1])
+    if not os.path.exists(catFileName):
+        raise FileNotFoundError("Catalog %s needed for injection test"
+                                % catFileName)
+    realCatalog = Table.read(catFileName)
+
+    results = {m["label"]: {"RADeg": [], "decDeg": [], "SNR": [],
+                            "rArcmin": [], "inFlux": [], "outFlux": [],
+                            "noiseLevel": [], "tileName": []}
+               for m in sourceInjectionModelList}
+    allInputCatalogs = []
+
+    for modelCount, model in enumerate(sourceInjectionModelList, 1):
+        print(">>> Source injection model: %d/%d"
+              % (modelCount, len(sourceInjectionModelList)))
+        for it in range(numIterations):
+            config.restoreConfig()
+            for filtDict in config.parDict["mapFilters"]:
+                filtDict["params"]["GNFWParams"] = \
+                    config.parDict["GNFWParams"]
+                filtDict["params"]["saveFilteredMaps"] = False
+                filtDict["params"]["savePlots"] = False
+            # Reference filter only (maps.py:2019-2025)
+            photFilter = config.parDict["photFilter"]
+            filtDict = next(
+                (f for f in config.parDict["mapFilters"]
+                 if photFilter is None or f["label"] == photFilter),
+                config.parDict["mapFilters"][0])
+            config.parDict["mapFilters"] = [filtDict]
+
+            if "ArnaudModel" in filtDict["class"]:
+                ampRange = config.parDict.get(
+                    "sourceInjectionAmplitudeRange", [0.001, 10])
+                if ampRange == "auto":
+                    ampRange = [np.min(realCatalog["fixed_y_c"]) * 0.5,
+                                np.max(realCatalog["fixed_y_c"])]
+                distribution = config.parDict.get(
+                    "sourceInjectionDistribution", "linear")
+                mockCatalog = catalogs.generateTestCatalog(
+                    config, numSourcesPerTile,
+                    amplitudeColumnName=fluxCol, amplitudeRange=ampRange,
+                    amplitudeDistribution=distribution, maskDilationPix=20,
+                    seed=rng.integers(0, 2 ** 31 - 1))
+                injectSources = {"catalog": mockCatalog,
+                                 "GNFWParams": config.parDict["GNFWParams"],
+                                 "override": model, "profile": "A10"}
+            elif "Beam" in filtDict["class"]:
+                ampRange = config.parDict.get(
+                    "sourceInjectionAmplitudeRange", [1, 1000])
+                distribution = config.parDict.get(
+                    "sourceInjectionDistribution", "log")
+                mockCatalog = catalogs.generateTestCatalog(
+                    config, numSourcesPerTile,
+                    amplitudeColumnName=fluxCol, amplitudeRange=ampRange,
+                    amplitudeDistribution=distribution, maskDilationPix=20,
+                    seed=rng.integers(0, 2 ** 31 - 1))
+                injectSources = {"catalog": mockCatalog, "override": model,
+                                 "profile": None}
+            else:
+                raise ValueError("No injection catalog generator for "
+                                 "filter class '%s'" % filtDict["class"])
+            if "theta500Arcmin" in model:
+                mockCatalog["theta500Arcmin"] = model["theta500Arcmin"]
+            allInputCatalogs.append(mockCatalog)
+
+            for mapDict in config.unfilteredMapsDictList:
+                mapDict["injectSources"] = injectSources
+                mapDict["_preprocessedTile"] = None  # force re-preprocess
+
+            if len(mockCatalog) == 0:
+                continue
+            recCatalog = pipelines.filterMapsAndMakeCatalogs(
+                config, useCachedFilters=True, useCachedRMSMap=True,
+                writeAreaMask=False, writeFlagMask=False, verbose=False)
+            if len(recCatalog) > 0:
+                recCatalog = catalogs.removeCrossMatched(
+                    recCatalog, realCatalog,
+                    radiusArcmin=realExclusionRadiusArcmin)
+            if len(recCatalog) == 0:
+                continue
+            x_mock, x_rec, rDeg = catalogs.crossMatch(
+                mockCatalog, recCatalog,
+                radiusArcmin=realExclusionRadiusArcmin)
+            r = results[model["label"]]
+            r["RADeg"] += list(np.asarray(x_rec["RADeg"]))
+            r["decDeg"] += list(np.asarray(x_rec["decDeg"]))
+            r["SNR"] += list(np.asarray(x_rec["SNR"]))
+            r["rArcmin"] += list(rDeg)
+            r["inFlux"] += list(np.asarray(x_mock[fluxCol]))
+            r["outFlux"] += list(np.asarray(x_rec[fluxCol]))
+            r["noiseLevel"] += list(np.asarray(x_rec[noiseLevelCol]))
+            r["tileName"] += list(np.asarray(x_rec["tileName"]))
+
+    # Collect everything (maps.py:2151-2186)
+    cols = {"RADeg": [], "decDeg": [], "sourceInjectionModel": [],
+            "SNR": [], "rArcmin": [], "inFlux": [], "outFlux": [],
+            "noiseLevel": [], "tileName": []}
+    theta500s = []
+    for model in sourceInjectionModelList:
+        label = model["label"]
+        n = len(results[label]["SNR"])
+        cols["sourceInjectionModel"] += [label] * n
+        if "theta500Arcmin" in model:
+            theta500s += [model["theta500Arcmin"]] * n
+        for key in ("RADeg", "decDeg", "SNR", "rArcmin", "inFlux",
+                    "outFlux", "noiseLevel", "tileName"):
+            cols[key] += results[label][key]
+    resultsTable = Table({k: np.array(v) for k, v in cols.items()})
+    if len(theta500s) == len(resultsTable):
+        resultsTable["theta500Arcmin"] = np.array(theta500s)
+
+    allInputTab = vstack(allInputCatalogs)
+    allInputTab.rename_column(fluxCol, "inFlux")
+    allInputTab = catalogs.removeCrossMatched(
+        allInputTab, realCatalog, radiusArcmin=realExclusionRadiusArcmin)
+    allInputTab.write(os.path.join(config.selFnDir,
+                                   "sourceInjectionInputCatalog.fits"))
+    config.restoreConfig()
+    for mapDict in config.unfilteredMapsDictList:
+        mapDict.pop("injectSources", None)
+        mapDict["_preprocessedTile"] = None
+    return resultsTable
+
+
+def positionRecoveryAnalysis(posRecTable, plotFileName,
+                             percentiles=[50, 95, 99.7], plotRawData=True,
+                             pickleFileName=None, selFnDir=None):
+    """Fit the position-recovery model offset(SNR) and plot
+    (``maps.py:2202-2344``)."""
+    import pickle
+    from scipy.optimize import curve_fit
+
+    snr = np.asarray(posRecTable["SNR"], dtype=float)
+    rArcmin = np.asarray(posRecTable["rArcmin"], dtype=float)
+    binEdges = np.linspace(max(snr.min(), 4.0), min(snr.max(), 20.0), 11)
+    fitResults = {}
+    for percentile in percentiles:
+        centres, values = [], []
+        for i in range(len(binEdges) - 1):
+            sel = (snr >= binEdges[i]) & (snr < binEdges[i + 1])
+            if sel.sum() >= 5:
+                centres.append((binEdges[i] + binEdges[i + 1]) / 2)
+                values.append(np.percentile(rArcmin[sel], percentile))
+        centres = np.array(centres)
+        values = np.array(values)
+        params = None
+        if len(centres) >= 3:
+            try:
+                params, _ = curve_fit(catalogs._posRecFitFunc, centres,
+                                      values, p0=[1.16, 0.7, 38.0],
+                                      maxfev=20000)
+            except Exception:
+                params = None
+        fitResults[percentile] = {"centres": centres, "values": values,
+                                  "params": params}
+    if pickleFileName is not None:
+        with open(pickleFileName, "wb") as f:
+            pickle.dump(fitResults, f)
+    if selFnDir is not None and fitResults.get(99.7, {}).get("params") \
+            is not None:
+        with open(os.path.join(selFnDir, "positionRecoveryModel.pkl"),
+                  "wb") as f:
+            pickle.dump({"func": "posRecFitFunc",
+                         "params": fitResults[99.7]["params"]}, f)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig = plt.figure(figsize=(9, 6.5))
+        if plotRawData:
+            plt.plot(snr, rArcmin, ".", alpha=0.3, label="raw")
+        for percentile, d in fitResults.items():
+            if len(d["centres"]):
+                plt.plot(d["centres"], d["values"], "o-",
+                         label="%.1f%%" % percentile)
+        plt.semilogy()
+        plt.xlabel("SNR")
+        plt.ylabel("offset (arcmin)")
+        plt.legend()
+        plt.savefig(plotFileName)
+        plt.close(fig)
+    except Exception:
+        pass
+    return fitResults
+
+
+def estimateContaminationFromInvertedMaps(config, imageDict=None):
+    """Run the finder on sign-inverted maps to estimate the contamination
+    rate (``maps.py:1589-1619``)."""
+    from . import pipelines
+    invertedCatalog = pipelines.filterMapsAndMakeCatalogs(
+        config, useCachedFilters=True, invertMap=True, writeAreaMask=False,
+        writeFlagMask=False, verbose=False)
+    return invertedCatalog
+
+
+def estimateContaminationFromSkySim(config, imageDict=None, numSkySims=None,
+                                    seedBase=8000):
+    """Run the finder on source-free CMB+noise sims made on the fly
+    (``maps.py:1485-1586``).  Returns a list of catalogs, one per sim."""
+    from . import pipelines
+    if numSkySims is None:
+        numSkySims = config.parDict.get("numSkySims", 10)
+    catalogsList = []
+    for i in range(numSkySims):
+        config.restoreConfig()
+        for mapDict in config.unfilteredMapsDictList:
+            mapDict["CMBSimSeed"] = seedBase + i
+            mapDict["_preprocessedTile"] = None
+        simCatalog = pipelines.filterMapsAndMakeCatalogs(
+            config, useCachedFilters=True, writeAreaMask=False,
+            writeFlagMask=False, verbose=False)
+        catalogsList.append(simCatalog)
+    config.restoreConfig()
+    for mapDict in config.unfilteredMapsDictList:
+        mapDict.pop("CMBSimSeed", None)
+        mapDict["_preprocessedTile"] = None
+    return catalogsList

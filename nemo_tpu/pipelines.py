@@ -411,3 +411,225 @@ def makeMockClusterCatalog(config, numMocksToMake=1, combineMocks=False,
                 if m in config.parDict:
                     f.write("%s: %s\n" % (m, config.parDict[m]))
     return catList
+
+
+def extractSpec(config, tab, method="CAP", diskRadiusArcmin=4.0,
+                highPassFilter=False, estimateErrors=True,
+                saveFilteredMaps=False):
+    """Spectral energy distribution extraction at catalog positions
+    (``pipelines.py:644-1051``).
+
+    Maps are first PSF-matched to the lowest-resolution beam.  The
+    reference builds a 1-d real-space convolution kernel with empirical
+    'fudge' corrections (``pipelines.py:732-860``); here the matching is
+    the exact Fourier-space operation  W(l) = B_ref(l) / B(l), zeroed where
+    B(l) falls below 10% (the same regularisation threshold the reference
+    uses on its 1-d FFT at ``pipelines.py:756``).
+
+    Methods: 'CAP' (compensated aperture photometry, Schaan et al. 2020
+    style) or 'matchedFilter' (per-template matched filter, Saro et al.
+    2014 style).
+    """
+    from .models.beams import BeamProfile
+    from .ops import fourier
+    import jax.numpy as jnp
+
+    # Reference beam = lowest resolution; reorder maps so it's first
+    beams_ = [BeamProfile(beamFileName=m["beamFileName"])
+              for m in config.unfilteredMapsDictList]
+    refIndex = int(np.argmax([b.FWHMArcmin for b in beams_]))
+    mapsList = list(config.unfilteredMapsDictList)
+    mapsList.insert(0, mapsList.pop(refIndex))
+    beams_.insert(0, beams_.pop(refIndex))
+    refBeam = beams_[0]
+
+    def _psf_match(data, wcs, beam):
+        pix = maps.pixScalesRad(wcs, data.shape)
+        lmap = np.asarray(
+            __import__("nemo_tpu.ops.fourier", fromlist=["modlmap"]
+                       ).modlmap(data.shape, pix))
+        Bl = np.interp(lmap, beam.ell, beam.Bell, right=0.0)
+        Bref = np.interp(lmap, refBeam.ell, refBeam.Bell, right=0.0)
+        W = np.where(Bl > 0.1, Bref / np.where(Bl > 0.1, Bl, 1.0), 0.0)
+        fm = fourier.fft2(jnp.asarray(data))
+        return np.asarray(jnp.real(fourier.ifft2(fm * jnp.asarray(W))))
+
+    if method == "CAP":
+        return _extractSpecCAP(config, tab, mapsList, beams_, _psf_match,
+                               diskRadiusArcmin=diskRadiusArcmin,
+                               highPassFilter=highPassFilter,
+                               estimateErrors=estimateErrors)
+    elif method == "matchedFilter":
+        return _extractSpecMatchedFilter(config, tab, mapsList, beams_,
+                                         _psf_match,
+                                         saveFilteredMaps=saveFilteredMaps)
+    raise ValueError("method must be 'CAP' or 'matchedFilter'")
+
+
+def _extractSpecCAP(config, tab, mapsList, beams_, psf_match,
+                    diskRadiusArcmin=4.0, highPassFilter=False,
+                    estimateErrors=True, rng=None):
+    """Compensated-aperture photometry SED (``pipelines.py:973-1050``)."""
+    from .models import sz
+    rng = rng or np.random.default_rng(707)
+    innerR = diskRadiusArcmin
+    outerR = diskRadiusArcmin * np.sqrt(2)
+    catalogList = []
+    for tileName in config.tileNames:
+        mapDictList = []
+        freqLabels = []
+        for i, mapDict in enumerate(mapsList):
+            md = mapDict.copy()
+            md.preprocess(tileName=tileName)
+            if i > 0:
+                md["data"] = psf_match(md["data"], md["wcs"], beams_[i])
+            if highPassFilter:
+                md["data"] = maps.subtractBackground(
+                    md["data"], md["wcs"], smoothScaleDeg=(2 * outerR) / 60)
+            freqLabels.append(int(round(md["obsFreqGHz"])))
+            mapDictList.append(md)
+        wcs = mapDictList[0]["wcs"]
+        shape = mapDictList[0]["data"].shape
+        pixAreaMap = maps.getPixelAreaArcmin2Map(shape, wcs)
+        maxSizeDeg = (outerR * 1.2) / 60
+        tileTab = catalogs.getCatalogWithinImage(tab, shape, wcs)
+        if len(tileTab) == 0:
+            continue
+        for label in freqLabels:
+            tileTab["diskT_uKArcmin2_%s" % label] = np.zeros(len(tileTab))
+            tileTab["err_diskT_uKArcmin2_%s" % label] = \
+                np.zeros(len(tileTab))
+            tileTab["diskSNR_%s" % label] = np.zeros(len(tileTab))
+
+        def cap_flux(ra, dec, d):
+            degreesMap = np.full(shape, 1e6)
+            degreesMap, _, _ = maps.makeDegreesDistanceMap(
+                degreesMap, wcs, ra, dec, maxSizeDeg)
+            inner = degreesMap < innerR / 60
+            outer = (degreesMap >= innerR / 60) & (degreesMap < outerR / 60)
+            return (d[inner] * pixAreaMap[inner]).sum() \
+                - (d[outer] * pixAreaMap[outer]).sum()
+
+        for i in range(len(tileTab)):
+            ra = float(np.asarray(tileTab["RADeg"])[i])
+            dec = float(np.asarray(tileTab["decDeg"])[i])
+            for md, label in zip(mapDictList, freqLabels):
+                tileTab["diskT_uKArcmin2_%s" % label][i] = \
+                    cap_flux(ra, dec, md["data"])
+
+        if estimateErrors:
+            randTab = catalogs.generateRandomSourcesCatalog(
+                mapDictList[0]["surveyMask"], wcs, 500,
+                seed=rng.integers(0, 2 ** 31 - 1))
+            randFluxes = {label: np.zeros(len(randTab))
+                          for label in freqLabels}
+            for i in range(len(randTab)):
+                ra = float(np.asarray(randTab["RADeg"])[i])
+                dec = float(np.asarray(randTab["decDeg"])[i])
+                for md, label in zip(mapDictList, freqLabels):
+                    randFluxes[label][i] = cap_flux(ra, dec, md["data"])
+            for label in freqLabels:
+                SNRSign = -1 if sz.fSZ(float(label)) < 0 else 1
+                noise = np.percentile(np.abs(randFluxes[label]), 68.3)
+                tileTab["err_diskT_uKArcmin2_%s" % label] = noise
+                tileTab["diskSNR_%s" % label] = SNRSign * np.asarray(
+                    tileTab["diskT_uKArcmin2_%s" % label]) / noise
+        catalogList.append(tileTab)
+    return vstack(catalogList)
+
+
+def _extractSpecMatchedFilter(config, tab, mapsList, beams_, psf_match,
+                              saveFilteredMaps=False,
+                              noiseMethod="dataMap"):
+    """Per-template matched-filter SED (``pipelines.py:873-970``)."""
+    import copy as copy_mod
+
+    from . import filters as filters_mod
+    from . import photometry
+    from .ops import fourier
+    import jax.numpy as jnp
+
+    cacheDir = os.path.join("nemoSpecCache",
+                            os.path.basename(config.rootOutDir))
+    os.makedirs(cacheDir, exist_ok=True)
+
+    baseFilter = {"class": "ArnaudModelMatchedFilter",
+                  "params": {"noiseParams": {"method": noiseMethod,
+                                             "noiseGridArcmin": 40.0},
+                             "saveFilteredMaps": False, "saveRMSMap": False,
+                             "savePlots": False, "saveDS9Regions": False,
+                             "saveFilter": False, "outputUnits": "yc",
+                             "edgeTrimArcmin": 0.0,
+                             "GNFWParams": "default"}}
+    filtersList = []
+    for t in np.unique(np.asarray(tab["template"])):
+        newDict = copy_mod.deepcopy(baseFilter)
+        newDict["params"]["M500MSun"] = float(
+            str(t).split("_M")[-1].split("_")[0])
+        newDict["params"]["z"] = float(
+            str(t).split("_z")[-1].replace("p", "."))
+        newDict["label"] = str(t)
+        filtersList.append(newDict)
+
+    catalogList = []
+    for tileName in config.tileNames:
+        diagnosticsDir = os.path.join(cacheDir, tileName)
+        os.makedirs(diagnosticsDir, exist_ok=True)
+        for f in filtersList:
+            tempTileTab = None
+            filterObj = None
+            filteredMapDict = None
+            for i, mapDict in enumerate(mapsList):
+                if tempTileTab is None:
+                    header = config.tileCoordsDict[tileName]["header"]
+                    from .utils.wcs import WCS
+                    wcs = WCS(header)
+                    shape = (wcs.naxis2, wcs.naxis1)
+                    tempTileTab = catalogs.getCatalogWithinImage(tab, shape,
+                                                                 wcs)
+                    tempTileTab = tempTileTab[
+                        np.asarray(tempTileTab["template"]) == f["label"]]
+                if tempTileTab is None or len(tempTileTab) == 0:
+                    continue
+                if i == 0:
+                    filteredMapDict, filterObj = filters_mod.filterMaps(
+                        [mapDict], f, tileName,
+                        diagnosticsDir=diagnosticsDir, selFnDir=cacheDir,
+                        verbose=False, undoPixelWindow=True,
+                        returnFilter=True)
+                else:
+                    md = mapDict.copy()
+                    md.preprocess(tileName=tileName)
+                    matched = psf_match(md["data"], md["wcs"], beams_[i])
+                    filtered = filterObj.applyFilter(
+                        np.stack([matched]))
+                    RMSMap = np.asarray(filterObj.makeNoiseMap(filtered))
+                    SNMap = np.zeros(filtered.shape)
+                    mask = RMSMap > 0
+                    SNMap[mask] = filtered[mask] / RMSMap[mask]
+                    filteredMapDict = dict(filteredMapDict)
+                    filteredMapDict["SNMap"] = SNMap
+                    filteredMapDict["data"] = np.asarray(
+                        fourier.apply_pixel_window(jnp.asarray(filtered),
+                                                   pow=-1.0))
+                freqTileTab = photometry.makeForcedPhotometryCatalog(
+                    filteredMapDict, tempTileTab,
+                    useInterpolator=config.parDict["useInterpolator"])
+                photometry.measureFluxes(
+                    freqTileTab, filteredMapDict, cacheDir,
+                    useInterpolator=config.parDict["useInterpolator"],
+                    ycObsFreqGHz=mapDict["obsFreqGHz"])
+                if len(freqTileTab) == 0:
+                    tempTileTab = None
+                    continue
+                tempTileTab, freqTileTab, rDeg = catalogs.crossMatch(
+                    tempTileTab, freqTileTab, radiusArcmin=2.5)
+                suff = "_%d" % mapDict["obsFreqGHz"]
+                for colName in ("deltaT_c", "y_c", "SNR"):
+                    tempTileTab[colName + suff] = freqTileTab[colName]
+                    if "err_" + colName in freqTileTab.keys():
+                        tempTileTab["err_" + colName + suff] = \
+                            freqTileTab["err_" + colName]
+            if tempTileTab is not None and len(tempTileTab) > 0:
+                catalogList.append(tempTileTab)
+    return vstack(catalogList)

@@ -1,0 +1,116 @@
+"""CLI-level tests, driving the bin/ tools like the reference's Robot
+Framework suite drives subprocesses (tests/quick.robot)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from nemo_tpu import catalogs
+from nemo_tpu.models import beams
+from nemo_tpu.utils import fits as nfits
+from nemo_tpu.utils.tables import Table
+from nemo_tpu.utils import wcs as nwcs
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["NEMO_TPU_X64"] = "1"
+    result = subprocess.run([sys.executable,
+                             os.path.join(REPO_ROOT, "bin", args[0])]
+                            + args[1:], cwd=cwd, env=env,
+                            capture_output=True, text=True, timeout=1200)
+    if result.returncode != 0:
+        raise RuntimeError("CLI failed:\nSTDOUT:%s\nSTDERR:%s"
+                           % (result.stdout[-3000:], result.stderr[-3000:]))
+    return result
+
+
+@pytest.fixture(scope="module")
+def cli_workspace(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    beam_path = os.path.join(DATA_DIR, "beam_f090.txt")
+    if not os.path.exists(beam_path):
+        beams.makeGaussianBeamFile(beam_path, 2.1)
+    # Template map (blank) defining pixelisation
+    shape = (400, 400)
+    w = nwcs.makeWCS(shape, 0.5 / 60.0, centreRADeg=30.0, centreDecDeg=0.0)
+    template = str(tmp / "template.fits")
+    nfits.write_image(template, np.ones(shape), w.header)
+    # Input source catalog
+    rng = np.random.default_rng(7)
+    n = 8
+    xs = rng.uniform(80, 320, n)
+    ys = rng.uniform(80, 320, n)
+    coords = w.pix2wcs(xs, ys)
+    cat = Table({"name": np.array(["s%d" % i for i in range(n)]),
+                 "RADeg": coords[:, 0], "decDeg": coords[:, 1],
+                 "deltaT_c": rng.uniform(1500, 5000, n)})
+    catPath = str(tmp / "inputCatalog.fits")
+    cat.write(catPath)
+    return {"tmp": tmp, "template": template, "catPath": catPath,
+            "beam": beam_path, "wcs": w, "cat": cat, "shape": shape}
+
+
+def test_nemo_model_cli(cli_workspace):
+    ws = cli_workspace
+    out = str(ws["tmp"] / "sim_f090.fits")
+    _run(["nemoModel", ws["catPath"], ws["template"], ws["beam"], out,
+          "-f", "97.8", "-C", "-N", "40", "-s", "99"], cwd=str(ws["tmp"]))
+    assert os.path.exists(out)
+    data, header = nfits.read_image(out)
+    # map contains CMB + noise + sources: std much bigger than noise alone
+    assert np.std(data) > 40
+    # brightest pixel should be at one of the sources
+    iy, ix = np.unravel_index(np.argmax(data), data.shape)
+    coords = ws["wcs"].pix2wcs(float(ix), float(iy))
+    seps = catalogs.calcAngSepDeg(coords[0], coords[1],
+                                  np.asarray(ws["cat"]["RADeg"]),
+                                  np.asarray(ws["cat"]["decDeg"]))
+    assert seps.min() * 60 < 2.0
+
+
+def test_nemo_cli_source_run(cli_workspace):
+    ws = cli_workspace
+    simPath = str(ws["tmp"] / "sim_f090.fits")
+    assert os.path.exists(simPath), "run test_nemo_model_cli first"
+    configDict = {
+        "unfilteredMaps": [
+            {"mapFileName": simPath, "weightsFileName": None,
+             "obsFreqGHz": 97.8, "units": "uK",
+             "beamFileName": ws["beam"]}],
+        "thresholdSigma": 5.0, "minObjPix": 1, "findCenterOfMass": True,
+        "useInterpolator": True, "rejectBorder": 0, "objIdent": "ACT-S",
+        "longNames": False, "removeRings": False, "photFilter": None,
+        "outputDir": str(ws["tmp"] / "nemoOut"),
+        "mapFilters": [
+            {"label": "Beam_f090", "class": "BeamMatchedFilter",
+             "params": {"noiseParams": {"method": "dataMap",
+                                        "noiseGridArcmin": 40.0},
+                        "saveFilteredMaps": True, "outputUnits": "uK",
+                        "edgeTrimArcmin": 10.0}}],
+    }
+    configPath = str(ws["tmp"] / "sources.yml")
+    with open(configPath, "w") as f:
+        yaml.safe_dump(configDict, f)
+    _run(["nemo", configPath], cwd=str(ws["tmp"]))
+    outCat = os.path.join(str(ws["tmp"] / "nemoOut"),
+                          "nemoOut_optimalCatalog.fits")
+    assert os.path.exists(outCat)
+    tab = Table.read(outCat)
+    assert len(tab) >= 5
+    refM, outM, seps = catalogs.crossMatch(ws["cat"], tab,
+                                           radiusArcmin=1.5)
+    ratios = np.asarray(outM["deltaT_c"]) / np.asarray(refM["deltaT_c"])
+    assert abs(np.mean(ratios) - 1) < 0.1
+    # DS9 regions + csv written too
+    assert os.path.exists(outCat.replace(".fits", ".reg"))
+    assert os.path.exists(outCat.replace(".fits", ".csv"))
