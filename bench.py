@@ -1,0 +1,75 @@
+"""Benchmark: multi-frequency matched-filter throughput on one TPU chip.
+
+Metric: full per-tile-per-scale MMF pipeline steps per second per chip, on
+ACT DR5-like tiles (2 frequencies, ~7 x 12 deg tile at 0.5 arcmin pixels,
+padded to FFT-friendly 896 x 1536).  One step = everything inside the
+reference's per-tile filter loop (``nemo/filters.py:524-758``): noise
+covariance from tile FFTs + 3-pixel Gaussian smoothing, closed-form
+per-pixel N^-1 w|s| solve, filter application, grid sigma-clipped RMS map,
+S/N map, edge trim, and on-device top-K peak extraction.
+
+Baseline (BASELINE.md): the reference runs the full DR5 search - about 280
+tiles x 15 filter scales = 4200 tile-scale steps - in under 4 h 59 m on
+~300 CPU ranks, i.e. ~0.234 tile-scale steps/sec for the whole cluster.
+``vs_baseline`` is our single-chip rate divided by that full-cluster rate.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_inputs
+    from nemo_tpu.parallel import distribute
+    from nemo_tpu.parallel.mesh import get_mesh, tile_sharding
+
+    nf = 2
+    ny, nx = 896, 1536          # DR5-like tile (7 x 12 deg at 0.5')
+    gridSize = 80               # 40 arcmin noise cells at 0.5' pixels
+    trimPix = 240               # reference default: 3 x gridSize
+    nTiles = 4                  # batch resident in HBM per step
+
+    mesh = get_mesh(n_devices=1)
+    step = distribute.make_sharded_tile_step(
+        mesh, gridSize=gridSize, trimPix=trimPix, topK=256, threshold=4.0,
+        with_survey_stats=False)
+    args = _example_inputs(nTiles, nf, ny, nx, np.float32, seed=1)
+    data, noise, fsignal, w, apodM, psMask, surveyMask = args
+    sh = tile_sharding(mesh)
+    data = jax.device_put(data, sh)
+    noise = jax.device_put(noise, sh)
+    fsignal = jax.device_put(fsignal, sh)
+    psMask = jax.device_put(psMask, sh)
+    surveyMask = jax.device_put(surveyMask, sh)
+
+    # Warm-up / compile
+    out = step(data, noise, fsignal, w, apodM, psMask, surveyMask)
+    jax.block_until_ready(out)
+
+    nIter = 5
+    t0 = time.time()
+    for _ in range(nIter):
+        out = step(data, noise, fsignal, w, apodM, psMask, surveyMask)
+        jax.block_until_ready(out)
+    elapsed = time.time() - t0
+
+    tile_scale_steps_per_sec = nIter * nTiles / elapsed
+    baseline_cluster_rate = 4200.0 / (4.983 * 3600.0)  # ~0.234 steps/sec
+    print(json.dumps({
+        "metric": "DR5-like 2-freq MMF tile-scale pipeline steps/sec/chip",
+        "value": round(tile_scale_steps_per_sec, 4),
+        "unit": "tile_scale_steps/sec/chip",
+        "vs_baseline": round(tile_scale_steps_per_sec
+                             / baseline_cluster_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,15 +12,17 @@ __version__ = "0.1.0"
 
 import os as _os
 
-# This runtime pre-imports jax at interpreter startup, so plain env vars are
-# read too late for jax config; apply them here (harmless no-ops if a
-# backend is already initialised).
-import jax as _jax
-
-try:
-    if _os.environ.get("NEMO_TPU_X64"):
-        _jax.config.update("jax_enable_x64", True)
-    if _os.environ.get("JAX_PLATFORMS"):
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-except RuntimeError:
-    pass
+# Escape hatches for environments whose interpreter startup pre-selects a
+# jax platform before user code runs (e.g. CI harnesses): NEMO_TPU_PLATFORM
+# and NEMO_TPU_X64 apply via jax.config at package import. Deliberately NOT
+# keyed on JAX_PLATFORMS, which such environments set globally.
+if _os.environ.get("NEMO_TPU_PLATFORM") or _os.environ.get("NEMO_TPU_X64"):
+    import jax as _jax
+    try:
+        if _os.environ.get("NEMO_TPU_X64"):
+            _jax.config.update("jax_enable_x64", True)
+        if _os.environ.get("NEMO_TPU_PLATFORM"):
+            _jax.config.update("jax_platforms",
+                               _os.environ["NEMO_TPU_PLATFORM"])
+    except RuntimeError:
+        pass

@@ -61,6 +61,30 @@ def gaussian_filter(m, sigma, truncate=4.0):
     return out
 
 
+def _separable_rank_filter(m, size, op, init):
+    """Rectangular min/max filters are separable: filter rows then columns,
+    turning an O(size^2)-per-pixel reduce_window into O(2*size).  This
+    matters for the DR5 edge trim, whose windows are ~240 pixels
+    (``nemo/filters.py:732-737``)."""
+    size = int(size)
+    lo = size // 2
+    hi = size - 1 - lo
+    init = jnp.array(init, dtype=m.dtype)
+    out = m
+    for axis_from_end in (2, 1):
+        axis = out.ndim - axis_from_end
+        pad_cfg = [(0, 0, 0)] * out.ndim
+        pad_cfg[axis] = (lo, hi, 0)
+        window = [1] * out.ndim
+        window[axis] = size
+        padded = jax.lax.pad(out, init, pad_cfg)
+        out = jax.lax.reduce_window(padded, init, op,
+                                    window_dimensions=window,
+                                    window_strides=[1] * out.ndim,
+                                    padding="VALID")
+    return out
+
+
 def minimum_filter(m, size):
     """scipy.ndimage.rank_filter(m, 0, size=(size, size)) parity.
 
@@ -69,32 +93,12 @@ def minimum_filter(m, size):
     Window centring matches scipy (origin 0): spans [i - size//2,
     i + size - 1 - size//2].
     """
-    size = int(size)
-    lo = size // 2
-    hi = size - 1 - lo
-    pad_cfg = [(0, 0, 0)] * (m.ndim - 2) + [(lo, hi, 0), (lo, hi, 0)]
-    window = [1] * (m.ndim - 2) + [size, size]
-    strides = [1] * m.ndim
-    big = jnp.array(jnp.inf, dtype=m.dtype)
-    padded = jax.lax.pad(m, big, pad_cfg)
-    return jax.lax.reduce_window(padded, big, jax.lax.min,
-                                 window_dimensions=window,
-                                 window_strides=strides, padding="VALID")
+    return _separable_rank_filter(m, size, jax.lax.min, jnp.inf)
 
 
 def maximum_filter(m, size):
     """Max filter with the same centring conventions as minimum_filter."""
-    size = int(size)
-    lo = size // 2
-    hi = size - 1 - lo
-    pad_cfg = [(0, 0, 0)] * (m.ndim - 2) + [(lo, hi, 0), (lo, hi, 0)]
-    window = [1] * (m.ndim - 2) + [size, size]
-    strides = [1] * m.ndim
-    small = jnp.array(-jnp.inf, dtype=m.dtype)
-    padded = jax.lax.pad(m, small, pad_cfg)
-    return jax.lax.reduce_window(padded, small, jax.lax.max,
-                                 window_dimensions=window,
-                                 window_strides=strides, padding="VALID")
+    return _separable_rank_filter(m, size, jax.lax.max, -jnp.inf)
 
 
 def binary_dilate_cross(mask, iterations=1):

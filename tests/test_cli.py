@@ -22,7 +22,7 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _run(args, cwd):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
-    env["JAX_PLATFORMS"] = "cpu"
+    env["NEMO_TPU_PLATFORM"] = "cpu"
     env["NEMO_TPU_X64"] = "1"
     result = subprocess.run([sys.executable,
                              os.path.join(REPO_ROOT, "bin", args[0])]

@@ -1,0 +1,80 @@
+"""Multi-device sharded tile-batch tests on the 8-device virtual CPU mesh
+(the analogue of the reference's single-host `mpiexec -np 4` MPI tests)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nemo_tpu.parallel import distribute, mesh as mesh_mod
+from nemo_tpu.ops import fourier
+
+
+def _make_batch(nTiles, nf, ny, nx, seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(0, 30, (nTiles, nf, ny, nx))
+    # inject one strong source at the centre of each tile
+    for t in range(nTiles):
+        yy, xx = np.mgrid[0:ny, 0:nx]
+        blob = 500 * np.exp(-((yy - ny // 2) ** 2 + (xx - nx // 2) ** 2)
+                            / (2 * 2.0 ** 2))
+        data[t] += blob[None]
+    noise = rng.normal(0, 30, (nTiles, nf, ny, nx))
+    # unit-peak Gaussian template per tile/freq
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    tmpl = np.exp(-((yy - ny / 2) ** 2 + (xx - nx / 2) ** 2)
+                  / (2 * 2.0 ** 2))
+    fsig = np.abs(np.fft.fft2(tmpl))
+    fsignal = np.broadcast_to(fsig, (nTiles, nf, ny, nx)).copy()
+    return data, noise, fsignal
+
+
+def test_sharded_tile_step_runs_on_mesh():
+    devices = jax.devices()
+    assert len(devices) == 8, "conftest should provide 8 virtual devices"
+    m = mesh_mod.get_mesh()
+    nTiles, nf, ny, nx = 8, 2, 128, 128
+    data, noise, fsignal = _make_batch(nTiles, nf, ny, nx)
+    w = np.ones(nf)
+    apodM = np.asarray(fourier.apod_mask((ny, nx), 10))
+    psMask = np.ones((nTiles, ny, nx))
+    surveyMask = np.ones((nTiles, ny, nx))
+    out = distribute.run_tile_batch(data, noise, fsignal, w, apodM, psMask,
+                                    surveyMask, gridSize=32, trimPix=0,
+                                    mesh=m, topK=16, threshold=4.0)
+    SNMap = np.asarray(out["SNMap"])
+    assert SNMap.shape == (nTiles, ny, nx)
+    # every tile's injected source should be its top peak, at the centre
+    peakYs = np.asarray(out["peakYs"])
+    peakXs = np.asarray(out["peakXs"])
+    peakVals = np.asarray(out["peakVals"])
+    for t in range(nTiles):
+        assert peakVals[t, 0] > 5
+        assert abs(int(peakYs[t, 0]) - ny // 2) <= 1
+        assert abs(int(peakXs[t, 0]) - nx // 2) <= 1
+    # survey stats are replicated psums
+    assert int(out["surveyCandidateCount"]) >= nTiles
+    assert np.asarray(out["surveyRMSHist"]).sum() > 0
+
+
+def test_sharded_matches_single_device():
+    m8 = mesh_mod.get_mesh()
+    m1 = mesh_mod.get_mesh(n_devices=1)
+    nTiles, nf, ny, nx = 8, 1, 96, 96
+    data, noise, fsignal = _make_batch(nTiles, nf, ny, nx, seed=3)
+    w = np.ones(nf)
+    apodM = np.asarray(fourier.apod_mask((ny, nx), 10))
+    psMask = np.ones((nTiles, ny, nx))
+    surveyMask = np.ones((nTiles, ny, nx))
+    out8 = distribute.run_tile_batch(data, noise, fsignal, w, apodM, psMask,
+                                     surveyMask, gridSize=32, trimPix=0,
+                                     mesh=m8, topK=8)
+    out1 = distribute.run_tile_batch(data, noise, fsignal, w, apodM, psMask,
+                                     surveyMask, gridSize=32, trimPix=0,
+                                     mesh=m1, topK=8)
+    np.testing.assert_allclose(np.asarray(out8["SNMap"]),
+                               np.asarray(out1["SNMap"]), rtol=1e-8,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out8["surveyRMSHist"]),
+                               np.asarray(out1["surveyRMSHist"]))
