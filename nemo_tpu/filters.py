@@ -147,11 +147,11 @@ class MapFilter:
         """Grid-cell RMS estimation (``filters.py:345-483``), on device."""
         noiseParams = self.params["noiseParams"]
         estimator = noiseParams.get("RMSEstimator", "default")
-        if estimator == "biweight":
-            # biweight estimator: host fallback for now (rarely configured)
-            return self._makeNoiseMapHost(mapData, estimator)
         grid = noiseParams.get("noiseGridArcmin", None)
-        if grid == "smart":
+        if estimator == "biweight" or grid == "smart" or \
+                noiseParams.get("numNoiseBins", 1) > 1:
+            # Weight-binned / biweight variants run on host (exact, off the
+            # flagship hot path).
             return self._makeNoiseMapHost(mapData, estimator)
         if grid is None:
             return np.asarray(noise_ops.whole_map_rms(
@@ -161,10 +161,79 @@ class MapFilter:
             jnp.asarray(mapData), gridSize, estimator=estimator))
 
     def _makeNoiseMapHost(self, mapData, estimator):
-        """Host numpy port of the 'smart'/biweight noise options - exact but
-        slow; these are off the hot path for the standard configs."""
-        raise NotImplementedError(
-            "'smart'/biweight noise estimation lands in a later revision")
+        """Host numpy implementation of the less-common noise options:
+        'smart' weight-binned mode (``filters.py:366-407``), biweight scale,
+        and per-cell weight binning with numNoiseBins > 1
+        (``filters.py:409-481``).  These are off the flagship hot path."""
+        noiseParams = self.params["noiseParams"]
+        mapData = np.asarray(mapData)
+        medWeights = np.median(np.stack(
+            [np.asarray(m["weights"]) for m in self.unfilteredMapsDictList]),
+            axis=0)
+        apodMask = mapData != 0
+
+        def measure(values):
+            if len(values) == 0:
+                return 0.0
+            if estimator == "biweight":
+                return _biweight_scale(values) if len(values) >= 10 else 0.0
+            if estimator == "percentile":
+                return float(np.percentile(np.abs(values), 68.3))
+            if (values != 0).sum() == 0:
+                return 0.0
+            mean, rms = np.mean(values), np.std(values)
+            for _ in range(10):
+                sel = np.abs(values) < abs(mean + 3.0 * rms)
+                if sel.sum() > 0:
+                    mean, rms = np.mean(values[sel]), np.std(values[sel])
+            return float(rms)
+
+        RMSMap = np.zeros(mapData.shape)
+        if noiseParams.get("noiseGridArcmin") == "smart":
+            numBins = noiseParams.get("numNoiseBins")
+            if numBins is None:
+                raise ValueError("numNoiseBins required with "
+                                 "noiseGridArcmin = 'smart'")
+            binEdges = np.linspace(medWeights.min(), medWeights.max(),
+                                   numBins)
+            for i in range(len(binEdges) - 1):
+                weightSel = (medWeights > binEdges[i]) & \
+                            (medWeights < binEdges[i + 1])
+                good = weightSel & apodMask
+                rms = measure(mapData[good])
+                if rms > 0:
+                    RMSMap[weightSel] = rms
+            return RMSMap
+
+        # Grid mode with per-cell weight binning
+        gridSize = int(round((noiseParams["noiseGridArcmin"] / 60.0)
+                             / self.wcs.getPixelSizeDeg()))
+        overlapPix = gridSize // 2
+        numBins = noiseParams.get("numNoiseBins", 1)
+        yC = noise_ops.cell_edges(mapData.shape[0], gridSize)
+        xC = noise_ops.cell_edges(mapData.shape[1], gridSize)
+        for i in range(len(yC) - 1):
+            for k in range(len(xC) - 1):
+                y0 = max(yC[i] - overlapPix, 0)
+                y1 = min(yC[i + 1] + overlapPix, mapData.shape[0])
+                x0 = max(xC[k] - overlapPix, 0)
+                x1 = min(xC[k + 1] + overlapPix, mapData.shape[1])
+                vals = mapData[y0:y1, x0:x1]
+                good = apodMask[y0:y1, x0:x1]
+                if good.sum() == 0:
+                    continue
+                wvals = medWeights[y0:y1, x0:x1]
+                percentiles = np.arange(0, 100, 100 / numBins)
+                binEdges = [np.percentile(wvals[good], p)
+                            for p in percentiles]
+                binEdges.append(wvals[good].max() + 1e-6)
+                for b in range(len(binEdges) - 1):
+                    binSel = (wvals >= binEdges[b]) & \
+                             (wvals < binEdges[b + 1])
+                    rms = measure(vals[binSel & good])
+                    if rms > 0:
+                        RMSMap[y0:y1, x0:x1][binSel] = rms
+        return RMSMap
 
     # -- template hooks ---------------------------------------------------------
     def makeSignalTemplateMap(self, beam, amplitude=None):
@@ -200,6 +269,26 @@ class MapFilter:
         for i in range(1, 10):
             if "RW%d_GHZ" % i in header:
                 self.fRelWeights[header["RW%d_GHZ" % i]] = header["RW%d" % i]
+
+
+def _biweight_scale(values, c=9.0):
+    """Biweight scale estimator (astropy.stats.biweight_scale parity with
+    modify_sample_size=True, used at ``filters.py:385``)."""
+    values = np.asarray(values, dtype=float)
+    M = np.median(values)
+    mad = np.median(np.abs(values - M))
+    if mad == 0:
+        return 0.0
+    u = (values - M) / (c * mad)
+    sel = u ** 2 < 1
+    n = sel.sum()
+    if n < 2:
+        return 0.0
+    d = values[sel] - M
+    u2 = u[sel] ** 2
+    num = np.sum(d ** 2 * (1 - u2) ** 4)
+    den = np.sum((1 - u2) * (1 - 5 * u2))
+    return float(np.sqrt(n * num) / np.abs(den))
 
 
 # ----------------------------------------------------------------------------
@@ -488,21 +577,48 @@ class MatchedFilter(MapFilter):
         else:
             raise ValueError("outputUnits must be 'yc' or 'uK'")
 
+    def reshapeFilter(self, shape):
+        """Interpolate the filter onto a different map shape in l-space
+        (``filters.py:797-821``), via a regular-grid linear interpolation on
+        the fftshifted (monotonic) l axes."""
+        from scipy.interpolate import RegularGridInterpolator
+        if len(shape) == 2:
+            shape = (self.filt.shape[0], shape[0], shape[1])
+        lyIn, lxIn = fourier.laxes(self.filt.shape[-2:], self.pixScalesRad)
+        lyOut, lxOut = fourier.laxes(shape[-2:], self.pixScalesRad)
+        lyIn_s = np.fft.fftshift(lyIn)
+        lxIn_s = np.fft.fftshift(lxIn)
+        pts_y = np.fft.fftshift(lyOut)
+        pts_x = np.fft.fftshift(lxOut)
+        out = np.zeros(shape)
+        grid_y, grid_x = np.meshgrid(pts_y, pts_x, indexing="ij")
+        pts = np.stack([grid_y.ravel(), grid_x.ravel()], axis=-1)
+        for i in range(self.filt.shape[0]):
+            interp_i = RegularGridInterpolator(
+                (lyIn_s, lxIn_s), np.fft.fftshift(self.filt[i]),
+                bounds_error=False, fill_value=0.0)
+            out[i] = np.fft.ifftshift(
+                interp_i(pts).reshape(shape[-2:]))
+        return out
+
     def applyFilter(self, mapDataToFilter):
         """Apply the filter (``filters.py:824-859``); accepts real map cubes
-        (FFT'd with apodisation here) or already-FFT'd complex cubes."""
+        (FFT'd with apodisation here) or already-FFT'd complex cubes.  If
+        the map shape differs from the filter's, the filter is interpolated
+        in l-space first."""
         mapDataToFilter = jnp.asarray(mapDataToFilter)
         if jnp.iscomplexobj(mapDataToFilter):
             fMaps = mapDataToFilter
         else:
-            apodM = fourier.apod_mask(self.shape, self.apodPix)
+            apodM = fourier.apod_mask(mapDataToFilter.shape[-2:],
+                                      self.apodPix)
             fMaps = _fft_apod_stack(mapDataToFilter, apodM)
-        if fMaps.shape != self.filt.shape:
-            raise ValueError("Filter/map shape mismatch: %s vs %s "
-                             "(filter reshaping not yet supported)"
-                             % (fMaps.shape, self.filt.shape))
+        if fMaps.shape == self.filt.shape:
+            filt = self.filt
+        else:
+            filt = self.reshapeFilter(fMaps.shape)
         filteredMap = np.asarray(_apply_filter_fourier(
-            fMaps, jnp.asarray(self.filt)))
+            fMaps, jnp.asarray(filt)))
         if self.params.get("bckSub") and self.params.get("bckSubScaleArcmin"):
             from . import maps as maps_mod
             filteredMap = maps_mod.subtractBackground(

@@ -992,3 +992,129 @@ def estimateContaminationFromSkySim(config, imageDict=None, numSkySims=None,
         mapDict.pop("CMBSimSeed", None)
         mapDict["_preprocessedTile"] = None
     return catalogsList
+
+
+def makeExtendedSourceMask(config, tileName):
+    """Find extended sources via a difference-of-Gaussians band-pass and
+    threshold, writing a per-tile extended mask and wiring it into the
+    config's map dicts (``maps.py:2474-2533``)."""
+    from scipy import ndimage
+
+    settings = config.parDict["findAndMaskExtended"]
+    maskCube = []
+    wcs = None
+    for mapDict in config.unfilteredMapsDictList:
+        data, wcs = mapDict.loadTile("mapFileName", tileName, returnWCS=True)
+        data = np.asarray(data, dtype=float)
+        weights = mapDict.loadTile("weightsFileName", tileName) \
+            if mapDict.get("weightsFileName") else np.ones(data.shape)
+        weights = np.asarray(weights, dtype=float)
+        if weights.ndim == 3:
+            weights = weights[0]
+        valid = weights > 0
+        whiteNoiseLevel = np.zeros(weights.shape)
+        whiteNoiseLevel[valid] = 1 / np.sqrt(weights[valid])
+        # Band-pass to isolate extended scales
+        s = subtractBackground(data, wcs,
+                               smoothScaleDeg=settings["bigScaleDeg"]) \
+            - subtractBackground(data, wcs,
+                                 smoothScaleDeg=settings["smallScaleDeg"])
+        # Global 3-sigma clipped noise, scaled by the white-noise map
+        mean, sigma = 0.0, 1e6
+        vals = s.ravel()
+        for _ in range(10):
+            sel = np.abs(vals - mean) < 3 * sigma
+            mean, sigma = np.mean(vals[sel]), np.std(vals[sel])
+        med = np.median(whiteNoiseLevel[valid])
+        if med > 0:
+            whiteNoiseLevel[valid] *= sigma / med
+        snr = np.zeros(s.shape)
+        snr[valid] = s[valid] / whiteNoiseLevel[valid]
+        extendedMask = (snr > settings["thresholdSigma"]).astype(np.uint8)
+        if settings.get("dilationPix", 0) > 0:
+            import jax.numpy as jnp
+            extendedMask = np.asarray(imageops.binary_dilate_cross(
+                jnp.asarray(extendedMask > 0),
+                settings["dilationPix"])).astype(np.uint8)
+        maskCube.append(extendedMask)
+    extendedMask = (np.sum(maskCube, axis=0) > 0).astype(np.uint8)
+
+    if settings.get("minSizeArcmin2", 0) > 0:
+        arcmin2Map = getPixelAreaArcmin2Map(extendedMask.shape, wcs)
+        segMap, numObjects = ndimage.label(extendedMask)
+        for i in range(1, numObjects + 1):
+            sel = segMap == i
+            if arcmin2Map[sel].sum() < settings["minSizeArcmin2"]:
+                extendedMask[sel] = 0
+
+    outDir = os.path.join(config.diagnosticsDir, "extendedMask")
+    os.makedirs(outDir, exist_ok=True)
+    nfits.write_image(os.path.join(outDir, tileName + ".fits"),
+                      extendedMask, wcs.header, compressionType="PLIO_1")
+    for mapDict in config.unfilteredMapsDictList:
+        mapDict["extendedMask"] = outDir
+    return extendedMask
+
+
+def stitchTiles(config):
+    """Stitch per-tile filtered maps, S/N maps and RMS maps into full-size
+    maps (``maps.py:958-1024``).  Only filters with saveFilteredMaps: True
+    have tiles on disk."""
+    from . import completeness
+
+    stitchSpecs = [
+        (os.path.join(config.filteredMapsDir, "{tile}",
+                      "{label}#{tile}_filteredMap.fits"),
+         os.path.join(config.filteredMapsDir,
+                      "stitched_{label}_filteredMap.fits"), None),
+        (os.path.join(config.filteredMapsDir, "{tile}",
+                      "{label}#{tile}_SNMap.fits"),
+         os.path.join(config.filteredMapsDir,
+                      "stitched_{label}_SNMap.fits"), None),
+        (os.path.join(config.selFnDir, "{tile}",
+                      "RMSMap_{label}#{tile}.fits"),
+         os.path.join(config.selFnDir, "stitched_RMSMap_{label}.fits"),
+         "RICE_1"),
+    ]
+    if config.origWCS is None:
+        return
+    for filterDict in config.parDict["mapFilters"]:
+        if not filterDict["params"].get("saveFilteredMaps"):
+            continue
+        label = filterDict["label"]
+        for pattern, outPattern, compression in stitchSpecs:
+            outFileName = outPattern.format(label=label)
+            if os.path.exists(outFileName):
+                continue
+            d = np.zeros((config.origWCS.naxis2, config.origWCS.naxis1))
+            found = False
+            for tileName in config.tileCoordsDict:
+                f = pattern.format(tile=tileName, label=label)
+                if not os.path.exists(f):
+                    continue
+                tileData, _ = nfits.read_image(f)
+                try:
+                    areaMask, _ = completeness.loadAreaMask(
+                        tileName, config.selFnDir)
+                except FileNotFoundError:
+                    areaMask = np.ones(tileData.shape)
+                minX, maxX, minY, maxY = \
+                    config.tileCoordsDict[tileName]["clippedSection"]
+                h = min(maxY - minY, tileData.shape[0])
+                w = min(maxX - minX, tileData.shape[1])
+                d[minY:minY + h, minX:minX + w] += \
+                    (areaMask[:h, :w] * tileData[:h, :w])
+                found = True
+            if found:
+                nfits.write_image(outFileName, d, config.origWCS.header,
+                                  compressionType=compression)
+
+
+def applyPointSourceMask(maskFileName, mapData, mapWCS, mask=0.0,
+                         radiusArcmin=2.8):
+    """Blank map regions under a point-source mask file
+    (``maps.py:1160-1209``)."""
+    psMask, _ = nfits.read_image(maskFileName)
+    out = np.array(mapData)
+    out[np.asarray(psMask) == 0] = mask
+    return out
