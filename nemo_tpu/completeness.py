@@ -647,3 +647,102 @@ def tidyUp(config):
         if names:
             Table({"tileName": np.array(names),
                    "areaDeg2": np.array(areas)}).write(areaPath)
+
+
+def calcCompleteness(RMSTab, SNRCut, tileName, mockSurvey,
+                     scalingRelationDict, QFit, plotFileName=None, z=None,
+                     method="fast", numDraws=2000000, numIterations=100,
+                     verbose=False):
+    """Completeness on the (z, log10M) grid for one tile's noise
+    distribution (``completeness.py:1267-1419``, 'fast' method).
+
+    Returns the compMz grid."""
+    tenToA0 = scalingRelationDict["tenToA0"]
+    B0 = scalingRelationDict["B0"]
+    Mpivot = scalingRelationDict["Mpivot"]
+    sigma_int = scalingRelationDict["sigma_int"]
+    zRange = mockSurvey.z if z is None else np.array([z])
+    area = np.asarray(RMSTab["areaDeg2"])
+    areaWeights = area / area.sum()
+    y0RMS = np.asarray(RMSTab["y0RMS"])
+
+    compMz = np.zeros((len(zRange), len(mockSurvey.log10M)))
+    for i, zk in enumerate(zRange):
+        k = np.argmin(np.abs(mockSurvey.z - zk))
+        theta500s = interpolate.splev(mockSurvey.log10M,
+                                      mockSurvey.theta500Splines[k])
+        Qs = QFit.getQ(theta500s, zk, tileName=tileName)
+        fRels = interpolate.splev(mockSurvey.log10M,
+                                  mockSurvey.fRelSplines[k])
+        y0Grid = tenToA0 * mockSurvey.Ez[k] ** 2 \
+            * (mockSurvey.M / Mpivot) ** (1 + B0) * Qs * fRels
+        y0Grid = np.where(y0Grid <= 0, 1e-9, y0Grid)
+        comp = np.zeros(len(y0Grid))
+        for j in range(len(y0RMS)):
+            totalErr = np.sqrt((y0RMS[j] / y0Grid) ** 2 + sigma_int ** 2)
+            comp = comp + areaWeights[j] * stats.norm.sf(
+                SNRCut * y0RMS[j], loc=y0Grid, scale=totalErr * y0Grid)
+        compMz[i] = comp
+    return compMz if z is None else compMz[0]
+
+
+def makeMassLimitMap(SNRCut, z, tileName, photFilterLabel, mockSurvey,
+                     scalingRelationDict, QFit, diagnosticsDir, selFnDir,
+                     completenessFraction=0.9):
+    """Mass-limit map for one tile at redshift z
+    (``completeness.py:1422-1551``): map each noise-map pixel to the mass
+    at which completeness crosses ``completenessFraction``."""
+    RMSMap, wcs = loadRMSMap(tileName, selFnDir, photFilterLabel)
+    RMSMap = np.asarray(RMSMap)
+    rmsVals = np.unique(RMSMap[RMSMap > 0])
+    if len(rmsVals) == 0:
+        return None
+    # limit per noise level
+    limits = np.zeros(len(rmsVals))
+    RMSTabOne = Table({"areaDeg2": np.ones(1), "y0RMS": np.zeros(1)})
+    for i, rms in enumerate(rmsVals):
+        RMSTabOne["y0RMS"] = np.array([rms])
+        comp = calcCompleteness(RMSTabOne, SNRCut, tileName, mockSurvey,
+                                scalingRelationDict, QFit, z=z)
+        above = np.where(comp >= completenessFraction)[0]
+        limits[i] = 10 ** mockSurvey.log10M[above[0]] / 1e14 \
+            if len(above) else np.nan
+    massLimMap = np.zeros(RMSMap.shape)
+    lut = dict(zip(rmsVals.tolist(), limits.tolist()))
+    vals, inverse = np.unique(RMSMap, return_inverse=True)
+    mapped = np.array([lut.get(v, 0.0) for v in vals.tolist()])
+    massLimMap = mapped[inverse].reshape(RMSMap.shape)
+    outDir = os.path.join(diagnosticsDir, tileName)
+    os.makedirs(outDir, exist_ok=True)
+    outFileName = os.path.join(
+        outDir, "massLimitMap_z%s#%s.fits"
+        % (str(z).replace(".", "p"), tileName))
+    nfits.write_image(outFileName, massLimMap.astype(np.float32),
+                      wcs.header, compressionType="RICE_1")
+    return massLimMap
+
+
+def makeMassLimitMapsAndPlots(config):
+    """Mass-limit maps for each z in selFnOptions['massLimitMaps']
+    (``bin/nemo:153-154`` epilogue)."""
+    selFnOptions = config.parDict.get("selFnOptions", {})
+    SNRCut = selFnOptions.get("fixedSNRCut", 5.0)
+    massOptions = config.parDict["massOptions"]
+    photFilterLabel = config.parDict["photFilter"]
+    QSource = selFnOptions.get("QSource", "fit")
+    Q = QFit(QSource=QSource, selFnDir=config.selFnDir,
+             tileNames=config.allTileNames)
+    mockSurvey = MockSurvey(5e13, 700.0, 0.0, 3.0, massOptions["H0"],
+                            massOptions["Om0"], massOptions["Ob0"],
+                            massOptions["sigma8"], massOptions["ns"],
+                            delta=massOptions["delta"],
+                            rhoType=massOptions["rhoType"])
+    for mlDict in selFnOptions.get("massLimitMaps", []):
+        z = mlDict["z"]
+        for tileName in config.allTileNames:
+            try:
+                makeMassLimitMap(SNRCut, z, tileName, photFilterLabel,
+                                 mockSurvey, massOptions, Q,
+                                 config.diagnosticsDir, config.selFnDir)
+            except FileNotFoundError:
+                continue

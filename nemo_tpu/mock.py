@@ -126,7 +126,8 @@ class MockSurvey:
     def _cumulativeNumberDensity(self, z):
         """n(>M) per comoving Mpc^3 (``MockSurvey.py:246-262``)."""
         dndlnM = self.cosmoModel.dndlnM(self.M, z, delta=self.delta,
-                                        rhoType=self.rhoType)
+                                        rhoType=self.rhoType,
+                                        massFunction=self.massFuncName)
         lnM = np.log(self.M)
         # integrate from high mass down
         rev = dndlnM[::-1]
@@ -153,7 +154,8 @@ class MockSurvey:
             zShellMid = (zRange[i] + zRange[i + 1]) / 2.0
             dndlnM = self.cosmoModel.dndlnM(self.M, zShellMid,
                                             delta=self.delta,
-                                            rhoType=self.rhoType)
+                                            rhoType=self.rhoType,
+                                            massFunction=self.massFuncName)
             n = (dndlnM / self.M) * np.gradient(self.M)
             numberDensity.append(n)
             shellVolumeMpc3 = (self._comovingVolume(zRange[i + 1])

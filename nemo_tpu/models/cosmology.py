@@ -251,9 +251,45 @@ class FlatLCDM:
         c = c0
         return A * ((sigma / b) ** -a + 1) * np.exp(-c / sigma ** 2)
 
-    def dndlnM(self, M, z, delta=500, rhoType="critical"):
+    # -- Tinker10 --------------------------------------------------------------
+    # Table 4 of Tinker et al. (2010); delta is w.r.t. mean density.
+    _T10_DELTAS = _T08_DELTAS
+    _T10_alpha = np.array([0.368, 0.363, 0.385, 0.389, 0.393,
+                           0.365, 0.379, 0.355, 0.327])
+    _T10_beta = np.array([0.589, 0.585, 0.544, 0.543, 0.564,
+                          0.623, 0.637, 0.673, 0.702])
+    _T10_gamma = np.array([0.864, 0.922, 0.987, 1.09, 1.20,
+                           1.34, 1.50, 1.68, 1.81])
+    _T10_phi = np.array([-0.729, -0.789, -0.910, -1.05, -1.20,
+                         -1.26, -1.45, -1.50, -1.49])
+    _T10_eta = np.array([-0.243, -0.261, -0.261, -0.273, -0.278,
+                         -0.301, -0.301, -0.319, -0.336])
+
+    def tinker10_g(self, sigma, z, delta_m):
+        """nu f(nu) multiplicity of Tinker et al. (2010), with their
+        redshift evolution (frozen at z = 3)."""
+        ld = np.log10(delta_m)
+        x = np.log10(self._T10_DELTAS)
+        alpha = np.interp(ld, x, self._T10_alpha)
+        beta0 = np.interp(ld, x, self._T10_beta)
+        gamma0 = np.interp(ld, x, self._T10_gamma)
+        phi0 = np.interp(ld, x, self._T10_phi)
+        eta0 = np.interp(ld, x, self._T10_eta)
+        zc = min(float(z), 3.0)
+        beta = beta0 * (1 + zc) ** 0.20
+        phi = phi0 * (1 + zc) ** -0.08
+        eta = eta0 * (1 + zc) ** 0.27
+        gamma = gamma0 * (1 + zc) ** -0.01
+        nu = DELTA_COLLAPSE / sigma
+        fnu = alpha * (1 + (beta * nu) ** (-2 * phi)) * nu ** (2 * eta) \
+            * np.exp(-gamma * nu ** 2 / 2.0)
+        return nu * fnu
+
+    def dndlnM(self, M, z, delta=500, rhoType="critical",
+               massFunction="Tinker08"):
         """Halo mass function dn/dlnM [comoving Mpc^-3] at overdensity
-        ``delta`` w.r.t. ``rhoType`` density (CCL MassFuncTinker08 parity)."""
+        ``delta`` w.r.t. ``rhoType`` density (CCL MassFuncTinker08/10
+        parity)."""
         M = np.asarray(M, dtype=float)
         if rhoType == "critical":
             delta_m = float(delta) / self.Omz(z)
@@ -263,7 +299,10 @@ class FlatLCDM:
         sig0 = np.sqrt(self._sigma2_of_R(R, self._k, self._pk))
         D = self.growthFactor(z)
         sigma = sig0 * D
-        f = self.tinker08_f(sigma, z, delta_m)
+        if massFunction == "Tinker10":
+            f = self.tinker10_g(sigma, z, delta_m)
+        else:
+            f = self.tinker08_f(sigma, z, delta_m)
         # dln sigma^-1 / dlnM via finite differences on the M grid
         lnM = np.log(M)
         lnsinv = -np.log(sigma)
