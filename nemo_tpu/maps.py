@@ -18,7 +18,7 @@ from .models import profiles, sz
 from .models.beams import BeamProfile
 from .ops import fourier, grf, imageops
 from .utils import fits as nfits
-from .utils.tables import Table
+from .utils.tables import Table, vstack
 from .utils.wcs import WCS, calcAngSepDeg, clipUsingRADecCoords
 
 # Re-exports for parity with the reference module layout (maps.py:652-688)
@@ -677,7 +677,7 @@ def makeModelImage(shape, wcs, catalog, beamFileName, obsFreqGHz=None,
     if applyPixelWindow:
         modelMap = np.asarray(fourier.apply_pixel_window(
             jnp.asarray(modelMap), pow=1.0))
-    return modelMap
+    return np.array(modelMap)  # writable copy (callers mutate in place)
 
 
 def _quantizeSizeDeg(sizeDeg, steps=(0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 15.0)):
@@ -1117,4 +1117,86 @@ def applyPointSourceMask(maskFileName, mapData, mapWCS, mask=0.0,
     psMask, _ = nfits.read_image(maskFileName)
     out = np.array(mapData)
     out[np.asarray(psMask) == 0] = mask
+    return out
+
+
+def noiseBiasAnalysis(sourceInjTable, plotFileName=None,
+                      sourceInjectionModel=None):
+    """Quantify flux 'optimization bias' vs S/N from source-injection
+    results (``maps.py:2347-2368``): the ratio outFlux/inFlux binned by
+    recovered SNR, fit with the reference's snr-fold model."""
+    from scipy.optimize import curve_fit
+
+    tab = sourceInjTable
+    if sourceInjectionModel is not None and \
+            "sourceInjectionModel" in tab.keys():
+        tab = tab[np.asarray(tab["sourceInjectionModel"])
+                  == sourceInjectionModel]
+    snr = np.asarray(tab["SNR"], dtype=float)
+    ratio = np.asarray(tab["outFlux"], dtype=float) \
+        / np.asarray(tab["inFlux"], dtype=float)
+    binEdges = np.linspace(max(4.0, snr.min()), min(snr.max(), 20.0), 11)
+    centres, med = [], []
+    for i in range(len(binEdges) - 1):
+        sel = (snr >= binEdges[i]) & (snr < binEdges[i + 1])
+        if sel.sum() >= 5:
+            centres.append((binEdges[i] + binEdges[i + 1]) / 2)
+            med.append(np.median(ratio[sel]))
+    centres = np.array(centres)
+    med = np.array(med)
+
+    def biasFunc(s, snrFold, pedestal, norm):
+        return norm * np.exp(-s / snrFold) + pedestal
+
+    params = None
+    if len(centres) >= 3:
+        try:
+            params, _ = curve_fit(biasFunc, centres, med,
+                                  p0=[2.0, 1.0, 0.5], maxfev=20000)
+        except Exception:
+            params = None
+    if plotFileName is not None:
+        try:
+            from . import plotSettings
+            plotSettings.update_rcParams()
+            import matplotlib.pyplot as plt
+            plt.figure(figsize=(9, 6.5))
+            plt.plot(snr, ratio, ".", alpha=0.3)
+            plt.plot(centres, med, "o-", label="median")
+            plt.axhline(1.0, color="k", ls="--")
+            plt.xlabel("SNR")
+            plt.ylabel("outFlux / inFlux")
+            plt.legend()
+            plt.savefig(plotFileName)
+            plt.close()
+        except Exception:
+            pass
+    return {"func": biasFunc, "params": params, "binCentres": centres,
+            "medianRatio": med}
+
+
+def estimateContamination(contamSimDict, imageDict, SNRKeys, label,
+                          diagnosticsDir=None):
+    """Contamination fraction vs S/N cut, comparing sim (source-free)
+    detections against the real catalog (``maps.py:1668-1731``)."""
+    simCatalog = contamSimDict
+    realCatalog = imageDict
+    out = {}
+    for SNRKey in SNRKeys:
+        cuts = np.linspace(4.0, 10.0, 13)
+        contamRate = np.zeros(len(cuts))
+        for i, cut in enumerate(cuts):
+            nSim = int(np.sum(np.asarray(simCatalog[SNRKey]) > cut)) \
+                if len(simCatalog) > 0 and SNRKey in simCatalog.keys() else 0
+            nReal = int(np.sum(np.asarray(realCatalog[SNRKey]) > cut)) \
+                if len(realCatalog) > 0 and SNRKey in realCatalog.keys() \
+                else 0
+            contamRate[i] = nSim / nReal if nReal > 0 else 0.0
+        tab = Table({SNRKey: cuts,
+                     "contaminationRate": contamRate})
+        out[label + "_" + SNRKey] = tab
+        if diagnosticsDir is not None:
+            tab.write(os.path.join(
+                diagnosticsDir, "contaminationEstimate_%s_%s.fits"
+                % (label, SNRKey)))
     return out

@@ -1,0 +1,99 @@
+"""Source-injection test, SED extraction, mass-limit maps - exercising the
+nemo -I / nemoSpec / calcSelFn epilogue paths on the cluster sim."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nemo_tpu import completeness, maps, pipelines
+from nemo_tpu.utils.tables import Table
+from tests.test_cluster_e2e import cluster_run  # noqa: F401  (fixture)
+
+
+def _ensure_outputs(config, cat):
+    """Write the optimal catalog + QFit like bin/nemo does, which the
+    injection test and selFn epilogue consume."""
+    from nemo_tpu import catalogs
+    from nemo_tpu.models import qfit
+    catPath = os.path.join(
+        config.rootOutDir, "%s_optimalCatalog.fits"
+        % os.path.split(config.rootOutDir)[-1])
+    if not os.path.exists(catPath):
+        catalogs.writeCatalog(cat, catPath)
+    if not os.path.exists(os.path.join(config.selFnDir, "QFit.fits")):
+        qfit.fitQ(config)
+
+
+def test_source_injection_test(cluster_run):  # noqa: F811
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    _ensure_outputs(config, cat)
+    config.parDict["sourceInjectionIterations"] = 1
+    config.parDict["sourcesPerTile"] = 40
+    config.parDict["sourceInjectionModels"] = [
+        {"redshift": 0.4, "M500": 2.0e14}]
+    config.parDict["seed"] = 333
+    injTab = maps.sourceInjectionTest(config)
+    assert len(injTab) > 10
+    for col in ("SNR", "rArcmin", "inFlux", "outFlux", "theta500Arcmin"):
+        assert col in injTab.keys()
+    # Input catalog written for completeness use
+    assert os.path.exists(os.path.join(config.selFnDir,
+                                       "sourceInjectionInputCatalog.fits"))
+    # recovered fluxes correlate with inputs
+    r = np.corrcoef(np.asarray(injTab["inFlux"]),
+                    np.asarray(injTab["outFlux"]))[0, 1]
+    assert r > 0.7
+    # median positional offset sub-arcmin for bright objects
+    bright = np.asarray(injTab["SNR"]) > 8
+    if bright.sum() >= 5:
+        assert np.median(np.asarray(injTab["rArcmin"])[bright]) < 1.0
+
+    # Position recovery analysis runs and writes the model
+    out = maps.positionRecoveryAnalysis(
+        injTab, os.path.join(config.diagnosticsDir, "posRec.pdf"),
+        pickleFileName=os.path.join(config.diagnosticsDir, "posRec.pkl"),
+        selFnDir=config.selFnDir)
+    assert 99.7 in out
+    # Noise bias analysis runs
+    nb = maps.noiseBiasAnalysis(injTab)
+    assert "params" in nb
+
+    # save injection data so SelFn injection method could use it
+    injTab.write(os.path.join(config.selFnDir, "sourceInjectionData.fits"))
+
+
+def test_extract_spec_cap(cluster_run):  # noqa: F811
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    tab = Table({"name": np.asarray(inputTab["name"]),
+                 "RADeg": np.asarray(inputTab["RADeg"]),
+                 "decDeg": np.asarray(inputTab["decDeg"]),
+                 "template": np.array(["Arnaud_M2e14_z0p4"]
+                                      * len(inputTab))})
+    spec = pipelines.extractSpec(config, tab, method="CAP",
+                                 diskRadiusArcmin=4.0)
+    assert len(spec) == len(tab)
+    assert "diskT_uKArcmin2_150" in spec.keys()
+    assert "diskT_uKArcmin2_98" in spec.keys()
+    # Clusters are decrements at 98/150 GHz: median disk flux negative
+    assert np.median(np.asarray(spec["diskT_uKArcmin2_150"])) < 0
+    # diskSNR sign convention makes decrements positive significance
+    assert np.median(np.asarray(spec["diskSNR_150"])) > 0
+
+
+def test_mass_limit_map(cluster_run):  # noqa: F811
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    _ensure_outputs(config, cat)
+    config.parDict.setdefault("selFnOptions", {})
+    config.parDict["selFnOptions"].update(
+        {"fixedSNRCut": 5.0, "massLimitMaps": [{"z": 0.5}]})
+    completeness.makeMassLimitMapsAndPlots(config)
+    path = os.path.join(config.diagnosticsDir, "PRIMARY",
+                        "massLimitMap_z0p5#PRIMARY.fits")
+    assert os.path.exists(path)
+    from nemo_tpu.utils import fits as nfits
+    data, _ = nfits.read_image(path)
+    valid = data[data > 0]
+    assert len(valid) > 0
+    # limits should be cluster-scale masses in 1e14 MSun units
+    assert 0.3 < np.median(valid) < 30
