@@ -61,27 +61,49 @@ def gaussian_filter(m, sigma, truncate=4.0):
     return out
 
 
-def _separable_rank_filter(m, size, op, init):
-    """Rectangular min/max filters are separable: filter rows then columns,
-    turning an O(size^2)-per-pixel reduce_window into O(2*size).  This
-    matters for the DR5 edge trim, whose windows are ~240 pixels
-    (``nemo/filters.py:732-737``)."""
+def _sliding_extremum_1d(m, size, init, cummin_fn, axis):
+    """van Herk / Gil-Werman sliding min (or max) along one axis: O(1) work
+    per pixel independent of window size, via per-block prefix and suffix
+    running extrema.  Out-of-bounds treated as ``init`` (equivalent to
+    scipy 'reflect' for extremum filters)."""
     size = int(size)
     lo = size // 2
-    hi = size - 1 - lo
-    init = jnp.array(init, dtype=m.dtype)
-    out = m
-    for axis_from_end in (2, 1):
-        axis = out.ndim - axis_from_end
-        pad_cfg = [(0, 0, 0)] * out.ndim
-        pad_cfg[axis] = (lo, hi, 0)
-        window = [1] * out.ndim
-        window[axis] = size
-        padded = jax.lax.pad(out, init, pad_cfg)
-        out = jax.lax.reduce_window(padded, init, op,
-                                    window_dimensions=window,
-                                    window_strides=[1] * out.ndim,
-                                    padding="VALID")
+    n = m.shape[axis]
+    m = jnp.moveaxis(m, axis, -1)
+    lead = m.shape[:-1]
+    # We need out[i] = extremum over padded[i .. i+size-1] where padded has
+    # ``lo`` pad at the front. Pad the back so windows fit and the length
+    # is a multiple of size.
+    total = n + lo + size  # enough slack for the last window
+    nblocks = -(-total // size)
+    padded_len = nblocks * size
+    pad_front = lo
+    pad_back = padded_len - n - pad_front
+    init_arr = jnp.array(init, dtype=m.dtype)
+    x = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(pad_front, pad_back)],
+                constant_values=init)
+    blocks = x.reshape(lead + (nblocks, size))
+    last = blocks.ndim - 1
+    prefix = cummin_fn(blocks, axis=last)
+    suffix = cummin_fn(blocks[..., ::-1], axis=last)[..., ::-1]
+    prefix = prefix.reshape(lead + (padded_len,))
+    suffix = suffix.reshape(lead + (padded_len,))
+    idx = jnp.arange(n)
+    # window for out[i] in padded coords: [i, i + size - 1]
+    out = jnp.minimum(suffix[..., idx], prefix[..., idx + size - 1]) \
+        if cummin_fn is jax.lax.cummin else \
+        jnp.maximum(suffix[..., idx], prefix[..., idx + size - 1])
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _separable_rank_filter(m, size, op, init):
+    """Rectangular min/max filters are separable (rows then columns); each
+    1-d pass uses the van Herk algorithm, so total cost is O(1) per pixel
+    regardless of window size.  This matters for the DR5 edge trim, whose
+    windows are ~240 pixels (``nemo/filters.py:732-737``)."""
+    cummin_fn = jax.lax.cummin if op is jax.lax.min else jax.lax.cummax
+    out = _sliding_extremum_1d(m, size, init, cummin_fn, m.ndim - 2)
+    out = _sliding_extremum_1d(out, size, init, cummin_fn, m.ndim - 1)
     return out
 
 

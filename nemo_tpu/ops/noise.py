@@ -76,6 +76,59 @@ def _cell_stats(windows, valid, window, n_iter, estimator):
     return jnp.where(n0 > 0, rms, 0.0)
 
 
+
+def _expansion_plan(edges, n, npix, ov):
+    """Static per-pixel candidate cells as run-length repeat plans.
+
+    Returns (repeats0, valid0, repeats1, valid1): for the highest-priority
+    (latest-written) covering cell c0 and the runner-up c1, the number of
+    pixels mapped to each cell index (in order) plus validity masks -
+    candidate maps are monotone step functions of pixel index, so
+    nearest-cell upsampling is a gather-free jnp.repeat.
+    """
+    pix = np.arange(npix)
+    c0 = np.full(npix, -1)
+    c1 = np.full(npix, -1)
+    for i in range(n):
+        cover = (pix >= edges[i] - ov) & (pix < edges[i + 1] + ov)
+        c1[cover] = c0[cover]
+        c0[cover] = i
+
+    def plan(c):
+        valid = c >= 0
+        cc = np.clip(c, 0, n - 1)
+        repeats = np.bincount(cc, minlength=n)
+        return repeats, valid
+
+    r0, v0 = plan(c0)
+    r1, v1 = plan(c1)
+    return (r0, v0, r1, v1)
+
+
+def _assemble_rms(cellRMS, plan_y, plan_x, ny, nx):
+    """Reference overwrite-order semantics via repeat expansion: priority
+    (r0,c0) > (r0,c1) > (r1,c0) > (r1,c1); a zero cell RMS exposes the next
+    candidate (filters.py:480-481)."""
+    ry0, vy0, ry1, vy1 = plan_y
+    rx0, vx0, rx1, vx1 = plan_x
+
+    def expand(reps_y, reps_x):
+        up = jnp.repeat(cellRMS, jnp.asarray(reps_y), axis=0,
+                        total_repeat_length=ny)
+        return jnp.repeat(up, jnp.asarray(reps_x), axis=1,
+                          total_repeat_length=nx)
+
+    out = jnp.zeros((ny, nx), dtype=cellRMS.dtype)
+    for reps_y, vy, reps_x, vx in ((ry1, vy1, rx1, vx1),
+                                   (ry1, vy1, rx0, vx0),
+                                   (ry0, vy0, rx1, vx1),
+                                   (ry0, vy0, rx0, vx0)):
+        v = expand(reps_y, reps_x)
+        ok = jnp.asarray(vy)[:, None] & jnp.asarray(vx)[None, :] & (v > 0)
+        out = jnp.where(ok, v, out)
+    return out
+
+
 def grid_rms_map(mapData, gridSize_pix, overlap_pix=None, estimator="default",
                  n_iter=10):
     """Estimate the noise map over grid cells (numNoiseBins = 1 path).
@@ -126,39 +179,8 @@ def grid_rms_map(mapData, gridSize_pix, overlap_pix=None, estimator="default",
     cellRMS = _cell_stats(flat, valid, (Wy, Wx), n_iter, estimator)
     cellRMS = cellRMS.reshape(nCy, nCx)
 
-    # Per-pixel candidate cells in write-priority order. A pixel at y is
-    # covered by cell rows i with ye[i] - ov <= y < ye[i+1] + ov; the
-    # later-written (larger index) candidate wins unless its RMS <= 0.
-    def candidates(edges, n, npix):
-        c0 = np.full(npix, -1)
-        c1 = np.full(npix, -1)
-        pix = np.arange(npix)
-        for i in range(n):
-            cover = (pix >= edges[i] - ov) & (pix < edges[i + 1] + ov)
-            c1[cover] = c0[cover]
-            c0[cover] = i
-        return c0, c1  # c0 = highest-priority (latest) row
-
-    ry0, ry1 = candidates(ye, nCy, ny)
-    cx0, cx1 = candidates(xe, nCx, nx)
-
-    ry0 = jnp.asarray(ry0)[:, None]
-    ry1 = jnp.asarray(ry1)[:, None]
-    cx0 = jnp.asarray(cx0)[None, :]
-    cx1 = jnp.asarray(cx1)[None, :]
-
-    def cell_val(iy_, ix_):
-        ok = jnp.logical_and(iy_ >= 0, ix_ >= 0)
-        vals = cellRMS[jnp.clip(iy_, 0, nCy - 1), jnp.clip(ix_, 0, nCx - 1)]
-        return jnp.where(ok, vals, 0.0)
-
-    out = jnp.zeros((ny, nx), dtype=mapData.dtype)
-    # priority: (r0,c0) > (r0,c1) > (r1,c0) > (r1,c1); apply in reverse so
-    # higher priority overwrites (only where value > 0).
-    for iy_, ix_ in ((ry1, cx1), (ry1, cx0), (ry0, cx1), (ry0, cx0)):
-        v = cell_val(iy_, ix_)
-        out = jnp.where(v > 0, v, out)
-    return out
+    return _assemble_rms(cellRMS, _expansion_plan(ye, nCy, ny, ov),
+                         _expansion_plan(xe, nCx, nx, ov), ny, nx)
 
 
 def whole_map_rms(mapData, estimator="default", n_iter=10):
@@ -168,3 +190,158 @@ def whole_map_rms(mapData, estimator="default", n_iter=10):
     rms = _cell_stats(flat, valid, mapData.shape, n_iter, estimator)[0]
     return jnp.where(jnp.asarray(mapData) != 0, rms,
                      rms) * jnp.ones_like(jnp.asarray(mapData))
+
+
+# -----------------------------------------------------------------------------
+# Pallas TPU kernel: fused per-cell sigma-clip.
+#
+# The XLA path above gathers all (overlapping) cell windows into a
+# (nCells, Wy, Wx) tensor and runs 10 masked-reduction iterations over it -
+# every iteration re-reads the windows from HBM.  The Pallas kernel instead
+# assigns one grid step per cell, DMAs that cell's window from the padded
+# map in HBM into VMEM once, and runs the whole 10-iteration clip loop
+# on-chip, writing back a single scalar per cell.
+
+def _rms_cell_kernel(starts_y, starts_x, offs_y, offs_x, lens_y, lens_x,
+                     padded_hbm, out_ref, scratch, sem):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    Wy, Wx = scratch.shape
+
+    # starts are pre-aligned to the (8, 128) DMA tiling on the host; the
+    # true window begins offs into the slab and spans lens pixels.
+    dma = pltpu.make_async_copy(
+        padded_hbm.at[t, pl.ds(pl.multiple_of(starts_y[c], 8), Wy),
+                      pl.ds(pl.multiple_of(starts_x[c], 128), Wx)],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+
+    v = scratch[:]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (Wy, Wx), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (Wy, Wx), 1)
+    in_y = jnp.logical_and(iy >= offs_y[c], iy < offs_y[c] + lens_y[c])
+    in_x = jnp.logical_and(ix >= offs_x[c], ix < offs_x[c] + lens_x[c])
+    good = jnp.logical_and(v != 0, jnp.logical_and(in_y, in_x))
+    goodf = good.astype(v.dtype)
+    n0 = jnp.sum(goodf)
+    safe_n0 = jnp.maximum(n0, 1.0)
+    mean = jnp.sum(v * goodf) / safe_n0
+    var = jnp.sum(goodf * (v - mean) ** 2) / safe_n0
+    rms = jnp.sqrt(var)
+
+    def body(_, carry):
+        mean, rms = carry
+        clip = jnp.abs(v) < jnp.abs(mean + 3.0 * rms)
+        m = jnp.logical_and(good, clip).astype(v.dtype)
+        nm = jnp.sum(m)
+        safe = jnp.maximum(nm, 1.0)
+        new_mean = jnp.sum(v * m) / safe
+        new_var = jnp.sum(m * (v - new_mean) ** 2) / safe
+        new_rms = jnp.sqrt(new_var)
+        keep = nm > 0
+        return (jnp.where(keep, new_mean, mean),
+                jnp.where(keep, new_rms, rms))
+
+    mean, rms = jax.lax.fori_loop(0, 10, body, (mean, rms))
+    out_ref[t, c] = jnp.where(n0 > 0, rms, 0.0)
+
+
+def _grid_rms_cells_pallas(paddedBatch, starts_y, starts_x, offs_y, offs_x,
+                           lens_y, lens_x, window, interpret=False):
+    """Per-cell clipped RMS via the fused Pallas kernel.
+
+    Args:
+        paddedBatch: (nT, PY, PX) zero-padded maps.
+        starts_y/x, lens_y/x: int32 (nCells,) window anchors and true
+            extents (static per shape, data for the kernel).
+        window: (Wy, Wx) static window size.
+    Returns:
+        (nT, nCells) cell RMS values.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nT = paddedBatch.shape[0]
+    nCells = len(starts_y)
+    Wy, Wx = window
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(nT, nCells),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        # One whole-array SMEM block revisited by every grid step (TPU
+        # lowering requires aligned or full-array block dims; the array is
+        # tiny and written one scalar per step).
+        out_specs=pl.BlockSpec((nT, nCells), lambda t, c, *_: (0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((Wy, Wx), paddedBatch.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    return pl.pallas_call(
+        _rms_cell_kernel,
+        out_shape=jax.ShapeDtypeStruct((nT, nCells), paddedBatch.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(starts_y, dtype=jnp.int32),
+      jnp.asarray(starts_x, dtype=jnp.int32),
+      jnp.asarray(offs_y, dtype=jnp.int32),
+      jnp.asarray(offs_x, dtype=jnp.int32),
+      jnp.asarray(lens_y, dtype=jnp.int32),
+      jnp.asarray(lens_x, dtype=jnp.int32),
+      paddedBatch)
+
+
+def grid_rms_map_batch(mapBatch, gridSize_pix, overlap_pix=None,
+                       impl="auto", interpret=False):
+    """Batched noise-map estimation (nT, ny, nx) -> (nT, ny, nx), with the
+    fused Pallas kernel on TPU ('pallas') or the XLA gather path ('xla')."""
+    mapBatch = jnp.asarray(mapBatch)
+    if mapBatch.ndim == 2:
+        mapBatch = mapBatch[None]
+    nT, ny, nx = mapBatch.shape
+    gridSize = int(gridSize_pix)
+    ov = int(gridSize // 2) if overlap_pix is None else int(overlap_pix)
+    ye = cell_edges(ny, gridSize)
+    xe = cell_edges(nx, gridSize)
+    nCy, nCx = len(ye) - 1, len(xe) - 1
+    Wy = int(np.diff(ye).max() + 2 * ov)
+    Wx = int(np.diff(xe).max() + 2 * ov)
+
+    if impl == "auto":
+        # The XLA gather formulation with repeat-based assembly outruns the
+        # (serial-grid) Pallas kernel on current hardware; keep 'pallas'
+        # selectable for experimentation.
+        impl = "xla"
+    if impl == "xla":
+        return jax.vmap(lambda m: grid_rms_map(m, gridSize_pix,
+                                               overlap_pix=overlap_pix))(
+            mapBatch)
+
+    starts_y = np.repeat(ye[:-1], nCx)
+    starts_x = np.tile(xe[:-1], nCy)
+    lens_y = np.repeat(np.diff(ye), nCx) + 2 * ov
+    lens_x = np.tile(np.diff(xe), nCy) + 2 * ov
+    # Mosaic DMA slices need tiling-aligned shapes AND offsets: align each
+    # window anchor DOWN to (8, 128) multiples and carry the residual as an
+    # in-window offset handled by the validity mask.
+    starts_y_al = (starts_y // 8) * 8
+    starts_x_al = (starts_x // 128) * 128
+    offs_y = starts_y - starts_y_al
+    offs_x = starts_x - starts_x_al
+    Wy_al = -(-(Wy + 8) // 8) * 8
+    Wx_al = -(-(Wx + 128) // 128) * 128
+    padded = jnp.pad(mapBatch, ((0, 0), (ov, Wy_al), (ov, Wx_al)))
+    # anchors are relative to the padded array: start = edge - ov + ov = edge
+    cellRMS = _grid_rms_cells_pallas(padded, starts_y_al, starts_x_al,
+                                     offs_y, offs_x, lens_y, lens_x,
+                                     (Wy_al, Wx_al), interpret=interpret)
+    cellRMS = cellRMS.reshape(nT, nCy, nCx)
+
+    plan_y = _expansion_plan(ye, nCy, ny, ov)
+    plan_x = _expansion_plan(xe, nCx, nx, ov)
+    return jax.vmap(lambda cells: _assemble_rms(cells, plan_y, plan_x,
+                                                ny, nx))(cellRMS)

@@ -25,8 +25,7 @@ def _make_batch(nTiles, nf, ny, nx, seed=0):
     yy, xx = np.mgrid[0:ny, 0:nx]
     tmpl = np.exp(-((yy - ny / 2) ** 2 + (xx - nx / 2) ** 2)
                   / (2 * 2.0 ** 2))
-    fsig = np.abs(np.fft.fft2(tmpl))
-    fsignal = np.broadcast_to(fsig, (nTiles, nf, ny, nx)).copy()
+    fsignal = np.broadcast_to(tmpl, (nTiles, nf, ny, nx)).copy()
     return data, noise, fsignal
 
 
