@@ -100,6 +100,18 @@ class MapDict(dict):
             data[:, :minX] = 0
             data[:, maxX:] = 0
 
+        # Optional CAR -> TAN reprojection (maps.py:152-167): may reduce
+        # high-declination distortion biases at the cost of an extra
+        # resampling (bicubic for maps, nearest for masks).
+        if self.get("reprojectToTan"):
+            from .utils.wcs import makeTanWCS, reprojectImage
+            order = 0 if mapKey in self._maskKeys else 3
+            tanWCS = makeTanWCS(wcs)
+            data, footprint = reprojectImage(data, wcs, tanWCS, order=order)
+            if mapKey in self._maskKeys:
+                data = data.astype(np.uint8)
+            wcs = tanWCS
+
         if returnWCS:
             return data, wcs
         return data

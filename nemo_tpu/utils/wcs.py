@@ -266,3 +266,52 @@ def loadWCSFromHeaderText(path):
                 val = val.split("/")[0]
             header[key] = nfits._parse_value(val)
     return WCS(header)
+
+
+def makeTanWCS(wcs, pixScale=0.5 / 60.0):
+    """TAN WCS covering the same sky footprint as the given (CAR) WCS
+    (parity with ``nemo/maps.py:608-640``)."""
+    RADeg, decDeg = wcs.getCentreWCSCoords()
+    xSizeDeg, ySizeDeg = wcs.getFullSizeSkyDeg()
+    xSizePix = int(xSizeDeg / pixScale)
+    ySizePix = int(ySizeDeg / pixScale)
+    header = nfits.Header()
+    header["NAXIS1"] = xSizePix
+    header["NAXIS2"] = ySizePix
+    header["CTYPE1"] = "RA---TAN"
+    header["CTYPE2"] = "DEC--TAN"
+    header["CRVAL1"] = RADeg
+    header["CRVAL2"] = decDeg
+    header["CRPIX1"] = xSizePix / 2.0 + 1
+    header["CRPIX2"] = ySizePix / 2.0 + 1
+    header["CDELT1"] = -(xSizeDeg / xSizePix)
+    header["CDELT2"] = xSizeDeg / xSizePix
+    header["CUNIT1"] = "DEG"
+    header["CUNIT2"] = "DEG"
+    return WCS(header)
+
+
+def reprojectImage(data, inWCS, outWCS, outShape=None, order=3):
+    """Resample a map from one WCS onto another via spline interpolation
+    (replaces the reference's ``reproject.reproject_interp`` usage at
+    ``nemo/maps.py:161``). order=0 for masks, 3 (bicubic) for maps.
+
+    Returns (outData, footprint) where footprint marks pixels that mapped
+    inside the input image.
+    """
+    from scipy import ndimage as snd
+    if outShape is None:
+        outShape = (outWCS.naxis2, outWCS.naxis1)
+    yy, xx = np.mgrid[0:outShape[0], 0:outShape[1]]
+    coords = outWCS.pix2wcs(xx.ravel().astype(float),
+                            yy.ravel().astype(float))
+    pix = inWCS.wcs2pix(coords[:, 0], coords[:, 1])
+    xin = pix[:, 0].reshape(outShape)
+    yin = pix[:, 1].reshape(outShape)
+    footprint = ((xin >= 0) & (xin <= data.shape[1] - 1)
+                 & (yin >= 0) & (yin <= data.shape[0] - 1))
+    out = snd.map_coordinates(np.asarray(data, dtype=float),
+                              [yin, xin], order=order, mode="constant",
+                              cval=0.0)
+    out[~footprint] = 0
+    return out, footprint
