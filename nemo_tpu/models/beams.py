@@ -69,8 +69,10 @@ def _profile_to_harm(rDeg, profile1d, lmax=50000):
 def _harm_to_profile(ell, Bell, rDeg):
     """Real-space radial profile of a harmonic transform B_ell."""
     rft = RadialFourierTransform()
-    # np.interp end-clamping matches the reference's use at signals.py:644
-    Fl = np.interp(rft.l, ell, Bell)
+    # Zero beyond the tabulated ell range: end-clamping (as np.interp does
+    # by default) would extend a constant plateau to l ~ 1e7 on our log
+    # grid and alias into a spike at r = 0.
+    Fl = np.interp(rft.l, ell, Bell, right=0.0)
     fr = rft.harm2real(Fl)
     r, fr = rft.unpad(rft.r, fr)
     return np.interp(np.radians(rDeg), r, fr)

@@ -79,7 +79,9 @@ def convolveProfileWithBeam(rDeg, prof, beam):
     rprof = np.interp(rft.r, np.radians(np.asarray(rDeg)), np.asarray(prof),
                       left=prof[0], right=0.0)
     lprof = rft.real2harm(rprof)
-    lbeam = np.interp(rft.l, beam.ell, beam.Bell)
+    # Zero beyond the tabulated B_ell range (end-clamping would alias a
+    # high-l plateau into a spike at r=0 on the log grid)
+    lbeam = np.interp(rft.l, beam.ell, beam.Bell, right=0.0)
     rconv = rft.harm2real(lprof * lbeam)
     r, rconv = rft.unpad(rft.r, rconv)
     return r, rconv
