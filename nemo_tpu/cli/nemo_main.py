@@ -42,6 +42,9 @@ def makeParser():
     parser.add_argument("-x", "--x64", dest="x64", action="store_true",
                         default=False,
                         help="Use float64 (CPU backend parity runs).")
+    parser.add_argument("--profile-dir", dest="profileDir", default=None,
+                        help="Capture a jax.profiler trace of the filtering "
+                             "stage into this directory.")
     return parser
 
 
@@ -77,9 +80,11 @@ def main():
             config.rootOutDir, "%s_optimalCatalog.csv"
             % os.path.split(config.rootOutDir)[-1])
 
+    from nemo_tpu.utils.timing import GLOBAL_TIMER, profile_trace
     if not os.path.exists(optimalCatalogFileName):
-        optimalCatalog = pipelines.filterMapsAndMakeCatalogs(
-            config, writeAreaMask=True, writeFlagMask=True)
+        with profile_trace(args.profileDir):
+            optimalCatalog = pipelines.filterMapsAndMakeCatalogs(
+                config, writeAreaMask=True, writeFlagMask=True)
         if len(optimalCatalog) > 0:
             optimalCatalog = catalogs.flagTileBoundarySplits(optimalCatalog)
             optimalCatalog.sort("name")
@@ -129,6 +134,11 @@ def main():
         if not os.path.exists(selFnConfigPath):
             shutil.copy(args.configFileName, selFnConfigPath)
         completeness.completenessByFootprint(config)
+        selFnOptions = config.parDict.get("selFnOptions", {})
+        if selFnOptions.get("massLimitMaps"):
+            completeness.makeMassLimitMapsAndPlots(config)
+
+    print(GLOBAL_TIMER.report())
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ import numpy as np
 from . import catalogs, filters, maps, photometry
 from .utils import fits as nfits
 from .utils.tables import Table, vstack
+from .utils.timing import GLOBAL_TIMER
 
 
 def filterMapsAndMakeCatalogs(config, rootOutDir=None, useCachedFilters=False,
@@ -143,11 +144,13 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
                 filteredMapDict["label"] = f["label"]
                 filteredMapDict["tileName"] = tileName
             else:
-                filteredMapDict = filters.filterMaps(
-                    config.unfilteredMapsDictList, f, tileName,
-                    diagnosticsDir=diagnosticsDir, selFnDir=config.selFnDir,
-                    verbose=True, undoPixelWindow=undoPixelWindow,
-                    useCachedFilter=useCachedFilters)
+                with GLOBAL_TIMER.stage("filterMaps"):
+                    filteredMapDict = filters.filterMaps(
+                        config.unfilteredMapsDictList, f, tileName,
+                        diagnosticsDir=diagnosticsDir,
+                        selFnDir=config.selFnDir,
+                        verbose=True, undoPixelWindow=undoPixelWindow,
+                        useCachedFilter=useCachedFilters)
 
             if useCachedRMSMap and photFilter is not None:
                 # See the reference's long comment at pipelines.py:216-232
@@ -187,6 +190,7 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
                     useInterpolator=config.parDict["useInterpolator"],
                     DS9RegionsPath=DS9RegionsPath)
             else:
+              with GLOBAL_TIMER.stage("findObjects"):
                 catalog = photometry.findObjects(
                     filteredMapDict,
                     threshold=config.parDict["thresholdSigma"],
