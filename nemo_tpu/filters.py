@@ -651,16 +651,30 @@ class RealSpaceMatchedFilter(MapFilter):
                 os.path.exists(self.filterFileName):
             return self.loadFilter()
 
-        # Build a Fourier MF on the kernel sub-region
-        from . import maps as maps_mod
+        # Build a Fourier MF on the kernel sub-region, by clipping the
+        # already-preprocessed tile maps to RADecSection (the reference
+        # re-reads the files with an RADecSection for memory reasons,
+        # maps.py:274-289 - clipping in memory is equivalent).
+        from .utils.wcs import clipUsingRADecCoords
+        RAMin, RAMax, decMin, decMax = RADecSection
         kernelDictList = []
         for mapDict in self.unfilteredMapsDictList:
-            kd = maps_mod.MapDict(
-                {k: mapDict[k] for k in mapDict.keys()
-                 if k not in ("data", "weights", "wcs", "surveyMask",
-                              "pointSourceMask", "flagMask")},
-                tileCoordsDict=getattr(mapDict, "tileCoordsDict", None))
-            kd["RADecSection"] = RADecSection
+            kd = {k: mapDict[k] for k in mapDict.keys()
+                  if k not in ("data", "weights", "wcs", "surveyMask",
+                               "pointSourceMask", "flagMask")}
+            clip = clipUsingRADecCoords(np.asarray(mapDict["data"]),
+                                        mapDict["wcs"], RAMin, RAMax,
+                                        decMin, decMax)
+            kd["data"] = clip["data"]
+            kd["wcs"] = clip["wcs"]
+            for key in ("weights", "surveyMask", "pointSourceMask",
+                        "flagMask"):
+                kd[key] = clipUsingRADecCoords(
+                    np.asarray(mapDict[key]), mapDict["wcs"], RAMin, RAMax,
+                    decMin, decMax)["data"]
+            if kd["data"].size == 0:
+                raise ValueError("Kernel RADecSection clip is empty - check "
+                                 "noiseParams RADecSection")
             kernelDictList.append(kd)
         mfClassName = self.params["noiseParams"].get(
             "matchedFilterClass",
