@@ -190,7 +190,7 @@ class MapDict(dict):
         if "CMBSimSeed" in self:
             key = jax.random.PRNGKey(int(self["CMBSimSeed"]))
             beam = BeamProfile(beamFileName=self["beamFileName"])
-            randMap = np.asarray(grf.sim_cmb_map(
+            randMap = np.array(grf.sim_cmb_map(
                 key, data.shape, pixScalesRad(wcs, data.shape),
                 beamBell=beam.Bell, beamEll=beam.ell))
             randMap[weights == 0] = 0

@@ -6,7 +6,7 @@ import os
 import numpy as np
 import pytest
 
-from nemo_tpu import completeness, maps, pipelines
+from nemo_tpu import catalogs, completeness, maps, pipelines
 from nemo_tpu.utils.tables import Table
 from tests.test_cluster_e2e import cluster_run  # noqa: F401  (fixture)
 
@@ -97,3 +97,47 @@ def test_mass_limit_map(cluster_run):  # noqa: F811
     assert len(valid) > 0
     # limits should be cluster-scale masses in 1e14 MSun units
     assert 0.3 < np.median(valid) < 30
+
+
+def test_extract_spec_matched_filter(cluster_run):  # noqa: F811
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    tab = Table({"name": np.asarray(inputTab["name"])[:3],
+                 "RADeg": np.asarray(inputTab["RADeg"])[:3],
+                 "decDeg": np.asarray(inputTab["decDeg"])[:3],
+                 "template": np.array(["Arnaud_M2e14_z0p4"] * 3)})
+    import os as _os
+    cwd = _os.getcwd()
+    _os.chdir(str(config.rootOutDir))
+    try:
+        spec = pipelines.extractSpec(config, tab, method="matchedFilter")
+    finally:
+        _os.chdir(cwd)
+    assert len(spec) >= 2
+    # per-frequency y_c columns present; cluster decrements mean y_c > 0
+    assert "y_c_150" in spec.keys() or "y_c_149" in spec.keys() or \
+        any(k.startswith("y_c_") for k in spec.keys())
+    ycCols = [k for k in spec.keys() if k.startswith("y_c_")]
+    assert len(ycCols) == 2
+    for k in ycCols:
+        assert np.median(np.asarray(spec[k])) > 0
+
+
+def test_sky_sim_contamination(cluster_run):  # noqa: F811
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    _ensure_outputs(config, cat)
+    sims = maps.estimateContaminationFromSkySim(config, numSkySims=1)
+    assert len(sims) == 1
+    # Source-free sims should yield far fewer detections than the real run
+    assert len(sims[0]) < max(len(cat), 1) + 3
+    out = maps.estimateContamination(sims[0], cat, ["SNR"], "skySim")
+    assert "skySim_SNR" in out
+
+
+def test_inverted_map_contamination(cluster_run):  # noqa: F811
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    _ensure_outputs(config, cat)
+    inv = maps.estimateContaminationFromInvertedMaps(config)
+    # inverted maps: no real clusters appear as positive detections
+    if len(inv) > 0:
+        refM, _, _ = catalogs.crossMatch(inputTab, inv, radiusArcmin=1.0)
+        assert len(refM) == 0
