@@ -24,6 +24,7 @@ The numerics differ from the reference in *implementation*, not math:
   through the filter, peak read off with a cubic spline).
 """
 
+import functools
 import os
 
 import jax
@@ -138,6 +139,14 @@ class MapFilter:
         self.degPerPixY = float(calcAngSepDeg(ra0, dec0, ra0, dec1))
         self.pixScalesRad = (np.radians(self.degPerPixY),
                              np.radians(self.degPerPixX))
+
+        # FFT-friendly padded working shape: tiles have arbitrary (often
+        # large-prime) dimensions; transforms run on the zero-padded
+        # 5-smooth grid and results are cropped back (apodised borders make
+        # the padding benign). This also buckets ragged tile shapes so jits
+        # are reused.
+        self.padShape = (fourier.good_fft_size(self.shape[0]),
+                         fourier.good_fft_size(self.shape[1]))
 
         self.signalNorm = 1.0
         self.fRelWeights = {}
@@ -316,18 +325,21 @@ def _freq_weights(unfilteredMapsDictList, params):
     return np.array(w, dtype=float)
 
 
-@jax.jit
-def _build_filter_core(noiseStack, fSignalsAbs, w, apodM):
+@functools.partial(jax.jit, static_argnames=("padShape",))
+def _build_filter_core(noiseStack, fSignalsAbs, w, apodM, padShape=None):
     """noiseStack: (nf, ny, nx) real maps used for the noise model.
-    fSignalsAbs: (nf, ny, nx) |FFT| of unit-normalised signal templates.
-    Returns filt (nf, ny, nx)."""
+    fSignalsAbs: (nf, pny, pnx) |FFT| of unit-normalised signal templates
+    on the padded grid.  Returns filt (nf, pny, pnx)."""
     nf = noiseStack.shape[0]
-    fNoise = fourier.fft2(noiseStack * apodM[None])
+    m = noiseStack * apodM[None]
+    if padShape is not None:
+        m = fourier.pad_to(m, padShape)
+    fNoise = fourier.fft2(m)
     # N_ij = smooth3(Re(F_i conj F_j)) (filters.py:567-587)
     prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
     prods = imageops.gaussian_filter(
         prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
-    N = prods.reshape(nf, nf, *noiseStack.shape[-2:])
+    N = prods.reshape(nf, nf, *prods.shape[-2:])
     # filt = N^-1 (w |s|) at every (ly, lx) (filters.py:624-630)
     A = jnp.moveaxis(N, (0, 1), (-2, -1))              # (ny, nx, nf, nf)
     b = jnp.moveaxis(fSignalsAbs, 0, -1) * w            # (ny, nx, nf)
@@ -342,9 +354,12 @@ def _apply_filter_fourier(fMaps, filt):
     return jnp.sum(jnp.real(fourier.ifft2(fMaps * filt)), axis=0)
 
 
-@jax.jit
-def _fft_apod_stack(dataStack, apodM):
-    return fourier.fft2(dataStack * apodM[None])
+@functools.partial(jax.jit, static_argnames=("padShape",))
+def _fft_apod_stack(dataStack, apodM, padShape=None):
+    m = dataStack * apodM[None]
+    if padShape is not None:
+        m = fourier.pad_to(m, padShape)
+    return fourier.fft2(m)
 
 
 # ----------------------------------------------------------------------------
@@ -359,7 +374,8 @@ class MatchedFilter(MapFilter):
         dataStack = jnp.asarray(np.stack(
             [np.asarray(m["data"], dtype=np.float64)
              for m in self.unfilteredMapsDictList]))
-        fMapsToFilter = _fft_apod_stack(dataStack, apodM)
+        fMapsToFilter = _fft_apod_stack(dataStack, apodM,
+                                        padShape=self.padShape)
 
         surveyMask = np.asarray(self.unfilteredMapsDictList[0]["surveyMask"])
         psMask = np.asarray(self.unfilteredMapsDictList[0]["pointSourceMask"])
@@ -497,22 +513,24 @@ class MatchedFilter(MapFilter):
         fSignals = []
         for mapDict in self.unfilteredMapsDictList:
             signalMap = self.makeSignalTemplateMap(mapDict["beamFileName"])
-            fSignals.append(np.asarray(fourier.fft2(jnp.asarray(signalMap))))
+            fSignals.append(np.asarray(fourier.fft2(fourier.pad_to(
+                jnp.asarray(signalMap), self.padShape))))
         fSignalsAbs = jnp.abs(jnp.asarray(np.stack(fSignals)))
 
         filt = _build_filter_core(noiseStack, fSignalsAbs, jnp.asarray(w),
-                                  apodM)
+                                  apodM, self.padShape)
         if params["noiseParams"]["method"] == "max(dataMap,CMB)":
             # The maximum(CMB model, data power) refinement happens inside
             # the covariance; supported via a second pass:
             fgPower = self._foregroundsPower()
-            fNoise = fourier.fft2(noiseStack * apodM[None])
+            fNoise = fourier.fft2(fourier.pad_to(noiseStack * apodM[None],
+                                                 self.padShape))
             prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
             prods = jnp.maximum(prods, jnp.asarray(fgPower)[None, None])
             nf = noiseStack.shape[0]
             prods = imageops.gaussian_filter(
                 prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
-            N = prods.reshape(nf, nf, *self.shape)
+            N = prods.reshape(nf, nf, *self.padShape)
             A = jnp.moveaxis(N, (0, 1), (-2, -1))
             b = jnp.moveaxis(fSignalsAbs, 0, -1) * jnp.asarray(w)
             filt = jnp.moveaxis(solve_ops.solve_small(A, b), -1, 0)
@@ -524,9 +542,9 @@ class MatchedFilter(MapFilter):
         """CMB-like 2-d power in the same units as |fft|^2 of a map
         (``filters.py:264-279``)."""
         Cl = grf.approxLensedClTT()
-        lmap = fourier.modlmap(self.shape, self.pixScalesRad)
+        lmap = fourier.modlmap(self.padShape, self.pixScalesRad)
         Cl2d = np.interp(lmap, np.arange(len(Cl)), Cl, right=0.0)
-        ny, nx = self.shape
+        ny, nx = self.padShape
         omega_pix = self.pixScalesRad[0] * self.pixScalesRad[1]
         return Cl2d * (ny * nx) / omega_pix
 
@@ -548,18 +566,20 @@ class MatchedFilter(MapFilter):
                     jnp.asarray(signalMap), pow=1.0))
                 signalMaps.append(signalMap)
             fSignalMaps = jnp.asarray(np.stack(
-                [np.asarray(fourier.fft2(jnp.asarray(s)))
+                [np.asarray(fourier.fft2(fourier.pad_to(jnp.asarray(s),
+                                                        self.padShape)))
                  for s in signalMaps]))
-            filteredSignal = np.asarray(_apply_filter_fourier(
-                fSignalMaps, jnp.asarray(self.filt)))
+            filteredSignal = np.asarray(fourier.crop_to(
+                _apply_filter_fourier(fSignalMaps, jnp.asarray(self.filt)),
+                self.shape))
             cy, cx = self.shape[0] / 2.0, self.shape[1] / 2.0
             peak = interp.subpixel_value(filteredSignal, cy, cx)
             self.signalNorm = y0 / peak
             # fRel weights from the per-frequency filtered-signal cube
             maxIdx = np.argmax(filteredSignal)
             total = filteredSignal.flatten()[maxIdx]
-            cube = np.asarray(jnp.real(fourier.ifft2(
-                fSignalMaps * jnp.asarray(self.filt))))
+            cube = np.asarray(fourier.crop_to(jnp.real(fourier.ifft2(
+                fSignalMaps * jnp.asarray(self.filt))), self.shape))
             self.fRelWeights = {}
             for plane, mapDict in zip(cube, self.unfilteredMapsDictList):
                 self.fRelWeights[mapDict["obsFreqGHz"]] = float(
@@ -569,10 +589,12 @@ class MatchedFilter(MapFilter):
                 signalMaps.append(np.asarray(
                     self.makeSignalTemplateMap(mapDict["beamFileName"])))
             fSignalMaps = jnp.asarray(np.stack(
-                [np.asarray(fourier.fft2(jnp.asarray(s)))
+                [np.asarray(fourier.fft2(fourier.pad_to(jnp.asarray(s),
+                                                        self.padShape)))
                  for s in signalMaps]))
-            filteredSignal = np.asarray(_apply_filter_fourier(
-                fSignalMaps, jnp.asarray(self.filt)))
+            filteredSignal = np.asarray(fourier.crop_to(
+                _apply_filter_fourier(fSignalMaps, jnp.asarray(self.filt)),
+                self.shape))
             self.signalNorm = 1.0 / filteredSignal.max()
         else:
             raise ValueError("outputUnits must be 'yc' or 'uK'")
@@ -609,16 +631,20 @@ class MatchedFilter(MapFilter):
         mapDataToFilter = jnp.asarray(mapDataToFilter)
         if jnp.iscomplexobj(mapDataToFilter):
             fMaps = mapDataToFilter
+            outShape = self.shape
         else:
-            apodM = fourier.apod_mask(mapDataToFilter.shape[-2:],
-                                      self.apodPix)
-            fMaps = _fft_apod_stack(mapDataToFilter, apodM)
+            outShape = mapDataToFilter.shape[-2:]
+            apodM = fourier.apod_mask(outShape, self.apodPix)
+            padShape = (fourier.good_fft_size(outShape[0]),
+                        fourier.good_fft_size(outShape[1]))
+            fMaps = _fft_apod_stack(mapDataToFilter, apodM,
+                                    padShape=padShape)
         if fMaps.shape == self.filt.shape:
             filt = self.filt
         else:
             filt = self.reshapeFilter(fMaps.shape)
-        filteredMap = np.asarray(_apply_filter_fourier(
-            fMaps, jnp.asarray(filt)))
+        filteredMap = np.asarray(fourier.crop_to(_apply_filter_fourier(
+            fMaps, jnp.asarray(filt)), outShape))
         if self.params.get("bckSub") and self.params.get("bckSubScaleArcmin"):
             from . import maps as maps_mod
             filteredMap = maps_mod.subtractBackground(
@@ -703,7 +729,7 @@ class RealSpaceMatchedFilter(MapFilter):
         if self.params["noiseParams"].get("symmetrize", False):
             rRadians = np.radians(arcminRange / 60.0)
             radMap = fourier.radial_distance_map(
-                matchedFilter.shape, matchedFilter.pixScalesRad)
+                matchedFilter.padShape, matchedFilter.pixScalesRad)
             profile2d = np.stack([
                 np.interp(radMap, rRadians[mask], prof[i, mask], right=0.0)
                 for i in range(prof.shape[0])])

@@ -236,11 +236,7 @@ def fitQ(config):
                     GNFWParams=config.parDict["GNFWParams"])
                 signalMap = np.asarray(fourier.apply_pixel_window(
                     jnp.asarray(signalMap), pow=1.0))
-                if realSpace:
-                    signalMaps.append(signalMap)
-                else:
-                    signalMaps.append(np.asarray(
-                        fourier.fft2(jnp.asarray(signalMap))))
+                signalMaps.append(signalMap)
             signalMaps = np.array(signalMaps)
             filteredSignal = filterObj.applyFilter(signalMaps)
             peak = subpixel_value(np.asarray(filteredSignal), cy, cx)

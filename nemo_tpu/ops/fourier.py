@@ -132,3 +132,45 @@ def radial_distance_map(shape, pix_scales_rad, center=None):
     yy = (np.arange(ny) - cy) * dy
     xx = (np.arange(nx) - cx) * dx
     return np.sqrt(yy[:, None] ** 2 + xx[None, :] ** 2)
+
+
+@functools.lru_cache(maxsize=512)
+def good_fft_size(n):
+    """Smallest 5-smooth (2^a 3^b 5^c) integer >= n.
+
+    TPU FFTs of sizes with large prime factors fall back to Bluestein's
+    algorithm (slow to compile and run); survey tiles have arbitrary sizes
+    (e.g. the quickstart tile is 1031 x 1032, and 1031 is prime), so maps
+    are zero-padded to smooth sizes before transforming.  Padding also
+    buckets ragged autotiler tiles onto far fewer distinct shapes, slashing
+    recompilation.
+    """
+    best = None
+    p2 = 1
+    while p2 < 2 * n:
+        p23 = p2
+        while p23 < 2 * n:
+            p235 = p23
+            while p235 < n:
+                p235 *= 5
+            if best is None or p235 < best:
+                best = p235
+            p23 *= 3
+        p2 *= 2
+    return int(best)
+
+
+def pad_to(m, shape):
+    """Zero-pad the last two axes up to `shape` (at the high ends, so pixel
+    coordinates of existing content are unchanged)."""
+    ny, nx = m.shape[-2], m.shape[-1]
+    py, px = shape
+    if (py, px) == (ny, nx):
+        return m
+    pad = [(0, 0)] * (m.ndim - 2) + [(0, py - ny), (0, px - nx)]
+    return jnp.pad(m, pad)
+
+
+def crop_to(m, shape):
+    """Crop the last two axes down to `shape` (inverse of pad_to)."""
+    return m[..., :shape[0], :shape[1]]
