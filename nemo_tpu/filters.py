@@ -251,7 +251,8 @@ class MapFilter:
     def makeRealSpaceFilterProfile(self):
         """1-d real-space profile of the filter (``filters.py:282-304``)."""
         realSpace = np.fft.fftshift(
-            np.real(np.fft.ifft2(np.asarray(self.filt))), axes=(-2, -1))
+            np.fft.irfft2(np.asarray(self.filt), s=self.padShape),
+            axes=(-2, -1))
         y0 = realSpace.shape[1] // 2
         x0 = realSpace.shape[2] // 2
         prof = realSpace[:, y0, x0:]
@@ -268,7 +269,7 @@ class MapFilter:
             header["RW%d" % count] = float(self.fRelWeights[key])
         os.makedirs(os.path.dirname(self.filterFileName), exist_ok=True)
         nfits.write_image(self.filterFileName,
-                          np.asarray(self.filt, dtype=np.float32), header)
+                          np.asarray(self.filt, dtype=np.float64), header)
 
     def loadFilter(self):
         data, header = nfits.read_image(self.filterFileName)
@@ -334,7 +335,7 @@ def _build_filter_core(noiseStack, fSignalsAbs, w, apodM, padShape=None):
     m = noiseStack * apodM[None]
     if padShape is not None:
         m = fourier.pad_to(m, padShape)
-    fNoise = fourier.fft2(m)
+    fNoise = jnp.fft.rfft2(m)
     # N_ij = smooth3(Re(F_i conj F_j)) (filters.py:567-587)
     prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
     prods = imageops.gaussian_filter(
@@ -347,11 +348,12 @@ def _build_filter_core(noiseStack, fSignalsAbs, w, apodM, padShape=None):
     return jnp.moveaxis(x, -1, 0)
 
 
-@jax.jit
-def _apply_filter_fourier(fMaps, filt):
-    """sum_freq Re(ifft(F * filt)) - unnormalised ifft in the reference
-    (filters.py:851); constant factors cancel in signalNorm."""
-    return jnp.sum(jnp.real(fourier.ifft2(fMaps * filt)), axis=0)
+@functools.partial(jax.jit, static_argnames=("s",))
+def _apply_filter_fourier(fMaps, filt, s):
+    """sum_freq irfft(F * filt) - the reference uses an unnormalised complex
+    ifft (filters.py:851); constant factors cancel in signalNorm, and all
+    maps are real so the half-grid transform is exact."""
+    return jnp.sum(jnp.fft.irfft2(fMaps * filt, s=s), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("padShape",))
@@ -359,7 +361,7 @@ def _fft_apod_stack(dataStack, apodM, padShape=None):
     m = dataStack * apodM[None]
     if padShape is not None:
         m = fourier.pad_to(m, padShape)
-    return fourier.fft2(m)
+    return jnp.fft.rfft2(m)
 
 
 # ----------------------------------------------------------------------------
@@ -513,7 +515,7 @@ class MatchedFilter(MapFilter):
         fSignals = []
         for mapDict in self.unfilteredMapsDictList:
             signalMap = self.makeSignalTemplateMap(mapDict["beamFileName"])
-            fSignals.append(np.asarray(fourier.fft2(fourier.pad_to(
+            fSignals.append(np.asarray(fourier.rfft2(fourier.pad_to(
                 jnp.asarray(signalMap), self.padShape))))
         fSignalsAbs = jnp.abs(jnp.asarray(np.stack(fSignals)))
 
@@ -523,14 +525,14 @@ class MatchedFilter(MapFilter):
             # The maximum(CMB model, data power) refinement happens inside
             # the covariance; supported via a second pass:
             fgPower = self._foregroundsPower()
-            fNoise = fourier.fft2(fourier.pad_to(noiseStack * apodM[None],
-                                                 self.padShape))
+            fNoise = fourier.rfft2(fourier.pad_to(noiseStack * apodM[None],
+                                                  self.padShape))
             prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
             prods = jnp.maximum(prods, jnp.asarray(fgPower)[None, None])
             nf = noiseStack.shape[0]
             prods = imageops.gaussian_filter(
                 prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
-            N = prods.reshape(nf, nf, *self.padShape)
+            N = prods.reshape(nf, nf, *prods.shape[-2:])
             A = jnp.moveaxis(N, (0, 1), (-2, -1))
             b = jnp.moveaxis(fSignalsAbs, 0, -1) * jnp.asarray(w)
             filt = jnp.moveaxis(solve_ops.solve_small(A, b), -1, 0)
@@ -539,10 +541,10 @@ class MatchedFilter(MapFilter):
         self._calibrateSignalNorm()
 
     def _foregroundsPower(self):
-        """CMB-like 2-d power in the same units as |fft|^2 of a map
-        (``filters.py:264-279``)."""
+        """CMB-like 2-d power in the same units as |rfft|^2 of a map, on the
+        half grid (``filters.py:264-279``)."""
         Cl = grf.approxLensedClTT()
-        lmap = fourier.modlmap(self.padShape, self.pixScalesRad)
+        lmap = fourier.rmodlmap(self.padShape, self.pixScalesRad)
         Cl2d = np.interp(lmap, np.arange(len(Cl)), Cl, right=0.0)
         ny, nx = self.padShape
         omega_pix = self.pixScalesRad[0] * self.pixScalesRad[1]
@@ -566,20 +568,21 @@ class MatchedFilter(MapFilter):
                     jnp.asarray(signalMap), pow=1.0))
                 signalMaps.append(signalMap)
             fSignalMaps = jnp.asarray(np.stack(
-                [np.asarray(fourier.fft2(fourier.pad_to(jnp.asarray(s),
-                                                        self.padShape)))
+                [np.asarray(fourier.rfft2(fourier.pad_to(jnp.asarray(s),
+                                                         self.padShape)))
                  for s in signalMaps]))
             filteredSignal = np.asarray(fourier.crop_to(
-                _apply_filter_fourier(fSignalMaps, jnp.asarray(self.filt)),
-                self.shape))
+                _apply_filter_fourier(fSignalMaps, jnp.asarray(self.filt),
+                                      self.padShape), self.shape))
             cy, cx = self.shape[0] / 2.0, self.shape[1] / 2.0
             peak = interp.subpixel_value(filteredSignal, cy, cx)
             self.signalNorm = y0 / peak
             # fRel weights from the per-frequency filtered-signal cube
             maxIdx = np.argmax(filteredSignal)
             total = filteredSignal.flatten()[maxIdx]
-            cube = np.asarray(fourier.crop_to(jnp.real(fourier.ifft2(
-                fSignalMaps * jnp.asarray(self.filt))), self.shape))
+            cube = np.asarray(fourier.crop_to(fourier.irfft2(
+                fSignalMaps * jnp.asarray(self.filt), self.padShape),
+                self.shape))
             self.fRelWeights = {}
             for plane, mapDict in zip(cube, self.unfilteredMapsDictList):
                 self.fRelWeights[mapDict["obsFreqGHz"]] = float(
@@ -589,12 +592,12 @@ class MatchedFilter(MapFilter):
                 signalMaps.append(np.asarray(
                     self.makeSignalTemplateMap(mapDict["beamFileName"])))
             fSignalMaps = jnp.asarray(np.stack(
-                [np.asarray(fourier.fft2(fourier.pad_to(jnp.asarray(s),
-                                                        self.padShape)))
+                [np.asarray(fourier.rfft2(fourier.pad_to(jnp.asarray(s),
+                                                         self.padShape)))
                  for s in signalMaps]))
             filteredSignal = np.asarray(fourier.crop_to(
-                _apply_filter_fourier(fSignalMaps, jnp.asarray(self.filt)),
-                self.shape))
+                _apply_filter_fourier(fSignalMaps, jnp.asarray(self.filt),
+                                      self.padShape), self.shape))
             self.signalNorm = 1.0 / filteredSignal.max()
         else:
             raise ValueError("outputUnits must be 'yc' or 'uK'")
@@ -606,21 +609,25 @@ class MatchedFilter(MapFilter):
         from scipy.interpolate import RegularGridInterpolator
         if len(shape) == 2:
             shape = (self.filt.shape[0], shape[0], shape[1])
-        lyIn, lxIn = fourier.laxes(self.filt.shape[-2:], self.pixScalesRad)
-        lyOut, lxOut = fourier.laxes(shape[-2:], self.pixScalesRad)
+        # filt lives on the rfft half grid of the padded tile: ly in
+        # fftfreq order (shifted for interpolation), lx already ascending.
+        nyIn = self.filt.shape[-2]
+        nxIn_full = 2 * (self.filt.shape[-1] - 1)
+        lyIn, lxIn = fourier.rlaxes((nyIn, nxIn_full), self.pixScalesRad)
+        nyOut = shape[-2]
+        nxOut_full = 2 * (shape[-1] - 1)
+        lyOut, lxOut = fourier.rlaxes((nyOut, nxOut_full), self.pixScalesRad)
         lyIn_s = np.fft.fftshift(lyIn)
-        lxIn_s = np.fft.fftshift(lxIn)
         pts_y = np.fft.fftshift(lyOut)
-        pts_x = np.fft.fftshift(lxOut)
         out = np.zeros(shape)
-        grid_y, grid_x = np.meshgrid(pts_y, pts_x, indexing="ij")
+        grid_y, grid_x = np.meshgrid(pts_y, lxOut, indexing="ij")
         pts = np.stack([grid_y.ravel(), grid_x.ravel()], axis=-1)
         for i in range(self.filt.shape[0]):
             interp_i = RegularGridInterpolator(
-                (lyIn_s, lxIn_s), np.fft.fftshift(self.filt[i]),
+                (lyIn_s, lxIn), np.fft.fftshift(self.filt[i], axes=0),
                 bounds_error=False, fill_value=0.0)
             out[i] = np.fft.ifftshift(
-                interp_i(pts).reshape(shape[-2:]))
+                interp_i(pts).reshape(shape[-2:]), axes=0)
         return out
 
     def applyFilter(self, mapDataToFilter):
@@ -641,10 +648,12 @@ class MatchedFilter(MapFilter):
                                     padShape=padShape)
         if fMaps.shape == self.filt.shape:
             filt = self.filt
+            padShape = self.padShape
         else:
             filt = self.reshapeFilter(fMaps.shape)
+            padShape = (fMaps.shape[-2], 2 * (fMaps.shape[-1] - 1))
         filteredMap = np.asarray(fourier.crop_to(_apply_filter_fourier(
-            fMaps, jnp.asarray(filt)), outShape))
+            fMaps, jnp.asarray(filt), padShape), outShape))
         if self.params.get("bckSub") and self.params.get("bckSubScaleArcmin"):
             from . import maps as maps_mod
             filteredMap = maps_mod.subtractBackground(
@@ -735,7 +744,8 @@ class RealSpaceMatchedFilter(MapFilter):
                 for i in range(prof.shape[0])])
         else:
             profile2d = np.fft.fftshift(
-                np.real(np.fft.ifft2(matchedFilter.filt)), axes=(-2, -1))
+                np.fft.irfft2(matchedFilter.filt, s=matchedFilter.padShape),
+                axes=(-2, -1))
 
         z, yy, xx = np.where(np.abs(profile2d) == np.abs(profile2d).max())
         y, x = yy[0], xx[0]

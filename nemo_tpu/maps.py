@@ -570,10 +570,11 @@ def convolveMapWithBeam(data, wcs, beam, maxDistDegrees=1.0):
     if isinstance(beam, str):
         beam = BeamProfile(beamFileName=beam)
     pix = pixScalesRad(wcs, data.shape)
-    lmap = fourier.modlmap(data.shape, pix)
+    lmap = fourier.rmodlmap(data.shape, pix)
     Bl2d = np.interp(lmap, beam.ell, beam.Bell, right=0.0)
-    fm = fourier.fft2(jnp.asarray(data))
-    return np.asarray(jnp.real(fourier.ifft2(fm * jnp.asarray(Bl2d))))
+    fm = fourier.rfft2(jnp.asarray(data))
+    return np.asarray(fourier.irfft2(fm * jnp.asarray(Bl2d),
+                                     data.shape))
 
 
 def getPixelAreaArcmin2Map(shape, wcs):

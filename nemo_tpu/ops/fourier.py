@@ -24,14 +24,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# NOTE: all transforms are jitted rather than eager (some TPU runtimes
+# implement FFT only through the compiler), and the pipeline uses REAL
+# transforms exclusively: every map in this problem is real, rfft2 is twice
+# the speed of fft2, and complex-to-complex FFTs are not supported on all
+# TPU runtimes.
+@jax.jit
 def fft2(m):
-    """Unnormalised 2-d FFT over the last two axes."""
+    """Unnormalised 2-d FFT over the last two axes (complex output, full
+    grid).  Prefer rfft2 for real maps; kept for generic callers/tests."""
     return jnp.fft.fft2(m)
 
 
+@jax.jit
 def ifft2(fm):
     """Inverse of :func:`fft2` (numpy normalisation: ifft(fft(x)) == x)."""
     return jnp.fft.ifft2(fm)
+
+
+@jax.jit
+def rfft2(m):
+    """Real-input 2-d FFT over the last two axes (half grid)."""
+    return jnp.fft.rfft2(m)
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def irfft2(fm, s):
+    """Inverse of :func:`rfft2` back to a real (s[0], s[1]) map."""
+    return jnp.fft.irfft2(fm, s=s)
 
 
 @functools.lru_cache(maxsize=64)
@@ -73,12 +93,39 @@ def pixel_window(shape, pow=1.0):
     return jnp.asarray(wy[:, None] * wx[None, :])
 
 
+@functools.lru_cache(maxsize=64)
+def _window_half_2d(ny, nx, pow):
+    wy = _window_1d(ny) ** pow
+    wx = np.sinc(np.fft.rfftfreq(nx)) ** pow
+    return wy[:, None] * wx[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("pow",))
 def apply_pixel_window(m, pow=1.0):
     """Multiply/divide out the map pixel window in Fourier space
-    (pixell ``enmap.apply_window`` equivalent, ``nemo/filters.py:103``)."""
-    fm = fft2(m)
-    fm = fm * pixel_window(m.shape, pow=pow).astype(fm.dtype)
-    return jnp.real(ifft2(fm))
+    (pixell ``enmap.apply_window`` equivalent, ``nemo/filters.py:103``).
+    Real transforms on the half grid."""
+    ny, nx = m.shape[-2], m.shape[-1]
+    fm = jnp.fft.rfft2(m)
+    fm = fm * jnp.asarray(_window_half_2d(ny, nx, pow)).astype(fm.dtype)
+    return jnp.fft.irfft2(fm, s=(ny, nx))
+
+
+@functools.lru_cache(maxsize=64)
+def rlaxes(shape, pix_scales_rad):
+    """(ly, lx) for the rfft half grid: ly in fftfreq order, lx ascending."""
+    ny, nx = shape[-2], shape[-1]
+    dy, dx = pix_scales_rad
+    ly = 2 * np.pi * np.fft.fftfreq(ny, d=dy)
+    lx = 2 * np.pi * np.fft.rfftfreq(nx, d=dx)
+    return ly, lx
+
+
+@functools.lru_cache(maxsize=64)
+def rmodlmap(shape, pix_scales_rad):
+    """|l| on the rfft half grid."""
+    ly, lx = rlaxes(shape, pix_scales_rad)
+    return np.sqrt(ly[:, None] ** 2 + lx[None, :] ** 2)
 
 
 @functools.lru_cache(maxsize=64)

@@ -46,19 +46,25 @@ def approxLensedClTT(lmax=12000):
     return Cl
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "pix_scales_rad",
+                                              "dtype"))
 def gaussian_field(key, shape, pix_scales_rad, ell, Cl, dtype=jnp.float64):
-    """Draw a real GRF with isotropic power spectrum C(l) on a flat tile."""
+    """Draw a real GRF with isotropic power spectrum C(l) on a flat tile.
+
+    Construction: rfft a white map (its half-grid coefficients have
+    <|W|^2> = N and exactly the right Hermitian structure), shape by
+    sqrt(C(l)/Omega_pix), and transform back - real FFTs only.
+    """
     ny, nx = shape
     dy, dx = pix_scales_rad
-    lmap = jnp.asarray(fourier.modlmap(shape, pix_scales_rad))
+    lmap = jnp.asarray(fourier.rmodlmap(shape, pix_scales_rad))
     Cl2d = jnp.interp(lmap, jnp.asarray(ell, dtype=lmap.dtype),
                       jnp.asarray(Cl, dtype=lmap.dtype), right=0.0)
     omega_pix = dy * dx
-    amp = jnp.sqrt(jnp.maximum(Cl2d, 0.0) * (ny * nx) / omega_pix)
-    k1, k2 = jax.random.split(key)
-    xi = (jax.random.normal(k1, shape, dtype=dtype)
-          + 1j * jax.random.normal(k2, shape, dtype=dtype)) / jnp.sqrt(2.0)
-    return jnp.real(fourier.ifft2(amp * xi))
+    amp = jnp.sqrt(jnp.maximum(Cl2d, 0.0) / omega_pix)
+    white = jax.random.normal(key, shape, dtype=dtype)
+    F = jnp.fft.rfft2(white)
+    return jnp.fft.irfft2(F * amp, s=shape)
 
 
 def sim_cmb_map(key, shape, pix_scales_rad, beamBell=None, beamEll=None,
@@ -100,12 +106,12 @@ def sim_noise_map(key, shape, noiseLevel, pix_scales_rad=None, lKnee=None,
         return jnp.where(noiseLevel > 0, white * noiseLevel, 0.0)
     if pix_scales_rad is None:
         raise ValueError("pix_scales_rad needed for 1/f noise")
-    lmap = jnp.asarray(fourier.modlmap(shape, pix_scales_rad))
+    lmap = jnp.asarray(fourier.rmodlmap(shape, pix_scales_rad))
     with np.errstate(divide="ignore"):
         Nl = jnp.where(lmap > 0, (lKnee / jnp.maximum(lmap, 1e-9)) ** -alpha
                        + 1.0, 0.0)
     shape_l = jnp.where(lmap <= lmax_atm, jnp.sqrt(Nl), 1.0)
-    shaped = jnp.real(fourier.ifft2(fourier.fft2(white) * shape_l))
+    shaped = fourier.irfft2(fourier.rfft2(white) * shape_l, s=shape)
     if noiseLevel.ndim == 0:
         return shaped * noiseLevel
     return jnp.where(noiseLevel > 0, shaped * noiseLevel, 0.0)

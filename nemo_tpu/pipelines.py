@@ -449,14 +449,12 @@ def extractSpec(config, tab, method="CAP", diskRadiusArcmin=4.0,
 
     def _psf_match(data, wcs, beam):
         pix = maps.pixScalesRad(wcs, data.shape)
-        lmap = np.asarray(
-            __import__("nemo_tpu.ops.fourier", fromlist=["modlmap"]
-                       ).modlmap(data.shape, pix))
+        lmap = np.asarray(fourier.rmodlmap(data.shape, pix))
         Bl = np.interp(lmap, beam.ell, beam.Bell, right=0.0)
         Bref = np.interp(lmap, refBeam.ell, refBeam.Bell, right=0.0)
         W = np.where(Bl > 0.1, Bref / np.where(Bl > 0.1, Bl, 1.0), 0.0)
-        fm = fourier.fft2(jnp.asarray(data))
-        return np.asarray(jnp.real(fourier.ifft2(fm * jnp.asarray(W))))
+        fm = fourier.rfft2(jnp.asarray(data))
+        return np.asarray(fourier.irfft2(fm * jnp.asarray(W), data.shape))
 
     if method == "CAP":
         return _extractSpecCAP(config, tab, mapsList, beams_, _psf_match,
