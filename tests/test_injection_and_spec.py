@@ -141,3 +141,104 @@ def test_inverted_map_contamination(cluster_run):  # noqa: F811
     if len(inv) > 0:
         refM, _, _ = catalogs.crossMatch(inputTab, inv, radiusArcmin=1.0)
         assert len(refM) == 0
+
+
+def _ensure_injection_data(config, cat):
+    """Run the source-injection test if selFnDir lacks injection data with
+    enough theta500 scales for the injection-Q spline (>= 4 bins; the
+    reference injects a range of cluster scales for the same reason)."""
+    _ensure_outputs(config, cat)
+    dataPath = os.path.join(config.selFnDir, "sourceInjectionData.fits")
+    if os.path.exists(dataPath):
+        existing = Table.read(dataPath)
+        if len(np.unique(np.round(
+                np.asarray(existing["theta500Arcmin"]), 3))) >= 4:
+            return dataPath
+    config.parDict["sourceInjectionIterations"] = 1
+    config.parDict["sourcesPerTile"] = 25
+    config.parDict["sourceInjectionModels"] = [
+        {"redshift": 0.4, "M500": 0.8e14},
+        {"redshift": 0.4, "M500": 2.0e14},
+        {"redshift": 0.4, "M500": 5.0e14},
+        {"redshift": 0.2, "M500": 8.0e14}]
+    config.parDict["seed"] = 334
+    injTab = maps.sourceInjectionTest(config)
+    injTab.write(dataPath)
+    return dataPath
+
+
+def test_qfit_injection_and_hybrid(cluster_run):  # noqa: F811
+    """QSource='injection' and 'hybrid' interpolators built from the
+    injection-sim outputs (reference: signals.py:140-347 QSource modes)."""
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    _ensure_injection_data(config, cat)
+    from nemo_tpu.models.qfit import QFit
+    Qinj = QFit(QSource="injection", selFnDir=config.selFnDir)
+    assert Qinj.zDependent is False
+    # Injected model == photFilter template, so Q near the model's own
+    # theta500 (~2.4' for M5e14... here ~1.9' at z=0.4, M2e14) should be ~1
+    thetas = np.array([1.0, 1.9, 3.0])
+    qv = Qinj.getQ(thetas)
+    assert np.all(qv >= 0)
+    assert 0.5 < qv[1] < 1.5
+    # Hybrid: fit Q at small theta grafted onto injection Q at large theta
+    Qhyb = QFit(QSource="hybrid", selFnDir=config.selFnDir)
+    qh = Qhyb.getQ(thetas)
+    assert np.all(qh >= 0)
+    assert 0.5 < qh[1] < 1.5
+
+
+def test_selfn_injection_method(cluster_run):  # noqa: F811
+    """SelFn(method='injection'): completeness grid from the injection-sim
+    completeness(theta, y0) surface (reference: completeness.py:393-423)."""
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    _ensure_injection_data(config, cat)
+    if not os.path.exists(os.path.join(config.selFnDir, "RMSTab.fits")):
+        pipelines.makeRMSTables(config)
+    if not os.path.exists(os.path.join(config.selFnDir, "fRelWeights.fits")):
+        completeness.getFRelWeights(config)
+    import shutil
+    dst = os.path.join(config.selFnDir, "config.yml")
+    if not os.path.exists(dst):
+        shutil.copy(configPath, dst)
+    selFn = completeness.SelFn(config.selFnDir, 5.0, zMax=2.0, zStep=0.1,
+                               method="injection", QSource="injection")
+    assert selFn.compMz.shape == (len(selFn.mockSurvey.z),
+                                  len(selFn.mockSurvey.log10M))
+    assert np.all(selFn.compMz >= 0) and np.all(selFn.compMz <= 1)
+    # Low-mass end incomplete, high-mass end complete at moderate z
+    zi = np.argmin(np.abs(selFn.mockSurvey.z - 0.4))
+    comp_z04 = selFn.compMz[zi]
+    assert comp_z04[0] < 0.2
+    assert comp_z04[-1] > 0.8
+    # update() with a different cosmology reruns the injection path
+    before = selFn.compMz.copy()
+    selFn.update(70.0, 0.32, 0.05, 0.82, 0.95)
+    assert not np.allclose(before, selFn.compMz)
+
+
+def test_nemospec_cli(cluster_run, tmp_path):  # noqa: F811
+    """bin/nemoSpec end to end (reference: bin/nemoSpec:71-121)."""
+    import sys
+    from nemo_tpu.cli import nemoSpec_main
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    catPath = str(tmp_path / "targets.fits")
+    Table({"name": np.asarray(inputTab["name"])[:3],
+           "RADeg": np.asarray(inputTab["RADeg"])[:3],
+           "decDeg": np.asarray(inputTab["decDeg"])[:3]}).write(catPath)
+    outPath = str(tmp_path / "targets_spec.fits")
+    argv = sys.argv
+    cwd = os.getcwd()
+    os.chdir(str(config.rootOutDir))
+    try:
+        sys.argv = ["nemoSpec", configPath, catPath, "-m", "CAP",
+                    "-o", outPath]
+        nemoSpec_main.main()
+    finally:
+        sys.argv = argv
+        os.chdir(cwd)
+    assert os.path.exists(outPath)
+    spec = Table.read(outPath)
+    assert len(spec) == 3
+    assert any("diskT" in k or "diskSNR" in k or k.startswith("y")
+               for k in spec.keys())
