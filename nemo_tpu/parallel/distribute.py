@@ -186,3 +186,98 @@ def _single_tile_step(data, noise, template, w, apodM, psMask, surveyMask,
     xs = flatIdx % SNMap.shape[-1]
     return {"filtered": filtered, "SNMap": SNMap, "RMSMap": RMSMap,
             "peakVals": vals, "peakYs": ys, "peakXs": xs}
+
+
+def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
+                                     rms_impl="auto"):
+    """Production batched matched filter: the host engine's math
+    (``nemo_tpu/filters.py:MatchedFilter.buildAndApply``) for a tile batch
+    sharded over the device mesh.
+
+    Differences from :func:`make_sharded_tile_step` (the benchmark step):
+    takes unit-normalised signal templates plus a separate known-amplitude
+    calibration stack and returns maps in calibrated signal units (the
+    host engine's signalNorm convention, ``filters.py:635-690`` in the
+    reference), so the output feeds the host photometry/catalog stage
+    directly.
+
+    Args of the returned function (leading tile axis sharded over the mesh
+    unless noted):
+        data:      (T, nf, py, px) apodisable preprocessed maps (padded).
+        template:  (T, nf, py, px) unit-amplitude signal templates (padded).
+        calib:     (T, nf, py, px) known-amplitude templates for the
+                   signal-norm calibration (padded; pixel window applied
+                   by the caller where required).
+        w:         (nf,) spectral weights (replicated).
+        apodM:     (T, py, px) cosine apodisation, zero in the padding.
+        psMask, surveyMask: (T, py, px) masks (padded with zeros).
+    Returns dict with "filtered" (signal units), "SNMap", "RMSMap",
+    "signalNorm" (T,) - all cropped back to tile shape by the caller.
+    """
+    from jax import shard_map
+
+    spec_tiles = PartitionSpec(TILE_AXIS)
+    spec_rep = PartitionSpec()
+
+    def one_tile(d, t, c, w, apod, peakYX):
+        nf, ny, nx = d.shape
+        fNoise = jnp.fft.rfft2(d * apod[None])
+        prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
+        prods = imageops.gaussian_filter(
+            prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
+        N = prods.reshape(nf, nf, *prods.shape[-2:])
+        fSignalAbs = jnp.abs(jnp.fft.rfft2(t))
+        A = jnp.moveaxis(N, (0, 1), (-2, -1))
+        b = jnp.moveaxis(fSignalAbs, 0, -1) * w
+        filt = jnp.moveaxis(solve_ops.solve_small(A, b), -1, 0)
+
+        # Signal-norm calibration: push the known-amplitude template
+        # through the same filter and read the peak at the template
+        # centre (the TILE centre - the zero padding sits at the high
+        # ends, so the centre varies per tile within a shape bucket).
+        fCalib = jnp.fft.rfft2(c)
+        filteredCalib = jnp.sum(jnp.fft.irfft2(fCalib * filt, s=(ny, nx)),
+                                axis=0)
+        peak = filteredCalib[peakYX[0], peakYX[1]]
+        signalNorm = 1.0 / peak
+
+        fMaps = jnp.fft.rfft2(d * apod[None])
+        filtered = jnp.sum(jnp.fft.irfft2(fMaps * filt, s=(ny, nx)),
+                           axis=0) * signalNorm
+        return filtered, signalNorm
+
+    def per_shard(data, template, calib, w, apodM, psMask, surveyMask,
+                  peakYX):
+        filtered, norms = jax.vmap(
+            lambda d, t, c, a, p: one_tile(d, t, c, w, a, p))(
+            data, template, calib, apodM, peakYX)
+        filtered = filtered * psMask
+
+        RMSMap = noise_ops.grid_rms_map_batch(filtered, gridSize,
+                                              impl=rms_impl)
+        SNMap = jnp.where(RMSMap > 0,
+                          filtered / jnp.maximum(RMSMap, 1e-30), 0.0)
+
+        if trimPix > 0:
+            edge = imageops.minimum_filter(
+                jnp.abs(filtered + (1 - psMask)), trimPix)
+            edgeCheck = (edge > 0).astype(filtered.dtype)
+        else:
+            edgeCheck = jnp.ones_like(filtered)
+        # Host-engine masking semantics (filters.py buildAndApply): the
+        # signal map keeps the apodisation border; SN/RMS do not.
+        maskData = edgeCheck * surveyMask * psMask
+        maskSN = maskData * (apodM == 1)
+        return {"filtered": filtered * maskData, "SNMap": SNMap * maskSN,
+                "RMSMap": RMSMap * maskSN, "surveyMask": maskSN,
+                "signalNorm": norms}
+
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(spec_tiles, spec_tiles, spec_tiles, spec_rep, spec_tiles,
+                  spec_tiles, spec_tiles, spec_tiles),
+        out_specs={"filtered": spec_tiles, "SNMap": spec_tiles,
+                   "RMSMap": spec_tiles, "surveyMask": spec_tiles,
+                   "signalNorm": spec_tiles},
+        check_vma=False)
+    return jax.jit(sharded)

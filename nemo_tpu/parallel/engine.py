@@ -1,0 +1,229 @@
+"""Device-batched production filtering: many tiles, one sharded call.
+
+The per-tile host engine (``nemo_tpu/filters.py``) processes one tile at a
+time - the faithful equivalent of the reference's one-tile-per-MPI-rank
+loop (``nemo/pipelines.py:179``).  This module is the TPU-native scaling
+path: it stages the preprocessed tiles of a whole survey as a batch,
+shards the batch over the device mesh ("tiles" axis), and runs filter
+build + apply + calibration + RMS + S/N for every tile in a single jitted
+call (:func:`..parallel.distribute.make_sharded_matched_filter_step`).
+Host code then feeds each tile's maps to the unchanged photometry/catalog
+stage.
+
+Enabled with ``useDeviceBatching: true`` in the config.  Filters that need
+host-only features fall back to the per-tile engine automatically (see
+:func:`eligibleForBatch`); numerics match the host engine to float
+tolerance because both use the same half-grid formulation - the only
+differences are the RMS grid running on the padded tile and the
+calibration peak being read at the (exactly pixel-centred) template peak
+instead of through a spline.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import filters as filters_mod
+from ..models import sz
+from ..ops import fourier
+from .distribute import make_sharded_matched_filter_step
+from .mesh import get_mesh, tile_sharding
+
+_BATCHABLE_CLASSES = ("BeamMatchedFilter", "ArnaudModelMatchedFilter",
+                      "BattagliaModelMatchedFilter")
+
+
+def eligibleForBatch(f, parDict):
+    """A filter spec can go through the batched device path when it uses
+    the Fourier matched filter with data-derived noise and none of the
+    host-only extras (cached-filter writing, weight-binned noise cells,
+    noise-model catalogs)."""
+    if f["class"] not in _BATCHABLE_CLASSES:
+        return False
+    params = f["params"]
+    if params.get("saveFilter") or params.get("savePlots") \
+            or params.get("saveFreqWeightMap"):
+        return False
+    noiseParams = params.get("noiseParams", {})
+    if noiseParams.get("method") != "dataMap":
+        return False
+    if noiseParams.get("RMSEstimator", "default") != "default":
+        return False
+    grid = noiseParams.get("noiseGridArcmin")
+    if grid is None or grid == "smart" \
+            or noiseParams.get("numNoiseBins", 1) > 1:
+        return False
+    if noiseParams.get("noiseModelCatalog"):
+        return False
+    if params.get("outputUnits") not in ("yc", "uK"):
+        return False
+    return True
+
+
+def _prepare_tile(config, f, tileName):
+    """Host-side staging for one tile: preprocessing, templates, masks.
+    Returns (filterObj, stacks dict) - everything still at tile shape."""
+    filterClass = filters_mod.getFilterClass(f["class"])
+    filterObj = filterClass(f["label"], config.unfilteredMapsDictList,
+                            f["params"], tileName=tileName,
+                            diagnosticsDir=config.diagnosticsDir,
+                            selFnDir=config.selFnDir)
+    params = filterObj.params
+    dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
+                          for m in filterObj.unfilteredMapsDictList])
+    templates = np.stack(
+        [np.asarray(filterObj.makeSignalTemplateMap(m["beamFileName"]))
+         for m in filterObj.unfilteredMapsDictList])
+    # Known-amplitude calibration stack (filters.py:635-690 in the
+    # reference; mirrors MatchedFilter._calibrateSignalNorm here).
+    y0 = 2e-4
+    if params["outputUnits"] == "yc":
+        calib = []
+        for m in filterObj.unfilteredMapsDictList:
+            if m.get("units") == "yc":
+                s = filterObj.makeSignalTemplateMap(m["beamFileName"],
+                                                    amplitude=y0)
+            else:
+                deltaT0 = sz.convertToDeltaT(y0, m["obsFreqGHz"])
+                s = filterObj.makeSignalTemplateMap(m["beamFileName"],
+                                                    amplitude=deltaT0)
+            calib.append(np.asarray(fourier.apply_pixel_window(
+                jnp.asarray(np.asarray(s)), pow=1.0)))
+        calibStack = np.stack(calib)
+        unitsScale = y0
+    else:
+        calibStack = templates
+        unitsScale = 1.0
+    w = filters_mod._freq_weights(filterObj.unfilteredMapsDictList, params)
+    apodM = np.asarray(fourier.apod_mask(filterObj.shape,
+                                         filterObj.apodPix))
+    surveyMask = np.asarray(
+        filterObj.unfilteredMapsDictList[0]["surveyMask"], dtype=np.float64)
+    psMask = np.asarray(
+        filterObj.unfilteredMapsDictList[0]["pointSourceMask"],
+        dtype=np.float64)
+    gridSize = int(round(
+        (params["noiseParams"]["noiseGridArcmin"] / 60.0)
+        / filterObj.wcs.getPixelSizeDeg()))
+    return filterObj, {"data": dataStack, "template": templates,
+                       "calib": calibStack, "w": w, "apodM": apodM,
+                       "surveyMask": surveyMask, "psMask": psMask,
+                       "gridSize": gridSize,
+                       "trimPix": filterObj._trimSizePix(),
+                       "unitsScale": unitsScale,
+                       "padShape": filterObj.padShape,
+                       "shape": filterObj.shape}
+
+
+def _pad2(a, padShape):
+    return np.asarray(fourier.pad_to(jnp.asarray(a), padShape))
+
+
+def batchFilterTiles(config, f, tileNames=None, mesh=None, rms_impl="auto",
+                     undoPixelWindow=True, verbose=True):
+    """Filter every tile with one sharded device call per shape bucket.
+
+    Returns {tileName: filteredMapDict} with the same contract as
+    ``filters.filterMaps`` (data/SNMap/surveyMask/flagMask/units/...), so
+    the result drops into the existing catalog pipeline.
+    """
+    tileNames = tileNames if tileNames is not None else config.tileNames
+    mesh = mesh or get_mesh()
+    nDev = mesh.devices.size
+
+    staged = {}
+    buckets = {}
+    for tileName in tileNames:
+        filterObj, stacks = _prepare_tile(config, f, tileName)
+        staged[tileName] = (filterObj, stacks)
+        key = (stacks["padShape"], stacks["data"].shape[0],
+               stacks["gridSize"], stacks["trimPix"])
+        buckets.setdefault(key, []).append(tileName)
+
+    results = {}
+    for (padShape, nf, gridSize, trimPix), names in buckets.items():
+        if verbose:
+            print("... device batch: %d tile(s) at %s"
+                  % (len(names), str(padShape)))
+        step = make_sharded_matched_filter_step(mesh, gridSize, trimPix,
+                                                rms_impl=rms_impl)
+        data = np.stack([_pad2(staged[n][1]["data"], padShape)
+                         for n in names])
+        template = np.stack([_pad2(staged[n][1]["template"], padShape)
+                             for n in names])
+        calib = np.stack([_pad2(staged[n][1]["calib"], padShape)
+                          for n in names])
+        apodM = np.stack([_pad2(staged[n][1]["apodM"], padShape)
+                          for n in names])
+        surveyMask = np.stack([_pad2(staged[n][1]["surveyMask"], padShape)
+                               for n in names])
+        psMask = np.stack([_pad2(staged[n][1]["psMask"], padShape)
+                           for n in names])
+        peakYX = np.array([[staged[n][1]["shape"][0] // 2,
+                            staged[n][1]["shape"][1] // 2]
+                           for n in names], dtype=np.int32)
+        w = staged[names[0]][1]["w"]
+
+        # The tile axis must divide the mesh; pad by repeating the last
+        # tile and drop the extras after the call.
+        nT = len(names)
+        pad = (-nT) % nDev
+        if pad:
+            rep = ([1] * (nT - 1)) + [1 + pad]
+            data, template, calib, apodM, surveyMask, psMask, peakYX = [
+                np.repeat(a, rep, axis=0) for a in
+                (data, template, calib, apodM, surveyMask, psMask, peakYX)]
+
+        sh = tile_sharding(mesh)
+        out = step(jax.device_put(jnp.asarray(data), sh),
+                   jax.device_put(jnp.asarray(template), sh),
+                   jax.device_put(jnp.asarray(calib), sh),
+                   jnp.asarray(w),
+                   jax.device_put(jnp.asarray(apodM), sh),
+                   jax.device_put(jnp.asarray(psMask), sh),
+                   jax.device_put(jnp.asarray(surveyMask), sh),
+                   jax.device_put(jnp.asarray(peakYX), sh))
+        filtered = np.asarray(out["filtered"])[:nT]
+        SNMaps = np.asarray(out["SNMap"])[:nT]
+        RMSMaps = np.asarray(out["RMSMap"])[:nT]
+        outMask = np.asarray(out["surveyMask"])[:nT]
+
+        for i, tileName in enumerate(names):
+            filterObj, stacks = staged[tileName]
+            shape = stacks["shape"]
+            scale = stacks["unitsScale"]
+            dataMap = filtered[i][:shape[0], :shape[1]] * scale
+            SNMap = SNMaps[i][:shape[0], :shape[1]]
+            RMSMap = RMSMaps[i][:shape[0], :shape[1]] * scale
+            tileMask = outMask[i][:shape[0], :shape[1]]
+            if undoPixelWindow:
+                zeroMask = dataMap == 0
+                dataMap = np.array(fourier.apply_pixel_window(
+                    jnp.asarray(dataMap), pow=-1.0))
+                dataMap[zeroMask] = 0
+            params = filterObj.params
+            if params.get("saveRMSMap"):
+                import os
+                from ..utils import fits as nfits
+                RMSFileName = os.path.join(
+                    config.selFnDir, tileName,
+                    "RMSMap_%s#%s.fits" % (filterObj.label, tileName))
+                os.makedirs(os.path.dirname(RMSFileName), exist_ok=True)
+                nfits.write_image(RMSFileName, RMSMap,
+                                  filterObj.wcs.header,
+                                  compressionType="RICE_1")
+            if params["outputUnits"] == "yc":
+                mapUnits, obsFreqGHz, solidAngle = "yc", "yc", 0.0
+            else:
+                obsFreqGHz = float(list(filterObj.beamSolidAnglesDict)[0])
+                mapUnits = "uK"
+                solidAngle = filterObj.beamSolidAnglesDict[obsFreqGHz]
+            results[tileName] = {
+                "data": dataMap, "wcs": filterObj.wcs,
+                "obsFreqGHz": obsFreqGHz, "SNMap": SNMap,
+                "RMSMap": RMSMap, "surveyMask": tileMask,
+                "flagMask": filterObj.flagMask, "mapUnits": mapUnits,
+                "beamSolidAngle_nsr": solidAngle, "label": filterObj.label,
+                "tileName": tileName}
+    return results

@@ -103,6 +103,21 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
 
     undoPixelWindow = not useCachedRMSMap
 
+    # Opt-in device batching: run every eligible filter over ALL tiles as
+    # one sharded call per shape bucket (the TPU replacement for the
+    # reference's one-tile-per-MPI-rank distribution), then let the loop
+    # below consume the precomputed maps.
+    batchedResults = {}
+    if config.parDict.get("useDeviceBatching") and not useCachedFilteredMaps:
+        from .parallel import engine as batch_engine
+        for f in filtersList:
+            if batch_engine.eligibleForBatch(f, config.parDict):
+                with GLOBAL_TIMER.stage("filterMapsBatched"):
+                    batchedResults[f["label"]] = \
+                        batch_engine.batchFilterTiles(
+                            config, f, undoPixelWindow=undoPixelWindow,
+                            verbose=verbose)
+
     catalogDict = {}
     areaMaskDict = maps.TileDict({}, tileCoordsDict=config.tileCoordsDict)
     flagMaskDict = maps.TileDict({}, tileCoordsDict=config.tileCoordsDict)
@@ -143,6 +158,9 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
                     filteredMapDict["data"].shape, dtype=np.uint8)
                 filteredMapDict["label"] = f["label"]
                 filteredMapDict["tileName"] = tileName
+            elif f["label"] in batchedResults \
+                    and tileName in batchedResults[f["label"]]:
+                filteredMapDict = batchedResults[f["label"]].pop(tileName)
             else:
                 with GLOBAL_TIMER.stage("filterMaps"):
                     filteredMapDict = filters.filterMaps(

@@ -1,0 +1,78 @@
+"""Device-batched production filtering (useDeviceBatching): the sharded
+multi-tile engine must reproduce the per-tile host engine's catalog on the
+same tiled sim - this is the TPU replacement for the reference's MPI tile
+distribution running through the REAL pipeline, not just the benchmark
+step."""
+
+import os
+
+import numpy as np
+
+from nemo_tpu import catalogs, pipelines
+from nemo_tpu.parallel import engine
+from tests.test_tiled_e2e import tiled_run  # noqa: F401  (fixture)
+
+
+def test_eligibility_rules():
+    ok = {"class": "BeamMatchedFilter",
+          "params": {"noiseParams": {"method": "dataMap",
+                                     "noiseGridArcmin": 40.0},
+                     "outputUnits": "uK"}}
+    assert engine.eligibleForBatch(ok, {})
+    bad = {"class": "BeamRealSpaceMatchedFilter", "params": ok["params"]}
+    assert not engine.eligibleForBatch(bad, {})
+    bad = {"class": "BeamMatchedFilter",
+           "params": {"noiseParams": {"method": "model",
+                                      "noiseGridArcmin": 40.0},
+                      "outputUnits": "uK"}}
+    assert not engine.eligibleForBatch(bad, {})
+    bad = {"class": "BeamMatchedFilter",
+           "params": {"noiseParams": {"method": "dataMap",
+                                      "noiseGridArcmin": "smart"},
+                      "outputUnits": "uK"}}
+    assert not engine.eligibleForBatch(bad, {})
+    bad = {"class": "BeamMatchedFilter",
+           "params": {"saveFilter": True,
+                      "noiseParams": {"method": "dataMap",
+                                      "noiseGridArcmin": 40.0},
+                      "outputUnits": "uK"}}
+    assert not engine.eligibleForBatch(bad, {})
+
+
+def test_batched_pipeline_matches_host_engine(tiled_run,  # noqa: F811
+                                              tmp_path):
+    inputTab, hostCatalog, config, w = tiled_run
+    assert len(config.tileNames) >= 4
+
+    config.parDict["useDeviceBatching"] = True
+    try:
+        batchedCatalog = pipelines._filterMapsAndMakeCatalogs(
+            config, rootOutDir=str(tmp_path / "batched"), verbose=False)
+    finally:
+        config.parDict["useDeviceBatching"] = False
+
+    # Same number of solid detections, deduplicated the same way
+    hostSNR = np.asarray(hostCatalog["SNR"])
+    batchSNR = np.asarray(batchedCatalog["SNR"])
+    strongHost = (hostSNR > 6).sum()
+    strongBatch = (batchSNR > 6).sum()
+    assert abs(strongHost - strongBatch) <= 1, (strongHost, strongBatch)
+
+    # Cross-match: every strong host detection recovered by the batched
+    # run at the same position, same amplitude and S/N to close tolerance
+    hostM, batchM, seps = catalogs.crossMatch(hostCatalog, batchedCatalog,
+                                              radiusArcmin=0.5)
+    sel = np.asarray(hostM["SNR"]) > 6
+    assert sel.sum() >= min(strongHost, 10)
+    ampRatio = (np.asarray(batchM["deltaT_c"])[sel]
+                / np.asarray(hostM["deltaT_c"])[sel])
+    assert np.all(np.abs(np.median(ampRatio) - 1) < 0.02), ampRatio
+    assert np.percentile(np.abs(ampRatio - 1), 90) < 0.05
+    snrRatio = (np.asarray(batchM["SNR"])[sel]
+                / np.asarray(hostM["SNR"])[sel])
+    assert abs(np.median(snrRatio) - 1) < 0.05, snrRatio
+
+    # RMS maps were written for the photometry filter (saveRMSMap: True)
+    anyTile = config.tileNames[0]
+    assert os.path.exists(os.path.join(
+        config.selFnDir, anyTile, "RMSMap_Beam_f090#%s.fits" % anyTile))
