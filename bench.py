@@ -22,6 +22,12 @@ import time
 import numpy as np
 
 
+def _run(step, args, jax):
+    out = step(*args)
+    jax.block_until_ready(out)
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -49,14 +55,23 @@ def main():
     psMask = jax.device_put(psMask, sh)
     surveyMask = jax.device_put(surveyMask, sh)
 
-    # Warm-up / compile
-    out = step(data, noise, fsignal, w, apodM, psMask, surveyMask)
-    jax.block_until_ready(out)
+    # Warm-up / compile.  The TPU tunnel used here is occasionally flaky
+    # (transient UNIMPLEMENTED errors); retry a few times before giving up
+    # so one hiccup does not void the benchmark run.
+    stepArgs = (data, noise, fsignal, w, apodM, psMask, surveyMask)
+    for attempt in range(4):
+        try:
+            _run(step, stepArgs, jax)
+            break
+        except Exception:
+            if attempt == 3:
+                raise
+            time.sleep(20.0 * (attempt + 1))
 
     nIter = 5
     t0 = time.time()
     for _ in range(nIter):
-        out = step(data, noise, fsignal, w, apodM, psMask, surveyMask)
+        out = step(*stepArgs)
         jax.block_until_ready(out)
     elapsed = time.time() - t0
 
