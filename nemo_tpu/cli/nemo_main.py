@@ -125,6 +125,11 @@ def main():
                                         "positionRecovery.pkl"),
             selFnDir=config.selFnDir)
 
+    if config.parDict.get("stitchTiles") and len(config.tileNames) > 1:
+        maps.stitchTiles(config)
+    if config.parDict.get("makeQuickLookMaps"):
+        maps.makeQuickLookMaps(config)
+
     completeness.getFRelWeights(config)
     completeness.tidyUp(config)
 

@@ -726,6 +726,44 @@ def maskOutSources(mapData, wcs, catalog, radiusArcmin=7.0, mask=0.0,
     return {"data": maskedData, "mask": maskMap}
 
 
+def shrinkWCS(origShape, origWCS, scaleFactor):
+    """Downsampled (shape, WCS) for quick-look images
+    (``nemo/maps.py:820-850``): scaleFactor 0.25 gives quarter resolution."""
+    ny, nx = origShape
+    outShape = (int(round(ny * scaleFactor)), int(round(nx * scaleFactor)))
+    hdr = origWCS.header.copy()
+    for ax in (1, 2):
+        if "CDELT%d" % ax in hdr:
+            hdr["CDELT%d" % ax] = hdr["CDELT%d" % ax] / scaleFactor
+        if "CD%d_%d" % (ax, ax) in hdr:
+            hdr["CD%d_%d" % (ax, ax)] = hdr["CD%d_%d" % (ax, ax)] \
+                / scaleFactor
+        if "CRPIX%d" % ax in hdr:
+            hdr["CRPIX%d" % ax] = (hdr["CRPIX%d" % ax] - 0.5) \
+                * scaleFactor + 0.5
+    hdr["NAXIS1"] = outShape[1]
+    hdr["NAXIS2"] = outShape[0]
+    return outShape, WCS(hdr)
+
+
+def makeQuickLookMaps(config, scaleFactor=0.25):
+    """Quarter-resolution stitched S/N maps for eyeballing tiled runs
+    (``makeQuickLookMaps`` config option)."""
+    import glob
+    if config.origWCS is None:
+        return
+    outShape, outWCS = shrinkWCS(config.origShape, config.origWCS,
+                                 scaleFactor)
+    for f in config.parDict["mapFilters"]:
+        pattern = os.path.join(config.filteredMapsDir, "*",
+                               "%s#*_SNMap.fits" % f["label"])
+        if not glob.glob(pattern):
+            continue
+        outFileName = os.path.join(
+            config.filteredMapsDir, "quicklook_%s_SNMap.fits" % f["label"])
+        stitchTilesQuickLook(pattern, outFileName, outWCS, outShape)
+
+
 def stitchTilesQuickLook(filePattern, outFileName, outWCS, outShape,
                          fluxRescale=1.0):
     """Paste tile FITS files into one big map (``maps.py:1027-1080``)."""
@@ -870,6 +908,17 @@ def sourceInjectionTest(config, rng=None):
             x_mock, x_rec, rDeg = catalogs.crossMatch(
                 mockCatalog, recCatalog,
                 radiusArcmin=realExclusionRadiusArcmin)
+            # Bright injected objects recovered far off position signal a
+            # pipeline problem (reference maps.py:2115-2131)
+            offsets = np.asarray(rDeg, dtype=float)
+            snrs = np.asarray(x_rec["SNR"], dtype=float)
+            bad = np.logical_and(offsets > 1.5, snrs > 10)
+            if bad.any():
+                msg = ("Recovered %d bright injected source(s) at "
+                       "> 1.5 arcmin offset" % int(bad.sum()))
+                if config.parDict.get("haltOnPositionRecoveryProblem"):
+                    raise RuntimeError(msg)
+                print("... Warning: %s ..." % msg)
             r = results[model["label"]]
             r["RADeg"] += list(np.asarray(x_rec["RADeg"]))
             r["decDeg"] += list(np.asarray(x_rec["decDeg"]))

@@ -57,9 +57,18 @@ def parseConfigFile(parDictFileName, verbose=False):
                 filtDict["params"]["saveFilter"] = True
 
     if parDict.get("noiseMaskCatalog"):
+        # The reference copies this into filter params under the same name
+        # (startUp.py:93-95) but its consumer is the noiseModelCatalog
+        # machinery - route it there so the objects are actually subtracted
+        # from the noise-model maps.
         for filtDict in parDict["mapFilters"]:
             filtDict["params"]["noiseMaskCatalog"] = \
                 parDict["noiseMaskCatalog"]
+            existing = filtDict["params"].get("noiseModelCatalog") or []
+            if not isinstance(existing, list):
+                existing = [existing]
+            filtDict["params"]["noiseModelCatalog"] = \
+                existing + [parDict["noiseMaskCatalog"]]
 
     if "tileDefinitions" in parDict and \
             isinstance(parDict["tileDefinitions"], list):

@@ -129,3 +129,44 @@ def test_whole_map_rms_shape():
     out = np.asarray(noise_ops.whole_map_rms(jnp.asarray(m)))
     assert out.shape == m.shape
     assert abs(out[0, 0] / 5.0 - 1) < 0.15
+
+
+def test_noise_mask_catalog_routed_to_filters(tmp_path):
+    """Global noiseMaskCatalog lands in every filter's params and feeds the
+    noise-model subtraction machinery (reference startUp.py:93-95)."""
+    import yaml
+    from nemo_tpu import startup
+    cfg = {
+        "unfilteredMaps": [
+            {"mapFileName": "x.fits", "obsFreqGHz": 97.8, "units": "uK",
+             "beamFileName": "b.txt"}],
+        "noiseMaskCatalog": "bright_sources.fits",
+        "mapFilters": [
+            {"label": "Beam", "class": "BeamMatchedFilter",
+             "params": {"noiseParams": {"method": "dataMap",
+                                        "noiseGridArcmin": 40.0},
+                        "outputUnits": "uK"}}],
+    }
+    path = str(tmp_path / "c.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    parDict = startup.parseConfigFile(path)
+    p = parDict["mapFilters"][0]["params"]
+    assert p["noiseMaskCatalog"] == "bright_sources.fits"
+    assert "bright_sources.fits" in p["noiseModelCatalog"]
+
+
+def test_halt_on_position_recovery_flag_default():
+    import yaml, tempfile, os
+    from nemo_tpu import startup
+    cfg = {"unfilteredMaps": [
+        {"mapFileName": "x.fits", "obsFreqGHz": 97.8, "units": "uK",
+         "beamFileName": "b.txt"}],
+        "mapFilters": []}
+    with tempfile.NamedTemporaryFile("w", suffix=".yml",
+                                     delete=False) as f:
+        yaml.safe_dump(cfg, f)
+        path = f.name
+    parDict = startup.parseConfigFile(path)
+    os.remove(path)
+    assert parDict.get("haltOnPositionRecoveryProblem") is False

@@ -159,3 +159,22 @@ def test_stitch_tiles_filtered_maps(tiled_run):
     x, y = w.wcs2pix(float(inputTab["RADeg"][i]),
                      float(inputTab["decDeg"][i]))
     assert data[int(round(y)), int(round(x))] > 5
+
+
+def test_quicklook_maps(tiled_run):
+    inputTab, catalog, config, w = tiled_run
+    maps.makeQuickLookMaps(config)
+    out = os.path.join(config.filteredMapsDir,
+                       "quicklook_Beam_f090_SNMap.fits")
+    assert os.path.exists(out)
+    data, header = nfits.read_image(out)
+    # quarter resolution of the full map
+    assert abs(data.shape[0] - SHAPE[0] * 0.25) <= 1
+    assert abs(data.shape[1] - SHAPE[1] * 0.25) <= 1
+    assert np.isfinite(data).all()
+    # the shrunken WCS maps the map centre to the same sky position
+    from nemo_tpu.utils.wcs import WCS
+    qw = WCS(header)
+    ra0, dec0 = w.pix2wcs(SHAPE[1] / 2.0, SHAPE[0] / 2.0)
+    ra1, dec1 = qw.pix2wcs(data.shape[1] / 2.0, data.shape[0] / 2.0)
+    assert abs(ra0 - ra1) < 0.05 and abs(dec0 - dec1) < 0.05
