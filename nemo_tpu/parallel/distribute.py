@@ -68,6 +68,7 @@ def _build_and_apply_filter(data, noise, template, w, apodM):
     return filtered
 
 
+@functools.lru_cache(maxsize=32)
 def make_sharded_tile_step(mesh, gridSize, trimPix, topK=256, threshold=4.0,
                            with_survey_stats=True, rms_impl="auto"):
     """Build the jitted multi-device tile-batch step.
@@ -188,6 +189,7 @@ def _single_tile_step(data, noise, template, w, apodM, psMask, surveyMask,
             "peakVals": vals, "peakYs": ys, "peakXs": xs}
 
 
+@functools.lru_cache(maxsize=32)
 def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                                      rms_impl="auto"):
     """Production batched matched filter: the host engine's math

@@ -61,19 +61,38 @@ def eligibleForBatch(f, parDict):
     return True
 
 
-def _prepare_tile(config, f, tileName):
+def _prepare_tile(config, f, tileName, templateCache=None):
     """Host-side staging for one tile: preprocessing, templates, masks.
-    Returns (filterObj, stacks dict) - everything still at tile shape."""
+    Returns (filterObj, stacks dict) - everything still at tile shape.
+
+    ``templateCache`` reuses signal/calibration templates across tiles
+    with identical geometry (same shape, pixel scales, beams) - tiles in
+    the same declination band share templates, so a wide survey builds
+    each template once per band instead of once per tile."""
     filterClass = filters_mod.getFilterClass(f["class"])
     filterObj = filterClass(f["label"], config.unfilteredMapsDictList,
                             f["params"], tileName=tileName,
                             diagnosticsDir=config.diagnosticsDir,
                             selFnDir=config.selFnDir)
     params = filterObj.params
+
+    def _template(beamFileName, amplitude=None):
+        if templateCache is None:
+            return np.asarray(filterObj.makeSignalTemplateMap(
+                beamFileName, amplitude=amplitude))
+        key = (filterObj.shape,
+               tuple(np.round(filterObj.pixScalesRad, 12)),
+               beamFileName, amplitude)
+        if key not in templateCache:
+            templateCache[key] = np.asarray(
+                filterObj.makeSignalTemplateMap(beamFileName,
+                                                amplitude=amplitude))
+        return templateCache[key]
+
     dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
                           for m in filterObj.unfilteredMapsDictList])
     templates = np.stack(
-        [np.asarray(filterObj.makeSignalTemplateMap(m["beamFileName"]))
+        [_template(m["beamFileName"])
          for m in filterObj.unfilteredMapsDictList])
     # Known-amplitude calibration stack (filters.py:635-690 in the
     # reference; mirrors MatchedFilter._calibrateSignalNorm here).
@@ -82,12 +101,10 @@ def _prepare_tile(config, f, tileName):
         calib = []
         for m in filterObj.unfilteredMapsDictList:
             if m.get("units") == "yc":
-                s = filterObj.makeSignalTemplateMap(m["beamFileName"],
-                                                    amplitude=y0)
+                s = _template(m["beamFileName"], amplitude=y0)
             else:
                 deltaT0 = sz.convertToDeltaT(y0, m["obsFreqGHz"])
-                s = filterObj.makeSignalTemplateMap(m["beamFileName"],
-                                                    amplitude=deltaT0)
+                s = _template(m["beamFileName"], amplitude=deltaT0)
             calib.append(np.asarray(fourier.apply_pixel_window(
                 jnp.asarray(np.asarray(s)), pow=1.0)))
         calibStack = np.stack(calib)
@@ -134,8 +151,10 @@ def batchFilterTiles(config, f, tileNames=None, mesh=None, rms_impl="auto",
 
     staged = {}
     buckets = {}
+    templateCache = {}
     for tileName in tileNames:
-        filterObj, stacks = _prepare_tile(config, f, tileName)
+        filterObj, stacks = _prepare_tile(config, f, tileName,
+                                          templateCache=templateCache)
         staged[tileName] = (filterObj, stacks)
         key = (stacks["padShape"], stacks["data"].shape[0],
                stacks["gridSize"], stacks["trimPix"])
