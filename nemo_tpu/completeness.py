@@ -746,3 +746,39 @@ def makeMassLimitMapsAndPlots(config):
                                  config.diagnosticsDir, config.selFnDir)
             except FileNotFoundError:
                 continue
+        _stitchMassLimitMap(config, z)
+
+
+def _stitchMassLimitMap(config, z):
+    """Quarter-resolution stitched mass-limit map + plot
+    (``completeness.py:1625-1668`` in the reference)."""
+    from . import maps as maps_mod
+    if config.origWCS is None:
+        return
+    zStr = str(z).replace(".", "p")
+    outFileName = os.path.join(config.diagnosticsDir,
+                               "reproj_massLimitMap_z%s.fits" % zStr)
+    shape, wcs = maps_mod.shrinkWCS(config.origShape, config.origWCS, 0.25)
+    stitched = maps_mod.stitchTilesQuickLook(
+        os.path.join(config.diagnosticsDir, "*",
+                     "massLimitMap_z%s#*.fits" % zStr),
+        outFileName, wcs, shape)
+    if stitched is None:
+        return
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from . import plotSettings
+        plotSettings.update_rcParams()
+        masked = np.ma.masked_where(stitched < 1e-6, stitched)
+        plt.figure(figsize=(16, 5.7))
+        plt.imshow(masked, origin="lower", cmap="rainbow")
+        cb = plt.colorbar()
+        cb.set_label("$M_{\\rm 500c}$ ($10^{14}$ M$_\\odot$) "
+                     "[90%% complete], z = %s" % z)
+        plt.savefig(outFileName.replace(".fits", ".pdf"),
+                    bbox_inches="tight")
+        plt.close()
+    except Exception as exc:  # plotting must never kill a survey run
+        print("... WARNING: mass-limit map plot failed: %s" % exc)

@@ -97,6 +97,13 @@ def test_mass_limit_map(cluster_run):  # noqa: F811
     assert len(valid) > 0
     # limits should be cluster-scale masses in 1e14 MSun units
     assert 0.3 < np.median(valid) < 30
+    # stitched quarter-res quicklook + plot (reference epilogue)
+    reproj = os.path.join(config.diagnosticsDir,
+                          "reproj_massLimitMap_z0p5.fits")
+    assert os.path.exists(reproj)
+    rdata, _ = nfits.read_image(reproj)
+    assert 0.3 < np.median(rdata[rdata > 0]) < 30
+    assert os.path.exists(reproj.replace(".fits", ".pdf"))
 
 
 def test_extract_spec_matched_filter(cluster_run):  # noqa: F811
