@@ -9,7 +9,6 @@ SkyCoord), constraint selection with a safe parser instead of ``eval``
 
 import datetime
 import operator
-import os
 
 import numpy as np
 from scipy.spatial import cKDTree

@@ -6,7 +6,6 @@ TPU-native rebuild of ``bin/nemoModel``.
 """
 
 import argparse
-import os
 
 import numpy as np
 

@@ -8,7 +8,6 @@ scaling-relation parameters - the hot path for cosmological inference
 sums (``completeness.py:425-460``) are plain vectorised array math.
 """
 
-import glob
 import os
 
 import numpy as np
@@ -16,7 +15,6 @@ from scipy import interpolate, stats
 
 from . import catalogs, maps, startup
 from .mock import MockSurvey
-from .models import sz
 from .models.qfit import QFit
 from .utils import fits as nfits
 from .utils.tables import Table, vstack

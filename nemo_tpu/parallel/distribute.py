@@ -26,10 +26,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec
+from jax.sharding import PartitionSpec
 
-from ..ops import fourier, imageops
+from ..ops import imageops
 from ..ops import noise as noise_ops
 from ..ops import solve as solve_ops
 from .mesh import TILE_AXIS, get_mesh, tile_sharding
