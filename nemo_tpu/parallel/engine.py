@@ -138,16 +138,26 @@ def _pad2(a, padShape):
 
 
 def batchFilterTiles(config, f, tileNames=None, mesh=None, rms_impl="auto",
-                     undoPixelWindow=True, verbose=True):
+                     undoPixelWindow=True, verbose=True,
+                     deviceBatchSize=None):
     """Filter every tile with one sharded device call per shape bucket.
 
     Returns {tileName: filteredMapDict} with the same contract as
     ``filters.filterMaps`` (data/SNMap/surveyMask/flagMask/units/...), so
     the result drops into the existing catalog pipeline.
+
+    ``deviceBatchSize`` bounds how many tiles are resident on the devices
+    at once (default: 2 per device; config key ``deviceBatchSize``) so a
+    full survey's tile set never has to fit in HBM simultaneously - the
+    same compiled step is reused chunk after chunk.
     """
     tileNames = tileNames if tileNames is not None else config.tileNames
     mesh = mesh or get_mesh()
     nDev = mesh.devices.size
+    if deviceBatchSize is None:
+        deviceBatchSize = int(config.parDict.get("deviceBatchSize",
+                                                 2 * nDev))
+    deviceBatchSize = max(nDev, (deviceBatchSize // nDev) * nDev)
 
     staged = {}
     buckets = {}
@@ -161,88 +171,97 @@ def batchFilterTiles(config, f, tileNames=None, mesh=None, rms_impl="auto",
         buckets.setdefault(key, []).append(tileName)
 
     results = {}
-    for (padShape, nf, gridSize, trimPix), names in buckets.items():
-        if verbose:
-            print("... device batch: %d tile(s) at %s"
-                  % (len(names), str(padShape)))
-        step = make_sharded_matched_filter_step(mesh, gridSize, trimPix,
-                                                rms_impl=rms_impl)
-        data = np.stack([_pad2(staged[n][1]["data"], padShape)
-                         for n in names])
-        template = np.stack([_pad2(staged[n][1]["template"], padShape)
-                             for n in names])
-        calib = np.stack([_pad2(staged[n][1]["calib"], padShape)
-                          for n in names])
-        apodM = np.stack([_pad2(staged[n][1]["apodM"], padShape)
-                          for n in names])
-        surveyMask = np.stack([_pad2(staged[n][1]["surveyMask"], padShape)
-                               for n in names])
-        psMask = np.stack([_pad2(staged[n][1]["psMask"], padShape)
-                           for n in names])
-        peakYX = np.array([[staged[n][1]["shape"][0] // 2,
-                            staged[n][1]["shape"][1] // 2]
-                           for n in names], dtype=np.int32)
-        w = staged[names[0]][1]["w"]
-
-        # The tile axis must divide the mesh; pad by repeating the last
-        # tile and drop the extras after the call.
-        nT = len(names)
-        pad = (-nT) % nDev
-        if pad:
-            rep = ([1] * (nT - 1)) + [1 + pad]
-            data, template, calib, apodM, surveyMask, psMask, peakYX = [
-                np.repeat(a, rep, axis=0) for a in
-                (data, template, calib, apodM, surveyMask, psMask, peakYX)]
-
-        sh = tile_sharding(mesh)
-        out = step(jax.device_put(jnp.asarray(data), sh),
-                   jax.device_put(jnp.asarray(template), sh),
-                   jax.device_put(jnp.asarray(calib), sh),
-                   jnp.asarray(w),
-                   jax.device_put(jnp.asarray(apodM), sh),
-                   jax.device_put(jnp.asarray(psMask), sh),
-                   jax.device_put(jnp.asarray(surveyMask), sh),
-                   jax.device_put(jnp.asarray(peakYX), sh))
-        filtered = np.asarray(out["filtered"])[:nT]
-        SNMaps = np.asarray(out["SNMap"])[:nT]
-        RMSMaps = np.asarray(out["RMSMap"])[:nT]
-        outMask = np.asarray(out["surveyMask"])[:nT]
-
-        for i, tileName in enumerate(names):
-            filterObj, stacks = staged[tileName]
-            shape = stacks["shape"]
-            scale = stacks["unitsScale"]
-            dataMap = filtered[i][:shape[0], :shape[1]] * scale
-            SNMap = SNMaps[i][:shape[0], :shape[1]]
-            RMSMap = RMSMaps[i][:shape[0], :shape[1]] * scale
-            tileMask = outMask[i][:shape[0], :shape[1]]
-            if undoPixelWindow:
-                zeroMask = dataMap == 0
-                dataMap = np.array(fourier.apply_pixel_window(
-                    jnp.asarray(dataMap), pow=-1.0))
-                dataMap[zeroMask] = 0
-            params = filterObj.params
-            if params.get("saveRMSMap"):
-                import os
-                from ..utils import fits as nfits
-                RMSFileName = os.path.join(
-                    config.selFnDir, tileName,
-                    "RMSMap_%s#%s.fits" % (filterObj.label, tileName))
-                os.makedirs(os.path.dirname(RMSFileName), exist_ok=True)
-                nfits.write_image(RMSFileName, RMSMap,
-                                  filterObj.wcs.header,
-                                  compressionType="RICE_1")
-            if params["outputUnits"] == "yc":
-                mapUnits, obsFreqGHz, solidAngle = "yc", "yc", 0.0
-            else:
-                obsFreqGHz = float(list(filterObj.beamSolidAnglesDict)[0])
-                mapUnits = "uK"
-                solidAngle = filterObj.beamSolidAnglesDict[obsFreqGHz]
-            results[tileName] = {
-                "data": dataMap, "wcs": filterObj.wcs,
-                "obsFreqGHz": obsFreqGHz, "SNMap": SNMap,
-                "RMSMap": RMSMap, "surveyMask": tileMask,
-                "flagMask": filterObj.flagMask, "mapUnits": mapUnits,
-                "beamSolidAngle_nsr": solidAngle, "label": filterObj.label,
-                "tileName": tileName}
+    for (padShape, nf, gridSize, trimPix), allNames in buckets.items():
+        for c0 in range(0, len(allNames), deviceBatchSize):
+            names = allNames[c0:c0 + deviceBatchSize]
+            _run_bucket(config, staged, names, padShape, gridSize, trimPix,
+                        mesh, nDev, rms_impl, undoPixelWindow, verbose,
+                        results)
     return results
+
+
+def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
+                nDev, rms_impl, undoPixelWindow, verbose, results):
+    if verbose:
+        print("... device batch: %d tile(s) at %s"
+              % (len(names), str(padShape)))
+    step = make_sharded_matched_filter_step(mesh, gridSize, trimPix,
+                                            rms_impl=rms_impl)
+    data = np.stack([_pad2(staged[n][1]["data"], padShape)
+                     for n in names])
+    template = np.stack([_pad2(staged[n][1]["template"], padShape)
+                         for n in names])
+    calib = np.stack([_pad2(staged[n][1]["calib"], padShape)
+                      for n in names])
+    apodM = np.stack([_pad2(staged[n][1]["apodM"], padShape)
+                      for n in names])
+    surveyMask = np.stack([_pad2(staged[n][1]["surveyMask"], padShape)
+                           for n in names])
+    psMask = np.stack([_pad2(staged[n][1]["psMask"], padShape)
+                       for n in names])
+    peakYX = np.array([[staged[n][1]["shape"][0] // 2,
+                        staged[n][1]["shape"][1] // 2]
+                       for n in names], dtype=np.int32)
+    w = staged[names[0]][1]["w"]
+
+    # The tile axis must divide the mesh; pad by repeating the last
+    # tile and drop the extras after the call.
+    nT = len(names)
+    pad = (-nT) % nDev
+    if pad:
+        rep = ([1] * (nT - 1)) + [1 + pad]
+        data, template, calib, apodM, surveyMask, psMask, peakYX = [
+            np.repeat(a, rep, axis=0) for a in
+            (data, template, calib, apodM, surveyMask, psMask, peakYX)]
+
+    sh = tile_sharding(mesh)
+    out = step(jax.device_put(jnp.asarray(data), sh),
+               jax.device_put(jnp.asarray(template), sh),
+               jax.device_put(jnp.asarray(calib), sh),
+               jnp.asarray(w),
+               jax.device_put(jnp.asarray(apodM), sh),
+               jax.device_put(jnp.asarray(psMask), sh),
+               jax.device_put(jnp.asarray(surveyMask), sh),
+               jax.device_put(jnp.asarray(peakYX), sh))
+    filtered = np.asarray(out["filtered"])[:nT]
+    SNMaps = np.asarray(out["SNMap"])[:nT]
+    RMSMaps = np.asarray(out["RMSMap"])[:nT]
+    outMask = np.asarray(out["surveyMask"])[:nT]
+
+    for i, tileName in enumerate(names):
+        filterObj, stacks = staged[tileName]
+        shape = stacks["shape"]
+        scale = stacks["unitsScale"]
+        dataMap = filtered[i][:shape[0], :shape[1]] * scale
+        SNMap = SNMaps[i][:shape[0], :shape[1]]
+        RMSMap = RMSMaps[i][:shape[0], :shape[1]] * scale
+        tileMask = outMask[i][:shape[0], :shape[1]]
+        if undoPixelWindow:
+            zeroMask = dataMap == 0
+            dataMap = np.array(fourier.apply_pixel_window(
+                jnp.asarray(dataMap), pow=-1.0))
+            dataMap[zeroMask] = 0
+        params = filterObj.params
+        if params.get("saveRMSMap"):
+            import os
+            from ..utils import fits as nfits
+            RMSFileName = os.path.join(
+                config.selFnDir, tileName,
+                "RMSMap_%s#%s.fits" % (filterObj.label, tileName))
+            os.makedirs(os.path.dirname(RMSFileName), exist_ok=True)
+            nfits.write_image(RMSFileName, RMSMap,
+                              filterObj.wcs.header,
+                              compressionType="RICE_1")
+        if params["outputUnits"] == "yc":
+            mapUnits, obsFreqGHz, solidAngle = "yc", "yc", 0.0
+        else:
+            obsFreqGHz = float(list(filterObj.beamSolidAnglesDict)[0])
+            mapUnits = "uK"
+            solidAngle = filterObj.beamSolidAnglesDict[obsFreqGHz]
+        results[tileName] = {
+            "data": dataMap, "wcs": filterObj.wcs,
+            "obsFreqGHz": obsFreqGHz, "SNMap": SNMap,
+            "RMSMap": RMSMap, "surveyMask": tileMask,
+            "flagMask": filterObj.flagMask, "mapUnits": mapUnits,
+            "beamSolidAngle_nsr": solidAngle, "label": filterObj.label,
+            "tileName": tileName}
