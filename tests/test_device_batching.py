@@ -76,3 +76,22 @@ def test_batched_pipeline_matches_host_engine(tiled_run,  # noqa: F811
     anyTile = config.tileNames[0]
     assert os.path.exists(os.path.join(
         config.selFnDir, anyTile, "RMSMap_Beam_f090#%s.fits" % anyTile))
+
+
+def test_chunked_device_batches(tiled_run):  # noqa: F811
+    """deviceBatchSize splits the tile set into several device rounds and
+    the results are identical to the one-shot batch."""
+    from nemo_tpu.parallel.mesh import get_mesh
+    inputTab, hostCatalog, config, w = tiled_run
+    f = config.parDict["mapFilters"][0]
+    mesh = get_mesh(n_devices=2)
+    one = engine.batchFilterTiles(config, f, mesh=mesh, verbose=False)
+    chunked = engine.batchFilterTiles(config, f, mesh=mesh, verbose=False,
+                                      deviceBatchSize=2)
+    assert set(one.keys()) == set(chunked.keys())
+    assert len(one) >= 4
+    for t in one:
+        np.testing.assert_allclose(chunked[t]["SNMap"], one[t]["SNMap"],
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(chunked[t]["data"], one[t]["data"],
+                                   rtol=1e-8, atol=1e-12)
