@@ -222,7 +222,10 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
 
     def one_tile(d, t, c, w, apod, peakYX):
         nf, ny, nx = d.shape
-        fNoise = jnp.fft.rfft2(d * apod[None])
+        # One FFT serves both the noise covariance and the filter apply
+        # (dataMap noise method: the noise model IS the data).
+        fMaps = jnp.fft.rfft2(d * apod[None])
+        fNoise = fMaps
         prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
         prods = imageops.gaussian_filter(
             prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
@@ -242,7 +245,6 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         peak = filteredCalib[peakYX[0], peakYX[1]]
         signalNorm = 1.0 / peak
 
-        fMaps = jnp.fft.rfft2(d * apod[None])
         filtered = jnp.sum(jnp.fft.irfft2(fMaps * filt, s=(ny, nx)),
                            axis=0) * signalNorm
         return filtered, signalNorm
