@@ -21,6 +21,9 @@ def makeParser():
     parser.add_argument("-C", "--combine-mocks", dest="combineMocks",
                         action="store_true", default=False)
     parser.add_argument("-Q", "--Q-source", dest="QSource", default="fit")
+    parser.add_argument("-S", "--SNR-cut", dest="SNRCut", type=float,
+                        default=None,
+                        help="Apply this fixed_SNR cut to the mocks.")
     parser.add_argument("-s", "--seed", dest="seed", type=int, default=None)
     return parser
 
@@ -37,6 +40,8 @@ def main():
     config.mocksDir = os.path.abspath(args.mocksDir)
     if args.seed is not None:
         config.parDict["seed"] = args.seed
+    if args.SNRCut is not None:
+        config.parDict["thresholdSigma"] = args.SNRCut
     pipelines.makeMockClusterCatalog(config, numMocksToMake=args.numMocks,
                                      combineMocks=args.combineMocks,
                                      QSource=args.QSource)

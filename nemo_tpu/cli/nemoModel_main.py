@@ -30,7 +30,10 @@ def makeParser():
                         help="White noise level (uK per pixel).")
     parser.add_argument("--lknee", dest="lKnee", type=float, default=None,
                         help="If given, add 1/f noise with this knee.")
-    parser.add_argument("-s", "--seed", dest="seed", type=int, default=None)
+    parser.add_argument("-s", "--scale-signals", dest="scale", type=float,
+                        default=1.0,
+                        help="Scale all object amplitudes by this factor.")
+    parser.add_argument("-S", "--seed", dest="seed", type=int, default=None)
     parser.add_argument("-M", "--mpi", dest="MPIEnabled",
                         action="store_true", default=False)
     return parser
@@ -56,6 +59,8 @@ def main():
                                    profile=args.profile)
     if modelMap is None:
         modelMap = np.zeros(shape)
+    if args.scale != 1.0:
+        modelMap = modelMap * args.scale
 
     if args.addCMB:
         modelMap = modelMap + maps.simCMBMap(shape, wcs,

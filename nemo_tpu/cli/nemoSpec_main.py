@@ -17,9 +17,13 @@ def makeParser():
                         help="'CAP' or 'matchedFilter'.")
     parser.add_argument("-r", "--disk-radius-arcmin", dest="diskRadiusArcmin",
                         type=float, default=4.0)
-    parser.add_argument("-S", "--save-filtered-maps",
+    parser.add_argument("-w", "-S", "--write-maps", "--save-filtered-maps",
                         dest="saveFilteredMaps", action="store_true",
                         default=False)
+    parser.add_argument("-z", "--redshift-catalog",
+                        dest="redshiftCatFileName", default=None,
+                        help="Redshift catalog (.fits) cross-matched onto "
+                             "the output.")
     parser.add_argument("-M", "--mpi", dest="MPIEnabled",
                         action="store_true", default=False)
     return parser
@@ -35,6 +39,16 @@ def main():
     specTab = pipelines.extractSpec(config, tab, method=args.method,
                                     diskRadiusArcmin=args.diskRadiusArcmin,
                                     saveFilteredMaps=args.saveFilteredMaps)
+    if args.redshiftCatFileName is not None:
+        import numpy as np
+        zTab = Table.read(args.redshiftCatFileName)
+        specM, zM, _ = catalogs.crossMatch(specTab, zTab, radiusArcmin=2.5)
+        if len(specM) > 0:
+            zByName = {n: z for n, z in zip(np.asarray(specM["name"]),
+                                            np.asarray(zM["redshift"]))}
+            specTab["redshift"] = np.array(
+                [zByName.get(n, -99.0)
+                 for n in np.asarray(specTab["name"])])
     outFileName = args.outFileName or \
         args.catFileName.replace(".fits", "_spec.fits")
     catalogs.writeCatalog(specTab, outFileName)

@@ -64,7 +64,7 @@ def test_nemo_model_cli(cli_workspace):
     ws = cli_workspace
     out = str(ws["tmp"] / "sim_f090.fits")
     _run(["nemoModel", ws["catPath"], ws["template"], ws["beam"], out,
-          "-f", "97.8", "-C", "-N", "40", "-s", "99"], cwd=str(ws["tmp"]))
+          "-f", "97.8", "-C", "-N", "40", "-S", "99"], cwd=str(ws["tmp"]))
     assert os.path.exists(out)
     data, header = nfits.read_image(out)
     # map contains CMB + noise + sources: std much bigger than noise alone
