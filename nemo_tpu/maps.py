@@ -69,9 +69,14 @@ class MapDict(dict):
                 os.path.join(path, tileName + ".fits"))
             wcs = WCS(header)
         else:
-            hdus = nfits.read(path)
-            hdu = next(h for h in hdus if h.data is not None)
-            full = hdu.data
+            # Memory-map where possible: loading one tile of a survey-sized
+            # map then costs O(tile) I/O, not a full-file read per tile.
+            try:
+                full, header = nfits.read_image_mmap(path)
+            except (IOError, OSError, KeyError):
+                hdus = nfits.read(path)
+                hdu = next(h for h in hdus if h.data is not None)
+                full, header = hdu.data, hdu.header
             if self.tileCoordsDict is not None and \
                     tileName in self.tileCoordsDict:
                 minX, maxX, minY, maxY = \
@@ -83,8 +88,10 @@ class MapDict(dict):
                 wcs = WCS(self.tileCoordsDict[tileName]["header"])
             else:
                 data = full[0] if full.ndim == 3 else full
-                wcs = WCS(hdu.header)
+                wcs = WCS(header)
         data = np.array(data)
+        if data.dtype.byteorder == ">":
+            data = data.astype(data.dtype.newbyteorder("="))
 
         if mapKey in self._maskKeys and data.dtype != np.uint8:
             data = data.astype(np.uint8)

@@ -607,6 +607,72 @@ def read(path):
     return hdus
 
 
+def scan_hdus(path):
+    """Headers + byte offsets of every HDU without reading the data.
+
+    Returns a list of (header, data_offset, data_nbytes).  Only works on
+    uncompressed (non-.gz) files.
+    """
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            header = _read_header(f)
+            if header is None:
+                break
+            offset = f.tell()
+            if str(header.get("XTENSION", "")).strip() == "BINTABLE":
+                nbytes = (int(header["NAXIS1"]) * int(header["NAXIS2"])
+                          + int(header.get("PCOUNT", 0)))
+            else:
+                nbytes = _data_size_bytes(header)
+            out.append((header, offset, nbytes))
+            f.seek(offset + _padded(nbytes))
+    return out
+
+
+_MMAP_CACHE = {}
+
+
+def read_image_mmap(path, ext=None):
+    """Memory-mapped view of an image HDU: (array, header).
+
+    The returned array is a read-only big-endian view backed by the file -
+    slice it and copy the slice; do NOT mutate.  Tile pipelines use this so
+    loading one tile of a survey-sized map costs O(tile) I/O instead of a
+    full-file read.  Raises IOError for gzip or tile-compressed HDUs
+    (callers fall back to :func:`read_image`).
+    """
+    path = str(path)
+    if path.endswith(".gz"):
+        raise IOError("Cannot memory-map a gzip FITS file")
+    key = (path, os.path.getmtime(path), ext)
+    if key in _MMAP_CACHE:
+        return _MMAP_CACHE[key]
+    for i, (header, offset, nbytes) in enumerate(scan_hdus(path)):
+        if header.get("ZIMAGE"):
+            raise IOError("Cannot memory-map a tile-compressed HDU")
+        if str(header.get("XTENSION", "")).strip() == "BINTABLE":
+            continue
+        if header.get("NAXIS", 0) == 0 or nbytes == 0:
+            continue
+        name = str(header.get("EXTNAME", "")).strip()
+        if ext is not None:
+            if isinstance(ext, int) and i != ext:
+                continue
+            if isinstance(ext, str) and name.upper() != ext.upper():
+                continue
+        dtype = _BITPIX_TO_DTYPE[int(header["BITPIX"])]
+        shape = tuple(int(header["NAXIS%d" % j])
+                      for j in range(int(header["NAXIS"]), 0, -1))
+        arr = np.memmap(path, dtype=dtype, mode="r", offset=offset,
+                        shape=shape)
+        if header.get("BSCALE", 1) != 1 or header.get("BZERO", 0) != 0:
+            raise IOError("Cannot memory-map a BSCALE/BZERO-scaled image")
+        _MMAP_CACHE[key] = (arr, header)
+        return arr, header
+    raise IOError("No matching image HDU to map in %s" % path)
+
+
 def read_image(path, ext=None):
     """Read the first image HDU with data (or the named/indexed extension).
 

@@ -144,3 +144,30 @@ def test_load_wcs_from_header_text():
         pytest.skip("header fixture not present yet")
     w = wcs.loadWCSFromHeaderText(path)
     assert w.naxis1 == 1032 and w.naxis2 == 1031
+
+
+def test_read_image_mmap_matches_full_read(tmp_path):
+    import numpy as np
+    from nemo_tpu.utils import fits as nfits
+    rng = np.random.default_rng(1)
+    m = rng.normal(0, 1, (120, 250)).astype(np.float32)
+    path = str(tmp_path / "m.fits")
+    nfits.write_image(path, m, nfits.Header({"CRVAL1": 30.0}))
+    arr, header = nfits.read_image_mmap(path)
+    assert header["CRVAL1"] == 30.0
+    # the mapped view equals the full read (big-endian view vs native)
+    full, _ = nfits.read_image(path)
+    np.testing.assert_array_equal(np.asarray(arr, dtype=np.float32), full)
+    # slicing a tile touches only that tile
+    tile = np.array(arr[10:20, 30:90], dtype=np.float32)
+    np.testing.assert_array_equal(tile, m[10:20, 30:90])
+    # gzip and compressed HDUs refuse to map
+    import pytest
+    gzPath = str(tmp_path / "m.fits.gz")
+    nfits.write_image(gzPath, m)
+    with pytest.raises(IOError):
+        nfits.read_image_mmap(gzPath)
+    cPath = str(tmp_path / "c.fits")
+    nfits.write_image(cPath, m, compressionType="RICE_1")
+    with pytest.raises(IOError):
+        nfits.read_image_mmap(cPath)
