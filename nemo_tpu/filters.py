@@ -352,8 +352,9 @@ def _build_filter_core(noiseStack, fSignalsAbs, w, apodM, padShape=None):
 def _apply_filter_fourier(fMaps, filt, s):
     """sum_freq irfft(F * filt) - the reference uses an unnormalised complex
     ifft (filters.py:851); constant factors cancel in signalNorm, and all
-    maps are real so the half-grid transform is exact."""
-    return jnp.sum(jnp.fft.irfft2(fMaps * filt, s=s), axis=0)
+    maps are real so the half-grid transform is exact.  Accepts an optional
+    leading batch axis on fMaps (the frequency axis is axis -3)."""
+    return jnp.sum(jnp.fft.irfft2(fMaps * filt, s=s), axis=-3)
 
 
 @functools.partial(jax.jit, static_argnames=("padShape",))
@@ -646,11 +647,11 @@ class MatchedFilter(MapFilter):
                         fourier.good_fft_size(outShape[1]))
             fMaps = _fft_apod_stack(mapDataToFilter, apodM,
                                     padShape=padShape)
-        if fMaps.shape == self.filt.shape:
+        if fMaps.shape[-3:] == self.filt.shape:
             filt = self.filt
             padShape = self.padShape
         else:
-            filt = self.reshapeFilter(fMaps.shape)
+            filt = self.reshapeFilter(fMaps.shape[-3:])
             padShape = (fMaps.shape[-2], 2 * (fMaps.shape[-1] - 1))
         filteredMap = np.asarray(fourier.crop_to(_apply_filter_fourier(
             fMaps, jnp.asarray(filt), padShape), outShape))

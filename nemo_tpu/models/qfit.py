@@ -225,6 +225,10 @@ def fitQ(config):
 
         Q, QTheta500Arcmin, Qz = [], [], []
         y0 = 2e-4
+        # NOTE: applyFilter supports a leading batch axis, but pushing the
+        # whole (z, M) grid through in one call costs more in XLA compile
+        # time than the 55 shape-identical per-model calls it replaces
+        # (each reuses one compiled kernel), so the loop stays.
         for z, M500MSun in zip(zRange, MRange):
             signalMaps = []
             for obsFreqGHz in beamsDict:

@@ -192,3 +192,19 @@ def test_percentile_estimator():
     # 68.3 percentile of |N(0,2)| ~ 2.0
     interior = out[60:140, 60:140]
     assert abs(np.median(interior) / 2.0 - 1) < 0.15
+
+
+def test_apply_filter_batch_axis(tmp_path):
+    """applyFilter accepts (B, nf, ny, nx) batches and matches per-sample
+    application."""
+    mapDict, _ = _make_sim_tile(shape=(256, 256))
+    f = {"label": "batchtest", "class": "ArnaudModelMatchedFilter",
+         "params": dict(FILTER_PARAMS)}
+    out, filterObj = filters.filterMaps(
+        [mapDict], f, "PRIMARY", diagnosticsDir=str(tmp_path / "d"),
+        selFnDir=str(tmp_path / "s"), returnFilter=True)
+    rng = np.random.default_rng(0)
+    stack = rng.normal(0, 50.0, (3, 1, 256, 256))
+    single = np.stack([np.asarray(filterObj.applyFilter(s)) for s in stack])
+    batched = np.asarray(filterObj.applyFilter(stack))
+    np.testing.assert_allclose(batched, single, rtol=1e-10, atol=1e-12)
