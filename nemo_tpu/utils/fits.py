@@ -137,12 +137,24 @@ def _read_header(fileobj):
         if b"END     " in block or block.rstrip().endswith(b"END"):
             # Check card-aligned END
             found_end = False
+            lastKey = None
             for i in range(0, len(cards), 80):
                 card = cards[i:i + 80].decode("ascii", errors="replace")
                 key = card[:8].strip()
                 if key == "END":
                     found_end = True
                     break
+                if key == "CONTINUE" and lastKey is not None and \
+                        isinstance(header.get(lastKey), str):
+                    # long-string convention: previous value ends with '&'
+                    cont = _parse_value(card[10:].split("/")[0]
+                                        if not card[10:].strip(
+                                            ).startswith("'")
+                                        else card[10:])
+                    prev = header[lastKey]
+                    if prev.endswith("&"):
+                        header[lastKey] = prev[:-1] + str(cont)
+                    continue
                 if key in ("COMMENT", "HISTORY", ""):
                     continue
                 if card[8:10] == "= ":
@@ -161,6 +173,7 @@ def _read_header(fileobj):
                         if comment_pos != -1:
                             val = val[:comment_pos]
                     header[key] = _parse_value(val)
+                    lastKey = key
             if found_end:
                 return header
 

@@ -114,3 +114,22 @@ def test_nemo_cli_source_run(cli_workspace):
     # DS9 regions + csv written too
     assert os.path.exists(outCat.replace(".fits", ".reg"))
     assert os.path.exists(outCat.replace(".fits", ".csv"))
+
+
+def test_nemo_cli_forced_photometry(cli_workspace):
+    """nemo -f: measure fluxes at the input-catalog positions instead of
+    blind detection (reference bin/nemo:44-47)."""
+    ws = cli_workspace
+    configPath = str(ws["tmp"] / "sources.yml")
+    assert os.path.exists(configPath), "run test_nemo_cli_source_run first"
+    _run(["nemo", configPath, "-f", ws["catPath"]], cwd=str(ws["tmp"]))
+    outName = "inputCatalog_nemoOut_forcedCatalog.csv"
+    outPath = os.path.join(str(ws["tmp"]), outName)
+    assert os.path.exists(outPath), os.listdir(str(ws["tmp"]))
+    tab = Table.read(outPath)
+    # every input position measured, amplitudes recovered
+    assert len(tab) == len(ws["cat"])
+    refM, outM, _ = catalogs.crossMatch(ws["cat"], tab, radiusArcmin=0.5)
+    assert len(refM) == len(ws["cat"])
+    ratios = np.asarray(outM["deltaT_c"]) / np.asarray(refM["deltaT_c"])
+    assert abs(np.median(ratios) - 1) < 0.15, ratios

@@ -171,3 +171,24 @@ def test_read_image_mmap_matches_full_read(tmp_path):
     nfits.write_image(cPath, m, compressionType="RICE_1")
     with pytest.raises(IOError):
         nfits.read_image_mmap(cPath)
+
+
+def test_fits_continue_long_strings(tmp_path):
+    """Long-string (CONTINUE) convention in headers, as written by cfitsio
+    for long file paths in real survey maps."""
+    from nemo_tpu.utils import fits as nfits
+    cards = []
+    for s in ("SIMPLE  =                    T",
+              "BITPIX  =                    8",
+              "NAXIS   =                    0",
+              "MYPATH  = '" + "a" * 60 + "&'",
+              "CONTINUE  'bbbb.fits'",
+              "END"):
+        cards.append(s.ljust(80))
+    blob = "".join(cards).encode()
+    blob += b" " * ((2880 - len(blob) % 2880) % 2880)
+    path = str(tmp_path / "cont.fits")
+    with open(path, "wb") as f:
+        f.write(blob)
+    h = nfits.read(path)[0].header
+    assert h["MYPATH"] == "a" * 60 + "bbbb.fits"
