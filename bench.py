@@ -46,27 +46,28 @@ def main():
     step = distribute.make_sharded_tile_step(
         mesh, gridSize=gridSize, trimPix=trimPix, topK=256, threshold=4.0,
         with_survey_stats=False)
-    args = _example_inputs(nTiles, nf, ny, nx, np.float32, seed=1)
-    data, noise, fsignal, w, apodM, psMask, surveyMask = args
+    hostArgs = _example_inputs(nTiles, nf, ny, nx, np.float32, seed=1)
     sh = tile_sharding(mesh)
-    data = jax.device_put(data, sh)
-    noise = jax.device_put(noise, sh)
-    fsignal = jax.device_put(fsignal, sh)
-    psMask = jax.device_put(psMask, sh)
-    surveyMask = jax.device_put(surveyMask, sh)
 
-    # Warm-up / compile.  The TPU tunnel used here is occasionally flaky
-    # (transient UNIMPLEMENTED errors); retry a few times before giving up
-    # so one hiccup does not void the benchmark run.
-    stepArgs = (data, noise, fsignal, w, apodM, psMask, surveyMask)
-    for attempt in range(4):
+    def _place():
+        data, noise, fsignal, w, apodM, psMask, surveyMask = hostArgs
+        return (jax.device_put(data, sh), jax.device_put(noise, sh),
+                jax.device_put(fsignal, sh), w, apodM,
+                jax.device_put(psMask, sh), jax.device_put(surveyMask, sh))
+
+    # Warm-up / compile.  The TPU tunnel used here is flaky (transient
+    # UNIMPLEMENTED errors, sometimes at device_put); retry placement AND
+    # the first step so one hiccup does not void the benchmark run.
+    stepArgs = None
+    for attempt in range(8):
         try:
+            stepArgs = _place()
             _run(step, stepArgs, jax)
             break
         except Exception:
-            if attempt == 3:
+            if attempt == 7:
                 raise
-            time.sleep(20.0 * (attempt + 1))
+            time.sleep(min(60.0, 10.0 * (attempt + 1)))
 
     nIter = 5
     t0 = time.time()
