@@ -178,3 +178,34 @@ def test_quicklook_maps(tiled_run):
     ra0, dec0 = w.pix2wcs(SHAPE[1] / 2.0, SHAPE[0] / 2.0)
     ra1, dec1 = qw.pix2wcs(data.shape[1] / 2.0, data.shape[0] / 2.0)
     assert abs(ra0 - ra1) < 0.05 and abs(dec0 - dec1) < 0.05
+
+
+def test_autotiler_ra_wrap():
+    """A full-width survey mask (RA spanning the 180-deg wrap) tiles without
+    degenerate or negative-width tiles (reference maps.py:748-760)."""
+    shape = (2400, 4800)  # 20 x 40 deg at 0.5', centred on RA 0
+    w = nwcs.makeWCS(shape, 0.5 / 60.0, centreRADeg=0.0, centreDecDeg=0.0)
+    mask = np.ones(shape, dtype=np.uint8)
+    tiles = maps.autotiler(mask, w, targetTileWidth=10.0,
+                           targetTileHeight=5.0)
+    assert len(tiles) >= 8
+    for t in tiles:
+        RAMin, RAMax, decMin, decMax = t["RADecSection"]
+        # wrapped sections express RA in [0, 360); width must be sane
+        width = (RAMax - RAMin) % 360.0
+        assert 0.5 < width < 45.0, t
+        assert decMax - decMin > 0.5
+    # every mask pixel is covered by at least one tile
+    ys = np.array([300, 1200, 2100])
+    xs = np.array([100, 2400, 4700])
+    for y in ys:
+        for x in xs:
+            ra, dec = w.pix2wcs(int(x), int(y))
+            covered = False
+            for t in tiles:
+                RAMin, RAMax, decMin, decMax = t["RADecSection"]
+                inRA = ((ra - RAMin) % 360.0) <= ((RAMax - RAMin) % 360.0)
+                if inRA and decMin <= dec <= decMax:
+                    covered = True
+                    break
+            assert covered, (ra, dec)
