@@ -220,12 +220,12 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
     spec_tiles = PartitionSpec(TILE_AXIS)
     spec_rep = PartitionSpec()
 
-    def one_tile(d, t, c, w, apod, peakYX):
+    def one_tile(d, n, t, c, w, apod, peakYX):
         nf, ny, nx = d.shape
-        # One FFT serves both the noise covariance and the filter apply
-        # (dataMap noise method: the noise model IS the data).
         fMaps = jnp.fft.rfft2(d * apod[None])
-        fNoise = fMaps
+        # With the dataMap noise method the noise stack IS the data and
+        # XLA's CSE collapses the two transforms into one.
+        fNoise = jnp.fft.rfft2(n * apod[None])
         prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
         prods = imageops.gaussian_filter(
             prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
@@ -249,11 +249,11 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                            axis=0) * signalNorm
         return filtered, signalNorm
 
-    def per_shard(data, template, calib, w, apodM, psMask, surveyMask,
-                  peakYX):
+    def per_shard(data, noise, template, calib, w, apodM, psMask,
+                  surveyMask, peakYX):
         filtered, norms = jax.vmap(
-            lambda d, t, c, a, p: one_tile(d, t, c, w, a, p))(
-            data, template, calib, apodM, peakYX)
+            lambda d, n, t, c, a, p: one_tile(d, n, t, c, w, a, p))(
+            data, noise, template, calib, apodM, peakYX)
         filtered = filtered * psMask
 
         RMSMap = noise_ops.grid_rms_map_batch(filtered, gridSize,
@@ -277,8 +277,8 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
 
     sharded = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(spec_tiles, spec_tiles, spec_tiles, spec_rep, spec_tiles,
-                  spec_tiles, spec_tiles, spec_tiles),
+        in_specs=(spec_tiles, spec_tiles, spec_tiles, spec_tiles, spec_rep,
+                  spec_tiles, spec_tiles, spec_tiles, spec_tiles),
         out_specs={"filtered": spec_tiles, "SNMap": spec_tiles,
                    "RMSMap": spec_tiles, "surveyMask": spec_tiles,
                    "signalNorm": spec_tiles},

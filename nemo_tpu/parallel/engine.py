@@ -46,7 +46,7 @@ def eligibleForBatch(f, parDict):
             or params.get("saveFreqWeightMap"):
         return False
     noiseParams = params.get("noiseParams", {})
-    if noiseParams.get("method") != "dataMap":
+    if noiseParams.get("method") not in ("dataMap", "model"):
         return False
     if noiseParams.get("RMSEstimator", "default") != "default":
         return False
@@ -91,6 +91,11 @@ def _prepare_tile(config, f, tileName, templateCache=None):
 
     dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
                           for m in filterObj.unfilteredMapsDictList])
+    if params["noiseParams"]["method"] == "dataMap":
+        noiseStack = dataStack
+    else:
+        noiseStack = np.asarray(filterObj._noiseStack(dataStack),
+                                dtype=np.float64)
     templates = np.stack(
         [_template(m["beamFileName"])
          for m in filterObj.unfilteredMapsDictList])
@@ -123,7 +128,8 @@ def _prepare_tile(config, f, tileName, templateCache=None):
     gridSize = int(round(
         (params["noiseParams"]["noiseGridArcmin"] / 60.0)
         / filterObj.wcs.getPixelSizeDeg()))
-    return filterObj, {"data": dataStack, "template": templates,
+    return filterObj, {"data": dataStack, "noise": noiseStack,
+                       "template": templates,
                        "calib": calibStack, "w": w, "apodM": apodM,
                        "surveyMask": surveyMask, "psMask": psMask,
                        "gridSize": gridSize,
@@ -189,6 +195,8 @@ def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
                                             rms_impl=rms_impl)
     data = np.stack([_pad2(staged[n][1]["data"], padShape)
                      for n in names])
+    noise = np.stack([_pad2(staged[n][1]["noise"], padShape)
+                      for n in names])
     template = np.stack([_pad2(staged[n][1]["template"], padShape)
                          for n in names])
     calib = np.stack([_pad2(staged[n][1]["calib"], padShape)
@@ -210,12 +218,14 @@ def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
     pad = (-nT) % nDev
     if pad:
         rep = ([1] * (nT - 1)) + [1 + pad]
-        data, template, calib, apodM, surveyMask, psMask, peakYX = [
-            np.repeat(a, rep, axis=0) for a in
-            (data, template, calib, apodM, surveyMask, psMask, peakYX)]
+        (data, noise, template, calib, apodM, surveyMask, psMask,
+         peakYX) = [np.repeat(a, rep, axis=0) for a in
+                    (data, noise, template, calib, apodM, surveyMask,
+                     psMask, peakYX)]
 
     sh = tile_sharding(mesh)
     out = step(jax.device_put(jnp.asarray(data), sh),
+               jax.device_put(jnp.asarray(noise), sh),
                jax.device_put(jnp.asarray(template), sh),
                jax.device_put(jnp.asarray(calib), sh),
                jnp.asarray(w),

@@ -21,8 +21,13 @@ def test_eligibility_rules():
     assert engine.eligibleForBatch(ok, {})
     bad = {"class": "BeamRealSpaceMatchedFilter", "params": ok["params"]}
     assert not engine.eligibleForBatch(bad, {})
+    ok_model = {"class": "BeamMatchedFilter",
+                "params": {"noiseParams": {"method": "model",
+                                           "noiseGridArcmin": 40.0},
+                           "outputUnits": "uK"}}
+    assert engine.eligibleForBatch(ok_model, {})
     bad = {"class": "BeamMatchedFilter",
-           "params": {"noiseParams": {"method": "model",
+           "params": {"noiseParams": {"method": "max(dataMap,CMB)",
                                       "noiseGridArcmin": 40.0},
                       "outputUnits": "uK"}}
     assert not engine.eligibleForBatch(bad, {})
@@ -95,3 +100,27 @@ def test_chunked_device_batches(tiled_run):  # noqa: F811
                                    rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(chunked[t]["data"], one[t]["data"],
                                    rtol=1e-8, atol=1e-12)
+
+
+def test_batched_model_noise_matches_host(tiled_run):  # noqa: F811
+    """noiseParams method 'model' (CMB + white noise from the weights) also
+    goes through the batched engine and matches the host engine."""
+    from nemo_tpu import filters
+    inputTab, hostCatalog, config, w = tiled_run
+    import copy
+    f = copy.deepcopy(config.parDict["mapFilters"][0])
+    f["label"] = "Beam_model"
+    f["params"]["noiseParams"]["method"] = "model"
+    f["params"]["saveRMSMap"] = False
+    assert engine.eligibleForBatch(f, config.parDict)
+    tile = config.tileNames[0]
+    host = filters.filterMaps(config.unfilteredMapsDictList, f, tile,
+                              diagnosticsDir=config.diagnosticsDir,
+                              selFnDir=config.selFnDir, verbose=False)
+    bat = engine.batchFilterTiles(config, f, tileNames=[tile],
+                                  verbose=False)[tile]
+    h, b = np.asarray(host["SNMap"]), np.asarray(bat["SNMap"])
+    sel = (h != 0) & (b != 0)
+    assert sel.sum() > 1e5
+    ratio = b[np.abs(h) > 3] / h[np.abs(h) > 3]
+    assert abs(np.median(ratio) - 1) < 0.02, np.median(ratio)
