@@ -201,3 +201,23 @@ def test_battaglia_profile():
     pa = np.interp(common, a["rDeg"], a["prof"])
     pb = np.interp(common, d["rDeg"], d["prof"])
     assert np.max(np.abs(pa - pb)) > 1e-3
+
+
+def test_mock_survey_counts_and_mass_pdf():
+    """calcNumClustersExpected and getPLog10M (MockSurvey.py:310-356):
+    cluster counts are in the right ballpark for a Planck-like cosmology
+    and P(log10 M) is a normalised, decreasing mass function."""
+    from nemo_tpu.mock import MockSurvey
+    ms = MockSurvey(1e13, 600.0, 0.0, 2.0, 70.0, 0.30, 0.05, 0.80, 0.95)
+    # full-sky-scaled count of M > 5e14 clusters to z < 2: hundreds over
+    # the whole sky -> tens over 600 deg2... order of magnitude check
+    n = ms.calcNumClustersExpected(MLimit=5e14)
+    assert 1 < n < 200, n
+    nAll = ms.calcNumClustersExpected(MLimit=1e14)
+    assert nAll > 10 * n
+    # P(log10M) at z=0.4: reference normalisation is trapz over M
+    # (MockSurvey.py:352), so integrate against dM
+    p = np.asarray(ms.getPLog10M(0.4))
+    assert p.shape == ms.log10M.shape
+    assert abs(np.trapezoid(p, ms.M) - 1) < 1e-6
+    assert p[0] > p[-1] * 1e3                 # steeply falling with mass
