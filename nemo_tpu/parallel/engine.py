@@ -36,9 +36,9 @@ _BATCHABLE_CLASSES = ("BeamMatchedFilter", "ArnaudModelMatchedFilter",
 
 def eligibleForBatch(f, parDict):
     """A filter spec can go through the batched device path when it uses
-    the Fourier matched filter with data-derived noise and none of the
-    host-only extras (cached-filter writing, weight-binned noise cells,
-    noise-model catalogs)."""
+    the Fourier matched filter with the dataMap or model noise method and
+    none of the host-only extras (cached-filter writing, weight-binned
+    noise cells, noise-model catalogs)."""
     if f["class"] not in _BATCHABLE_CLASSES:
         return False
     params = f["params"]
