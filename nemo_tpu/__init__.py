@@ -26,3 +26,20 @@ if _os.environ.get("NEMO_TPU_PLATFORM") or _os.environ.get("NEMO_TPU_X64"):
                                _os.environ["NEMO_TPU_PLATFORM"])
     except RuntimeError:
         pass
+
+# Persistent XLA compilation cache: TPU first-compiles cost tens of seconds
+# per program, which dominates short CLI runs; caching them on disk makes
+# every run after the first fast.  Override the location with
+# NEMO_TPU_COMPILE_CACHE, or set it to "0" to disable.
+_cacheDir = _os.environ.get(
+    "NEMO_TPU_COMPILE_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "nemo_tpu",
+                  "jax_cache"))
+if _cacheDir and _cacheDir != "0":
+    import jax as _jax
+    try:
+        _os.makedirs(_cacheDir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cacheDir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except (RuntimeError, OSError, Exception):
+        pass

@@ -57,9 +57,10 @@ def filterMaps(unfilteredMapsDictList, filterParams, tileName,
     filterObj = filterClass(f["label"], unfilteredMapsDictList, f["params"],
                             tileName=tileName, diagnosticsDir=diagnosticsDir,
                             selFnDir=selFnDir)
-    filteredMapDict = filterObj.buildAndApply(useCachedFilter=useCachedFilter)
+    filteredMapDict = filterObj.buildAndApply(
+        useCachedFilter=useCachedFilter, undoPixelWindow=undoPixelWindow)
 
-    if undoPixelWindow:
+    if undoPixelWindow and not getattr(filterObj, "_undoneWindow", False):
         data = filteredMapDict["data"]
         mask = np.equal(data, 0)
         data = np.array(fourier.apply_pixel_window(jnp.asarray(data),
@@ -357,6 +358,46 @@ def _apply_filter_fourier(fMaps, filt, s):
     return jnp.sum(jnp.fft.irfft2(fMaps * filt, s=s), axis=-3)
 
 
+@functools.partial(jax.jit, static_argnames=("gridSize", "trimSizePix",
+                                              "apodPix", "estimator",
+                                              "undoPixelWindow"))
+def _postprocess_filtered(filteredMap, psMask, surveyMask, gridSize,
+                          trimSizePix, apodPix, estimator,
+                          undoPixelWindow=False):
+    """The post-filter chain (mask, grid RMS, S/N, edge trim, apod trim;
+    ``filters.py:698-758``) as ONE fused device program: on remote TPU
+    runtimes per-op dispatch and device->host latency would otherwise
+    dominate short runs.  Returns (filteredMap, SNMap, RMSMap, surveyMask)."""
+    filtered = filteredMap * psMask
+    if gridSize is None:
+        RMSMap = noise_ops.whole_map_rms(filtered, estimator=estimator)
+    else:
+        RMSMap = noise_ops.grid_rms_map(filtered, gridSize,
+                                        estimator=estimator)
+    SNMap = jnp.where(RMSMap > 0, filtered / jnp.maximum(RMSMap, 1e-30),
+                      0.0)
+    if trimSizePix > 0:
+        edge = imageops.minimum_filter(jnp.abs(filtered + (1 - psMask)),
+                                       trimSizePix)
+        edgeCheck = (edge > 0).astype(filtered.dtype)
+    else:
+        edgeCheck = jnp.ones_like(filtered)
+    maskData = edgeCheck * surveyMask * psMask
+    apodOne = (fourier.apod_mask(filtered.shape, apodPix) == 1
+               ).astype(filtered.dtype)
+    maskSN = maskData * apodOne
+    filtered = filtered * maskData
+    SNMap = jnp.nan_to_num(SNMap * maskSN)
+    RMSMap = RMSMap * maskSN
+    if undoPixelWindow:
+        # pipelines divide the map pixel window out of the signal map
+        # (filters.py:103 in the reference); doing it here keeps the whole
+        # chain in one device program
+        filtered = fourier.apply_pixel_window(filtered, pow=-1.0) \
+            * (maskData > 0)
+    return filtered, SNMap, RMSMap, maskSN.astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("padShape",))
 def _fft_apod_stack(dataStack, apodM, padShape=None):
     m = dataStack * apodM[None]
@@ -369,8 +410,9 @@ def _fft_apod_stack(dataStack, apodM, padShape=None):
 class MatchedFilter(MapFilter):
     """Fourier-space multi-frequency matched filter (``filters.py:519``)."""
 
-    def buildAndApply(self, useCachedFilter=False):
+    def buildAndApply(self, useCachedFilter=False, undoPixelWindow=False):
         params = self.params
+        self._undoneWindow = False
         nf = len(self.unfilteredMapsDictList)
         apodM = fourier.apod_mask(self.shape, self.apodPix)
 
@@ -395,8 +437,6 @@ class MatchedFilter(MapFilter):
         else:
             self._buildFilter(dataStack, apodM)
 
-        filteredMap = self.applyFilter(fMapsToFilter)
-
         # Units (filters.py:702-714)
         if params["outputUnits"] == "yc":
             mapUnits = "yc"
@@ -409,35 +449,63 @@ class MatchedFilter(MapFilter):
         else:
             raise ValueError("outputUnits must be 'yc' or 'uK'")
 
-        filteredMap = filteredMap * psMask
+        noiseParams = params["noiseParams"]
+        estimator = noiseParams.get("RMSEstimator", "default")
+        grid = noiseParams.get("noiseGridArcmin", None)
+        fastRMS = (estimator in ("default", "percentile")
+                   and grid != "smart"
+                   and noiseParams.get("numNoiseBins", 1) <= 1
+                   and not params.get("bckSub"))
+        if fastRMS:
+            # One fused device program end to end; 4 device->host copies
+            # total (important on remote TPU runtimes where per-op
+            # dispatch/transfer latency dominates short runs).
+            filteredDev = self.applyFilter(fMapsToFilter,
+                                           returnDevice=True)
+            gridSize = None if grid is None else int(round(
+                (grid / 60.0) / self.wcs.getPixelSizeDeg()))
+            f, sn, rms, mask = _postprocess_filtered(
+                filteredDev, jnp.asarray(np.asarray(psMask, dtype=float)),
+                jnp.asarray(np.asarray(surveyMask, dtype=float)),
+                gridSize, self._trimSizePix(), self.apodPix, estimator,
+                undoPixelWindow=undoPixelWindow)
+            self._undoneWindow = undoPixelWindow
+            filteredMap = np.asarray(f)
+            SNMap = np.asarray(sn)
+            # the RMS map only crosses back to host when it is kept
+            RMSMap = np.asarray(rms) if params.get("saveRMSMap") else None
+            surveyMask = np.asarray(mask).astype(float)
+        else:
+          filteredMap = self.applyFilter(fMapsToFilter)
+          filteredMap = filteredMap * psMask
 
-        RMSMap = self.makeNoiseMap(filteredMap)
-        validMask = RMSMap > 0
-        SNMap = np.array(filteredMap)
-        SNMap[validMask] = SNMap[validMask] / RMSMap[validMask]
+          RMSMap = self.makeNoiseMap(filteredMap)
+          validMask = RMSMap > 0
+          SNMap = np.array(filteredMap)
+          SNMap[validMask] = SNMap[validMask] / RMSMap[validMask]
 
-        # Edge trim via min filter (filters.py:725-744)
-        trimSizePix = self._trimSizePix()
-        if trimSizePix > 0:
+          # Edge trim via min filter (filters.py:725-744)
+          trimSizePix = self._trimSizePix()
+          if trimSizePix > 0:
             edgeCheck = np.asarray(imageops.minimum_filter(
                 jnp.abs(jnp.asarray(filteredMap) + (1 - psMask)),
                 trimSizePix))
             edgeCheck = (edgeCheck > 0).astype(float)
-        else:
+          else:
             edgeCheck = np.ones(filteredMap.shape)
-        filteredMap = filteredMap * edgeCheck
-        surveyMask = edgeCheck * surveyMask * psMask
-        filteredMap = filteredMap * surveyMask
+          filteredMap = filteredMap * edgeCheck
+          surveyMask = edgeCheck * surveyMask * psMask
+          filteredMap = filteredMap * surveyMask
 
-        apodMask = np.asarray(
-            fourier.apod_mask(filteredMap.shape, self.apodPix)) == 1
-        surveyMask = surveyMask * apodMask
+          apodMask = np.asarray(
+              fourier.apod_mask(filteredMap.shape, self.apodPix)) == 1
+          surveyMask = surveyMask * apodMask
 
-        SNMap = SNMap * surveyMask
-        SNMap[np.isnan(SNMap)] = 0.0
-        RMSMap = RMSMap * surveyMask
+          SNMap = SNMap * surveyMask
+          SNMap[np.isnan(SNMap)] = 0.0
+          RMSMap = RMSMap * surveyMask
 
-        if params.get("saveRMSMap"):
+        if params.get("saveRMSMap") and RMSMap is not None:
             from .utils.wcs import WCS  # noqa
             RMSFileName = os.path.join(
                 self.selFnDir, self.tileName,
@@ -516,9 +584,11 @@ class MatchedFilter(MapFilter):
         fSignals = []
         for mapDict in self.unfilteredMapsDictList:
             signalMap = self.makeSignalTemplateMap(mapDict["beamFileName"])
-            fSignals.append(np.asarray(fourier.rfft2(fourier.pad_to(
-                jnp.asarray(signalMap), self.padShape))))
-        fSignalsAbs = jnp.abs(jnp.asarray(np.stack(fSignals)))
+            # complex intermediates stay on device (some TPU runtimes do
+            # not support complex device->host copies)
+            fSignals.append(fourier.rfft2(fourier.pad_to(
+                jnp.asarray(np.asarray(signalMap)), self.padShape)))
+        fSignalsAbs = jnp.abs(jnp.stack(fSignals))
 
         filt = _build_filter_core(noiseStack, fSignalsAbs, jnp.asarray(w),
                                   apodM, self.padShape)
@@ -568,38 +638,50 @@ class MatchedFilter(MapFilter):
                 signalMap = np.asarray(fourier.apply_pixel_window(
                     jnp.asarray(signalMap), pow=1.0))
                 signalMaps.append(signalMap)
-            fSignalMaps = jnp.asarray(np.stack(
-                [np.asarray(fourier.rfft2(fourier.pad_to(jnp.asarray(s),
-                                                         self.padShape)))
-                 for s in signalMaps]))
-            filteredSignal = np.asarray(fourier.crop_to(
+            fSignalMaps = jnp.stack(
+                [fourier.rfft2(fourier.pad_to(jnp.asarray(s),
+                                              self.padShape))
+                 for s in signalMaps])
+            filteredSignalDev = fourier.crop_to(
                 _apply_filter_fourier(fSignalMaps, jnp.asarray(self.filt),
-                                      self.padShape), self.shape))
+                                      self.padShape), self.shape)
             cy, cx = self.shape[0] / 2.0, self.shape[1] / 2.0
-            peak = interp.subpixel_value(filteredSignal, cy, cx)
+            # Only a small central window crosses to host for the spline
+            # peak read (device->host transfers can be slow/limited on
+            # remote TPU runtimes); the template peak is at the centre.
+            half = 48
+            y0i = max(int(cy) - half, 0)
+            x0i = max(int(cx) - half, 0)
+            crop = np.asarray(filteredSignalDev[
+                y0i:int(cy) + half, x0i:int(cx) + half])
+            peak = interp.subpixel_value(crop, cy - y0i, cx - x0i)
             self.signalNorm = y0 / peak
-            # fRel weights from the per-frequency filtered-signal cube
-            maxIdx = np.argmax(filteredSignal)
-            total = filteredSignal.flatten()[maxIdx]
-            cube = np.asarray(fourier.crop_to(fourier.irfft2(
+            # fRel weights from the per-frequency filtered-signal cube,
+            # evaluated at the peak pixel on device (scalar pulls only)
+            cubeDev = fourier.crop_to(fourier.irfft2(
                 fSignalMaps * jnp.asarray(self.filt), self.padShape),
-                self.shape))
+                self.shape)
+            my, mx = np.unravel_index(np.argmax(crop), crop.shape)
+            my += y0i
+            mx += x0i
+            total = float(np.asarray(filteredSignalDev[my, mx]))
             self.fRelWeights = {}
-            for plane, mapDict in zip(cube, self.unfilteredMapsDictList):
+            for i, mapDict in enumerate(self.unfilteredMapsDictList):
                 self.fRelWeights[mapDict["obsFreqGHz"]] = float(
-                    plane.flatten()[maxIdx] / total)
+                    np.asarray(cubeDev[i, my, mx])) / total
         elif params["outputUnits"] == "uK":
             for mapDict in self.unfilteredMapsDictList:
                 signalMaps.append(np.asarray(
                     self.makeSignalTemplateMap(mapDict["beamFileName"])))
-            fSignalMaps = jnp.asarray(np.stack(
-                [np.asarray(fourier.rfft2(fourier.pad_to(jnp.asarray(s),
-                                                         self.padShape)))
-                 for s in signalMaps]))
-            filteredSignal = np.asarray(fourier.crop_to(
+            fSignalMaps = jnp.stack(
+                [fourier.rfft2(fourier.pad_to(jnp.asarray(s),
+                                              self.padShape))
+                 for s in signalMaps])
+            filteredSignalDev = fourier.crop_to(
                 _apply_filter_fourier(fSignalMaps, jnp.asarray(self.filt),
-                                      self.padShape), self.shape))
-            self.signalNorm = 1.0 / filteredSignal.max()
+                                      self.padShape), self.shape)
+            self.signalNorm = 1.0 / float(
+                np.asarray(jnp.max(filteredSignalDev)))
         else:
             raise ValueError("outputUnits must be 'yc' or 'uK'")
 
@@ -631,7 +713,7 @@ class MatchedFilter(MapFilter):
                 interp_i(pts).reshape(shape[-2:]), axes=0)
         return out
 
-    def applyFilter(self, mapDataToFilter):
+    def applyFilter(self, mapDataToFilter, returnDevice=False):
         """Apply the filter (``filters.py:824-859``); accepts real map cubes
         (FFT'd with apodisation here) or already-FFT'd complex cubes.  If
         the map shape differs from the filter's, the filter is interpolated
@@ -653,8 +735,11 @@ class MatchedFilter(MapFilter):
         else:
             filt = self.reshapeFilter(fMaps.shape[-3:])
             padShape = (fMaps.shape[-2], 2 * (fMaps.shape[-1] - 1))
-        filteredMap = np.asarray(fourier.crop_to(_apply_filter_fourier(
-            fMaps, jnp.asarray(filt), padShape), outShape))
+        filteredDev = fourier.crop_to(_apply_filter_fourier(
+            fMaps, jnp.asarray(filt), padShape), outShape)
+        if returnDevice:
+            return filteredDev * self.signalNorm
+        filteredMap = np.asarray(filteredDev)
         if self.params.get("bckSub") and self.params.get("bckSubScaleArcmin"):
             from . import maps as maps_mod
             filteredMap = maps_mod.subtractBackground(
@@ -799,8 +884,9 @@ class RealSpaceMatchedFilter(MapFilter):
                               np.asarray(self.kern2d, dtype=np.float32),
                               header)
 
-    def buildAndApply(self, useCachedFilter=False):
+    def buildAndApply(self, useCachedFilter=False, undoPixelWindow=False):
         params = self.params
+        self._undoneWindow = False
         surveyMask = np.asarray(self.unfilteredMapsDictList[0]["surveyMask"])
         psMask = np.asarray(self.unfilteredMapsDictList[0]["pointSourceMask"])
 
