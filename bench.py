@@ -75,11 +75,19 @@ def main():
                 raise
             time.sleep(min(60.0, 10.0 * (attempt + 1)))
 
-    nIter = 5
+    # enough iterations to amortise the final sync RTT; fewer on CPU
+    # smoke runs where each batch takes tens of seconds
+    nIter = 20 if jax.default_backend() != "cpu" else 2
     t0 = time.time()
     for _ in range(nIter):
         out = step(*stepArgs)
         jax.block_until_ready(out)
+    # Some remote TPU runtimes do not block in block_until_ready; force
+    # completion with a (tiny) value read so the timing is honest.
+    try:
+        float(np.asarray(out["peakVals"][0, 0]))
+    except Exception:
+        pass
     elapsed = time.time() - t0
 
     tile_scale_steps_per_sec = nIter * nTiles / elapsed
