@@ -607,7 +607,9 @@ class MatchedFilter(MapFilter):
             A = jnp.moveaxis(N, (0, 1), (-2, -1))
             b = jnp.moveaxis(fSignalsAbs, 0, -1) * jnp.asarray(w)
             filt = jnp.moveaxis(solve_ops.solve_small(A, b), -1, 0)
-        self.filt = np.asarray(filt)
+        # kept on device: only saveFilter / reshapeFilter / the real-space
+        # profile need a host copy (np.asarray at those sites)
+        self.filt = filt
 
         self._calibrateSignalNorm()
 
@@ -705,9 +707,10 @@ class MatchedFilter(MapFilter):
         out = np.zeros(shape)
         grid_y, grid_x = np.meshgrid(pts_y, lxOut, indexing="ij")
         pts = np.stack([grid_y.ravel(), grid_x.ravel()], axis=-1)
-        for i in range(self.filt.shape[0]):
+        filtHost = np.asarray(self.filt)
+        for i in range(filtHost.shape[0]):
             interp_i = RegularGridInterpolator(
-                (lyIn_s, lxIn), np.fft.fftshift(self.filt[i], axes=0),
+                (lyIn_s, lxIn), np.fft.fftshift(filtHost[i], axes=0),
                 bounds_error=False, fill_value=0.0)
             out[i] = np.fft.ifftshift(
                 interp_i(pts).reshape(shape[-2:]), axes=0)
