@@ -133,3 +133,19 @@ def test_nemo_cli_forced_photometry(cli_workspace):
     assert len(refM) == len(ws["cat"])
     ratios = np.asarray(outM["deltaT_c"]) / np.asarray(refM["deltaT_c"])
     assert abs(np.median(ratios) - 1) < 0.15, ratios
+
+
+def test_nemo_model_scale_flag(cli_workspace):
+    """nemoModel -s scales all painted amplitudes (reference bin/nemoModel
+    -s/--scale-signals)."""
+    ws = cli_workspace
+    out1 = str(ws["tmp"] / "model_s1.fits")
+    out2 = str(ws["tmp"] / "model_s2.fits")
+    _run(["nemoModel", ws["catPath"], ws["template"], ws["beam"], out1,
+          "-f", "97.8"], cwd=str(ws["tmp"]))
+    _run(["nemoModel", ws["catPath"], ws["template"], ws["beam"], out2,
+          "-f", "97.8", "-s", "2.0"], cwd=str(ws["tmp"]))
+    d1, _ = nfits.read_image(out1)
+    d2, _ = nfits.read_image(out2)
+    np.testing.assert_allclose(d2, 2.0 * np.asarray(d1), rtol=1e-6,
+                               atol=1e-8)

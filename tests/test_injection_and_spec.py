@@ -225,7 +225,8 @@ def test_selfn_injection_method(cluster_run):  # noqa: F811
 
 
 def test_nemospec_cli(cluster_run, tmp_path):  # noqa: F811
-    """bin/nemoSpec end to end (reference: bin/nemoSpec:71-121)."""
+    """bin/nemoSpec end to end incl. redshift cross-matching
+    (reference: bin/nemoSpec:71-121)."""
     import sys
     from nemo_tpu.cli import nemoSpec_main
     inputTab, cat, config, simDir, w, configPath = cluster_run
@@ -233,13 +234,18 @@ def test_nemospec_cli(cluster_run, tmp_path):  # noqa: F811
     Table({"name": np.asarray(inputTab["name"])[:3],
            "RADeg": np.asarray(inputTab["RADeg"])[:3],
            "decDeg": np.asarray(inputTab["decDeg"])[:3]}).write(catPath)
+    zPath = str(tmp_path / "redshifts.fits")
+    Table({"name": np.asarray(inputTab["name"])[:3],
+           "RADeg": np.asarray(inputTab["RADeg"])[:3],
+           "decDeg": np.asarray(inputTab["decDeg"])[:3],
+           "redshift": np.array([0.3, 0.5, 0.7])}).write(zPath)
     outPath = str(tmp_path / "targets_spec.fits")
     argv = sys.argv
     cwd = os.getcwd()
     os.chdir(str(config.rootOutDir))
     try:
         sys.argv = ["nemoSpec", configPath, catPath, "-m", "CAP",
-                    "-o", outPath]
+                    "-o", outPath, "-z", zPath]
         nemoSpec_main.main()
     finally:
         sys.argv = argv
@@ -249,3 +255,5 @@ def test_nemospec_cli(cluster_run, tmp_path):  # noqa: F811
     assert len(spec) == 3
     assert any("diskT" in k or "diskSNR" in k or k.startswith("y")
                for k in spec.keys())
+    assert "redshift" in spec.keys()
+    assert sorted(np.asarray(spec["redshift"]).tolist()) == [0.3, 0.5, 0.7]
