@@ -56,6 +56,8 @@ def eligibleForBatch(f, parDict):
         return False
     if noiseParams.get("noiseModelCatalog"):
         return False
+    if params.get("bckSub"):
+        return False
     if params.get("outputUnits") not in ("yc", "uK"):
         return False
     return True
