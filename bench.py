@@ -61,8 +61,9 @@ def main():
     # is unavailable on the runtime.
     step = None
     stepArgs = None
-    for attempt in range(8):
-        rms_impl = "pallas" if attempt < 4 else "xla"
+    nAttempts = 14
+    for attempt in range(nAttempts):
+        rms_impl = "pallas" if attempt < nAttempts // 2 else "xla"
         step = distribute.make_sharded_tile_step(
             mesh, gridSize=gridSize, trimPix=trimPix, topK=256,
             threshold=4.0, with_survey_stats=False, rms_impl=rms_impl)
@@ -71,7 +72,7 @@ def main():
             _run(step, stepArgs, jax)
             break
         except Exception:
-            if attempt == 7:
+            if attempt == nAttempts - 1:
                 raise
             time.sleep(min(60.0, 10.0 * (attempt + 1)))
 
