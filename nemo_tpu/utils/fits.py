@@ -34,6 +34,14 @@ import numpy as np
 
 BLOCK = 2880
 
+
+def _package_version():
+    try:
+        from .. import __version__
+        return __version__
+    except Exception:
+        return "unknown"
+
 _BITPIX_TO_DTYPE = {
     8: np.dtype(">u1"),
     16: np.dtype(">i2"),
@@ -751,6 +759,10 @@ def _header_bytes(header):
 
 
 def _finish_header(cards):
+    # provenance stamp, as the reference writes NEMOVER into every product
+    # (nemo/maps.py:2385, catalogs.py:513)
+    if not any(c.startswith("NEMOVER") for c in cards):
+        cards.append(_format_card("NEMOVER", _package_version()))
     cards.append("END".ljust(80))
     blob = "".join(cards).encode("ascii")
     return blob + b" " * (_padded(len(blob)) - len(blob))
