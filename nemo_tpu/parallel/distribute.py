@@ -272,7 +272,8 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         maskData = edgeCheck * surveyMask * psMask
         maskSN = maskData * (apodM == 1)
         return {"filtered": filtered * maskData, "SNMap": SNMap * maskSN,
-                "RMSMap": RMSMap * maskSN, "surveyMask": maskSN,
+                "RMSMap": RMSMap * maskSN,
+                "surveyMask": maskSN.astype(jnp.uint8),
                 "signalNorm": norms}
 
     sharded = shard_map(

@@ -237,8 +237,10 @@ def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
                jax.device_put(jnp.asarray(peakYX), sh))
     filtered = np.asarray(out["filtered"])[:nT]
     SNMaps = np.asarray(out["SNMap"])[:nT]
-    RMSMaps = np.asarray(out["RMSMap"])[:nT]
-    outMask = np.asarray(out["surveyMask"])[:nT]
+    # RMS maps only cross to host when they are kept
+    saveRMS = staged[names[0]][0].params.get("saveRMSMap")
+    RMSMaps = np.asarray(out["RMSMap"])[:nT] if saveRMS else None
+    outMask = np.asarray(out["surveyMask"])[:nT].astype(float)
 
     for i, tileName in enumerate(names):
         filterObj, stacks = staged[tileName]
@@ -246,7 +248,8 @@ def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
         scale = stacks["unitsScale"]
         dataMap = filtered[i][:shape[0], :shape[1]] * scale
         SNMap = SNMaps[i][:shape[0], :shape[1]]
-        RMSMap = RMSMaps[i][:shape[0], :shape[1]] * scale
+        RMSMap = RMSMaps[i][:shape[0], :shape[1]] * scale \
+            if RMSMaps is not None else None
         tileMask = outMask[i][:shape[0], :shape[1]]
         if undoPixelWindow:
             zeroMask = dataMap == 0
@@ -254,7 +257,7 @@ def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
                 jnp.asarray(dataMap), pow=-1.0))
             dataMap[zeroMask] = 0
         params = filterObj.params
-        if params.get("saveRMSMap"):
+        if params.get("saveRMSMap") and RMSMap is not None:
             import os
             from ..utils import fits as nfits
             RMSFileName = os.path.join(
