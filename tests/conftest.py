@@ -16,6 +16,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# No persistent compile cache under tests: XLA's CPU AOT cache is keyed
+# loosely enough that entries written on a different machine type can load
+# and SIGILL; in-process caching is all the suite needs.
+os.environ.setdefault("NEMO_TPU_COMPILE_CACHE", "0")
 
 import jax  # noqa: E402
 
