@@ -44,10 +44,19 @@ def test_source_injection_test(cluster_run):  # noqa: F811
     r = np.corrcoef(np.asarray(injTab["inFlux"]),
                     np.asarray(injTab["outFlux"]))[0, 1]
     assert r > 0.7
-    # median positional offset sub-arcmin for bright objects
     bright = np.asarray(injTab["SNR"]) > 8
     if bright.sum() >= 5:
-        assert np.median(np.asarray(injTab["rArcmin"])[bright]) < 1.0
+        # bright amplitude recovery at the few-percent level; injected
+        # clusters recover slightly high at moderate SNR (noise-selection
+        # flux boosting - the effect the reference's optimization-bias
+        # model corrects, MockSurvey.py:357-627)
+        ratios = (np.asarray(injTab["outFlux"])[bright]
+                  / np.asarray(injTab["inFlux"])[bright])
+        assert 0.95 < np.median(ratios) < 1.08, np.median(ratios)
+        # median positional offset well inside the reference's 12 arcsec
+        # tolerance (tests/point_sources.robot:9-13)
+        assert np.median(np.asarray(injTab["rArcmin"])[bright]) \
+            < 12.0 / 60.0
 
     # Position recovery analysis runs and writes the model
     out = maps.positionRecoveryAnalysis(
