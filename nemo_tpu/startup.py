@@ -187,6 +187,25 @@ class NemoConfig:
         if sourceInjectionTest:
             self.parDict["sourceInjectionTest"] = True
 
+        # Fail early with a clear message when input files are missing
+        if setUpMaps:
+            missing = []
+            for mapDict in self.parDict.get("unfilteredMaps", []):
+                for key in ("mapFileName", "weightsFileName",
+                            "beamFileName"):
+                    path = mapDict.get(key)
+                    if path and isinstance(path, str) \
+                            and not os.path.exists(path):
+                        missing.append("%s: %s" % (key, path))
+            maskPath = self.parDict.get("surveyMask")
+            if maskPath and isinstance(maskPath, str) \
+                    and not os.path.exists(maskPath):
+                missing.append("surveyMask: %s" % maskPath)
+            if missing:
+                raise FileNotFoundError(
+                    "Input file(s) named in the config do not exist:\n  "
+                    + "\n  ".join(missing))
+
         # original map WCS/shape (for stitching)
         try:
             hdus = nfits.read(self.parDict["unfilteredMaps"][0]["mapFileName"])
