@@ -242,8 +242,22 @@ def fitQ(config):
                     jnp.asarray(signalMap), pow=1.0))
                 signalMaps.append(signalMap)
             signalMaps = np.array(signalMaps)
-            filteredSignal = filterObj.applyFilter(signalMaps)
-            peak = subpixel_value(np.asarray(filteredSignal), cy, cx)
+            # Only the central window is needed for the peak read; pull a
+            # small crop instead of the full filtered map (device->host
+            # transfers are the bottleneck on remote TPU runtimes)
+            half = 48
+            y0i = max(int(cy) - half, 0)
+            x0i = max(int(cx) - half, 0)
+            if realSpace:
+                filteredSignal = filterObj.applyFilter(signalMaps)
+                crop = np.asarray(filteredSignal)[y0i:int(cy) + half,
+                                                  x0i:int(cx) + half]
+            else:
+                filteredDev = filterObj.applyFilter(signalMaps,
+                                                    returnDevice=True)
+                crop = np.asarray(filteredDev[y0i:int(cy) + half,
+                                              x0i:int(cx) + half])
+            peak = subpixel_value(crop, cy - y0i, cx - x0i)
             if peak not in Q:
                 Q.append(peak)
                 QTheta500Arcmin.append(
