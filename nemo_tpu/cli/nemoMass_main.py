@@ -209,6 +209,23 @@ def main():
                             delta=massOptions["delta"],
                             rhoType=massOptions["rhoType"])
     tab = calcMassTable(tab, massOptions, Q, fRelWeightsDict, mockSurvey)
+
+    # Mock-recovery report when the input catalog carries truth columns
+    # (reference bin/nemoMass:400-427)
+    import numpy as np
+    for trueCol, recCol in (("true_M500c", "M500c"),
+                            ("true_M500", "M500c"),
+                            ("true_M200m", "M200m")):
+        if trueCol in tab.keys() and recCol in tab.keys():
+            true = np.asarray(tab[trueCol], dtype=float)
+            rec = np.asarray(tab[recCol], dtype=float)
+            sel = (true > 0) & (rec > 0)
+            if sel.sum() > 0:
+                print("... median %s / %s = %.3f (1.000 if mass recovery "
+                      "is unbiased) ..."
+                      % (recCol, trueCol, float(np.median(rec[sel]
+                                                          / true[sel]))))
+
     catalogs.writeCatalog(tab, outFileName)
     print("... wrote %s" % outFileName)
 
