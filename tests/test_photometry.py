@@ -147,3 +147,48 @@ def test_catalog_within_image():
                  "decDeg": np.array([0.0, 0.0])})
     cut = catalogs.getCatalogWithinImage(tab, (100, 100), w)
     assert len(cut) == 1
+
+
+def test_remove_rings():
+    """Ring artefacts (annular segments whose centre falls outside the
+    segment) are dropped when removeRings is on (photometry.py:56-73)."""
+    from nemo_tpu.utils import wcs as nwcs
+    shape = (300, 300)
+    w = nwcs.makeWCS(shape, 0.5 / 60.0, centreRADeg=30.0, centreDecDeg=0.0)
+    yy, xx = np.mgrid[:shape[0], :shape[1]]
+    sn = np.zeros(shape)
+    # a genuine point-like object
+    sn += 10.0 * np.exp(-((yy - 80) ** 2 + (xx - 80) ** 2) / (2 * 2.0 ** 2))
+    # a ring artefact: bright annulus, empty centre
+    r = np.hypot(yy - 200, xx - 200)
+    sn += 8.0 * np.exp(-((r - 12.0) ** 2) / (2 * 1.5 ** 2))
+    fmd = {"data": sn * 1e-5, "SNMap": sn, "wcs": w,
+           "surveyMask": np.ones(shape), "flagMask": np.zeros(shape),
+           "mapUnits": "yc", "label": "t", "tileName": "PRIMARY",
+           "beamSolidAngle_nsr": 0.0, "obsFreqGHz": "yc"}
+    from nemo_tpu import photometry
+    # peak-pixel positions (findCenterOfMass=False): ring peaks sit ON the
+    # annulus, so without the ring test they enter the catalog
+    catNoRings = photometry.findObjects(dict(fmd), threshold=4.0,
+                                        minObjPix=1, removeRings=False,
+                                        findCenterOfMass=False,
+                                        verbose=False)
+    catClean = photometry.findObjects(dict(fmd), threshold=4.0,
+                                      minObjPix=1, removeRings=True,
+                                      ringThresholdSigma=3,
+                                      findCenterOfMass=False,
+                                      verbose=False)
+    # both find the real object
+    from nemo_tpu import catalogs
+    ref = Table({"RADeg": np.array([w.pix2wcs(80, 80)[0]]),
+                 "decDeg": np.array([w.pix2wcs(80, 80)[1]])})
+    m1, _, _ = catalogs.crossMatch(ref, catNoRings, radiusArcmin=1.0)
+    m2, _, _ = catalogs.crossMatch(ref, catClean, radiusArcmin=1.0)
+    assert len(m1) == 1 and len(m2) == 1
+    # the ring is detected without removal, dropped with it
+    ring = Table({"RADeg": np.array([w.pix2wcs(200, 200)[0]]),
+                  "decDeg": np.array([w.pix2wcs(200, 200)[1]])})
+    r1, _, _ = catalogs.crossMatch(ring, catNoRings, radiusArcmin=8.0)
+    r2, _, _ = catalogs.crossMatch(ring, catClean, radiusArcmin=8.0)
+    assert len(r1) >= 1
+    assert len(r2) == 0
