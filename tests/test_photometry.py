@@ -192,3 +192,35 @@ def test_remove_rings():
     r2, _, _ = catalogs.crossMatch(ring, catClean, radiusArcmin=8.0)
     assert len(r1) >= 1
     assert len(r2) == 0
+
+
+def test_measure_shapes_elongated_source():
+    """measureShapes: SExtractor-style moments tag elongated objects
+    (photometry.py:127-178)."""
+    from nemo_tpu.utils import wcs as nwcs
+    shape = (200, 200)
+    w = nwcs.makeWCS(shape, 0.5 / 60.0, centreRADeg=30.0, centreDecDeg=0.0)
+    yy, xx = np.mgrid[:shape[0], :shape[1]]
+    # elongated along x: sigma_x = 6, sigma_y = 2
+    sn = 12.0 * np.exp(-((yy - 100) ** 2 / (2 * 2.0 ** 2)
+                         + (xx - 100) ** 2 / (2 * 6.0 ** 2)))
+    fmd = {"data": sn * 1e-5, "SNMap": sn, "wcs": w,
+           "surveyMask": np.ones(shape), "flagMask": np.zeros(shape),
+           "mapUnits": "yc", "label": "t", "tileName": "PRIMARY",
+           "beamSolidAngle_nsr": 0.0, "obsFreqGHz": "yc"}
+    from nemo_tpu import photometry
+    cat = photometry.findObjects(dict(fmd), threshold=4.0, minObjPix=5,
+                                 removeRings=False, measureShapes=True,
+                                 verbose=False)
+    assert len(cat) == 1
+    row = cat[0]
+    for col in ("ellipse_PA", "ellipse_A", "ellipse_B", "ellipse_e",
+                "ellipse_x0", "ellipse_y0"):
+        assert col in cat.keys()
+    assert row["ellipse_A"] > row["ellipse_B"] > 0
+    assert row["ellipse_e"] > 0.3          # clearly elongated
+    # major axis along x: PA near 0 or 180 (degrees, x-axis convention)
+    pa = float(row["ellipse_PA"]) % 180.0
+    assert pa < 20 or pa > 160, pa
+    assert abs(row["ellipse_x0"] - 100) < 2
+    assert abs(row["ellipse_y0"] - 100) < 2
