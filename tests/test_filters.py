@@ -208,3 +208,44 @@ def test_apply_filter_batch_axis(tmp_path):
     single = np.stack([np.asarray(filterObj.applyFilter(s)) for s in stack])
     batched = np.asarray(filterObj.applyFilter(stack))
     np.testing.assert_allclose(batched, single, rtol=1e-10, atol=1e-12)
+
+
+def test_smart_noise_grid(tmp_path):
+    """noiseGridArcmin: 'smart' bins the RMS estimate by the weight map
+    (reference filters.py:366-407): deep and shallow halves get distinct
+    noise levels."""
+    rng = np.random.default_rng(5)
+    shape = (256, 256)
+    mapDict, w = _make_sim_tile(shape=shape)
+    # overwrite: two-depth noise + matching weights
+    noise = np.zeros(shape)
+    noise[:, :128] = rng.normal(0, 20.0, (256, 128))   # deep half
+    noise[:, 128:] = rng.normal(0, 60.0, (256, 128))   # shallow half
+    mapDict["data"] = noise
+    weights = np.zeros(shape)
+    weights[:, :128] = 1 / 20.0 ** 2
+    weights[:, 128:] = 1 / 60.0 ** 2
+    # weight maps are continuous in practice; the binning uses open
+    # intervals (reference semantics), so jitter slightly
+    weights = weights * rng.uniform(0.97, 1.03, shape)
+    mapDict["weights"] = weights
+    f = {"label": "smarttest", "class": "ArnaudModelMatchedFilter",
+         "params": dict(FILTER_PARAMS,
+                        noiseParams={"method": "dataMap",
+                                     "noiseGridArcmin": "smart",
+                                     "numNoiseBins": 3},
+                        saveRMSMap=True)}
+    selFnDir = str(tmp_path / "selFn")
+    out = filters.filterMaps([mapDict], f, "PRIMARY",
+                             diagnosticsDir=str(tmp_path / "d"),
+                             selFnDir=selFnDir)
+    from nemo_tpu.utils import fits as nfits
+    rms, _ = nfits.read_image(os.path.join(
+        selFnDir, "PRIMARY", "RMSMap_smarttest#PRIMARY.fits"))
+    rms = np.asarray(rms, dtype=float)
+    deep = rms[100:150, 40:90]
+    shallow = rms[100:150, 170:220]
+    assert np.median(deep) > 0 and np.median(shallow) > 0
+    # shallow half noisier by roughly the injected factor of 3
+    ratio = np.median(shallow) / np.median(deep)
+    assert 1.8 < ratio < 4.5, ratio
