@@ -249,3 +249,38 @@ def test_smart_noise_grid(tmp_path):
     # shallow half noisier by roughly the injected factor of 3
     ratio = np.median(shallow) / np.median(deep)
     assert 1.8 < ratio < 4.5, ratio
+
+
+def test_num_noise_bins_grid(tmp_path):
+    """numNoiseBins > 1 with a numeric grid: per-cell weight binning
+    separates depths inside each cell (reference filters.py:409-481)."""
+    rng = np.random.default_rng(6)
+    shape = (256, 256)
+    mapDict, w = _make_sim_tile(shape=shape)
+    noise = np.zeros(shape)
+    noise[:, :128] = rng.normal(0, 20.0, (256, 128))
+    noise[:, 128:] = rng.normal(0, 60.0, (256, 128))
+    mapDict["data"] = noise
+    weights = np.zeros(shape)
+    weights[:, :128] = 1 / 20.0 ** 2
+    weights[:, 128:] = 1 / 60.0 ** 2
+    weights = weights * rng.uniform(0.97, 1.03, shape)
+    mapDict["weights"] = weights
+    f = {"label": "binstest", "class": "ArnaudModelMatchedFilter",
+         "params": dict(FILTER_PARAMS,
+                        noiseParams={"method": "dataMap",
+                                     "noiseGridArcmin": 120.0,
+                                     "numNoiseBins": 2},
+                        saveRMSMap=True)}
+    selFnDir = str(tmp_path / "selFn")
+    filters.filterMaps([mapDict], f, "PRIMARY",
+                       diagnosticsDir=str(tmp_path / "d"),
+                       selFnDir=selFnDir)
+    from nemo_tpu.utils import fits as nfits
+    rms, _ = nfits.read_image(os.path.join(
+        selFnDir, "PRIMARY", "RMSMap_binstest#PRIMARY.fits"))
+    rms = np.asarray(rms, dtype=float)
+    deep = np.median(rms[100:150, 40:90])
+    shallow = np.median(rms[100:150, 170:220])
+    assert deep > 0 and shallow > 0
+    assert 1.8 < shallow / deep < 4.5, shallow / deep
