@@ -133,6 +133,11 @@ class MapDict(dict):
         if "calibFactor" in self and self["calibFactor"] is not None:
             data = data * self["calibFactor"]
 
+        if self.get("addNoise"):
+            # extra white noise for simulation work (uK per pixel)
+            rng = np.random.default_rng(self.get("seed"))
+            data = data + rng.normal(0, float(self["addNoise"]), data.shape)
+
         if self.get("units") == "Jy/sr":
             # Historical fixed conversion factors (maps.py:218-225)
             conv = {148: 1.072480e9, 219: 1.318837e9}
