@@ -30,7 +30,6 @@ def _run(step, args, jax):
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from __graft_entry__ import _example_inputs
     from nemo_tpu.parallel import distribute
