@@ -576,7 +576,8 @@ def _extractSpecMatchedFilter(config, tab, mapsList, beams_, psf_match,
     baseFilter = {"class": "ArnaudModelMatchedFilter",
                   "params": {"noiseParams": {"method": noiseMethod,
                                              "noiseGridArcmin": 40.0},
-                             "saveFilteredMaps": False, "saveRMSMap": False,
+                             "saveFilteredMaps": bool(saveFilteredMaps),
+                             "saveRMSMap": False,
                              "savePlots": False, "saveDS9Regions": False,
                              "saveFilter": False, "outputUnits": "yc",
                              "edgeTrimArcmin": 0.0,
