@@ -149,3 +149,30 @@ def test_nemo_model_scale_flag(cli_workspace):
     d2, _ = nfits.read_image(out2)
     np.testing.assert_allclose(d2, 2.0 * np.asarray(d1), rtol=1e-6,
                                atol=1e-8)
+
+
+def test_nemo_tiling_check_flag(cli_workspace):
+    """nemo -T prints the tiling and exits before any filtering."""
+    ws = cli_workspace
+    configDict = {
+        "unfilteredMaps": [
+            {"mapFileName": ws["template"], "weightsFileName": None,
+             "obsFreqGHz": 97.8, "units": "uK",
+             "beamFileName": ws["beam"]}],
+        "thresholdSigma": 5.0, "photFilter": None,
+        "outputDir": str(ws["tmp"] / "tcheck"),
+        "mapFilters": [
+            {"label": "Beam_f090", "class": "BeamMatchedFilter",
+             "params": {"noiseParams": {"method": "dataMap",
+                                        "noiseGridArcmin": 40.0},
+                        "outputUnits": "uK"}}],
+    }
+    configPath = str(ws["tmp"] / "tcheck.yml")
+    with open(configPath, "w") as f:
+        yaml.safe_dump(configDict, f)
+    r = _run(["nemo", configPath, "-T"], cwd=str(ws["tmp"]))
+    assert "Tiling check" in r.stdout
+    assert "tiles" in r.stdout
+    # stopped before filtering: no catalog written
+    assert not os.path.exists(os.path.join(
+        str(ws["tmp"] / "tcheck"), "tcheck_optimalCatalog.csv"))
