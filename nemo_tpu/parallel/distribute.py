@@ -220,13 +220,17 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
     spec_tiles = PartitionSpec(TILE_AXIS)
     spec_rep = PartitionSpec()
 
-    def one_tile(d, n, t, c, w, apod, peakYX):
+    def one_tile(d, n, t, c, w, apod, fg, peakYX):
         nf, ny, nx = d.shape
         fMaps = jnp.fft.rfft2(d * apod[None])
         # With the dataMap noise method the noise stack IS the data and
         # XLA's CSE collapses the two transforms into one.
         fNoise = jnp.fft.rfft2(n * apod[None])
         prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
+        # max(dataMap,CMB): floor the covariance with a model CMB power
+        # (host engine parity, filters.py max(dataMap,CMB) branch); a
+        # zero fg map is a no-op for plain dataMap/model methods.
+        prods = jnp.maximum(prods, fg[None, None])
         prods = imageops.gaussian_filter(
             prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
         N = prods.reshape(nf, nf, *prods.shape[-2:])
@@ -250,10 +254,10 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         return filtered, signalNorm
 
     def per_shard(data, noise, template, calib, w, apodM, psMask,
-                  surveyMask, peakYX):
+                  surveyMask, fgPower, peakYX):
         filtered, norms = jax.vmap(
-            lambda d, n, t, c, a, p: one_tile(d, n, t, c, w, a, p))(
-            data, noise, template, calib, apodM, peakYX)
+            lambda d, n, t, c, a, g, p: one_tile(d, n, t, c, w, a, g, p))(
+            data, noise, template, calib, apodM, fgPower, peakYX)
         filtered = filtered * psMask
 
         RMSMap = noise_ops.grid_rms_map_batch(filtered, gridSize,
@@ -279,7 +283,8 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
     sharded = shard_map(
         per_shard, mesh=mesh,
         in_specs=(spec_tiles, spec_tiles, spec_tiles, spec_tiles, spec_rep,
-                  spec_tiles, spec_tiles, spec_tiles, spec_tiles),
+                  spec_tiles, spec_tiles, spec_tiles, spec_tiles,
+                  spec_tiles),
         out_specs={"filtered": spec_tiles, "SNMap": spec_tiles,
                    "RMSMap": spec_tiles, "surveyMask": spec_tiles,
                    "signalNorm": spec_tiles},

@@ -46,7 +46,8 @@ def eligibleForBatch(f, parDict):
             or params.get("saveFreqWeightMap"):
         return False
     noiseParams = params.get("noiseParams", {})
-    if noiseParams.get("method") not in ("dataMap", "model"):
+    if noiseParams.get("method") not in ("dataMap", "model",
+                                         "max(dataMap,CMB)"):
         return False
     if noiseParams.get("RMSEstimator", "default") != "default":
         return False
@@ -93,7 +94,8 @@ def _prepare_tile(config, f, tileName, templateCache=None):
 
     dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
                           for m in filterObj.unfilteredMapsDictList])
-    if params["noiseParams"]["method"] == "dataMap":
+    method = params["noiseParams"]["method"]
+    if method in ("dataMap", "max(dataMap,CMB)"):
         noiseStack = dataStack
     else:
         noiseStack = np.asarray(filterObj._noiseStack(dataStack),
@@ -130,8 +132,13 @@ def _prepare_tile(config, f, tileName, templateCache=None):
     gridSize = int(round(
         (params["noiseParams"]["noiseGridArcmin"] / 60.0)
         / filterObj.wcs.getPixelSizeDeg()))
+    if method == "max(dataMap,CMB)":
+        fgPower = np.asarray(filterObj._foregroundsPower(),
+                             dtype=np.float64)
+    else:
+        fgPower = None
     return filterObj, {"data": dataStack, "noise": noiseStack,
-                       "template": templates,
+                       "fgPower": fgPower, "template": templates,
                        "calib": calibStack, "w": w, "apodM": apodM,
                        "surveyMask": surveyMask, "psMask": psMask,
                        "gridSize": gridSize,
@@ -212,6 +219,12 @@ def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
     peakYX = np.array([[staged[n][1]["shape"][0] // 2,
                         staged[n][1]["shape"][1] // 2]
                        for n in names], dtype=np.int32)
+    # model-CMB covariance floor for the max(dataMap,CMB) method (zeros
+    # are a no-op otherwise); lives on the padded half grid
+    halfShape = (padShape[0], padShape[1] // 2 + 1)
+    fgPower = np.stack([
+        staged[n][1]["fgPower"] if staged[n][1]["fgPower"] is not None
+        else np.zeros(halfShape) for n in names])
     w = staged[names[0]][1]["w"]
 
     # The tile axis must divide the mesh; pad by repeating the last
@@ -220,10 +233,10 @@ def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
     pad = (-nT) % nDev
     if pad:
         rep = ([1] * (nT - 1)) + [1 + pad]
-        (data, noise, template, calib, apodM, surveyMask, psMask,
+        (data, noise, template, calib, apodM, surveyMask, psMask, fgPower,
          peakYX) = [np.repeat(a, rep, axis=0) for a in
                     (data, noise, template, calib, apodM, surveyMask,
-                     psMask, peakYX)]
+                     psMask, fgPower, peakYX)]
 
     sh = tile_sharding(mesh)
     out = step(jax.device_put(jnp.asarray(data), sh),
@@ -234,6 +247,7 @@ def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
                jax.device_put(jnp.asarray(apodM), sh),
                jax.device_put(jnp.asarray(psMask), sh),
                jax.device_put(jnp.asarray(surveyMask), sh),
+               jax.device_put(jnp.asarray(fgPower), sh),
                jax.device_put(jnp.asarray(peakYX), sh))
     filtered = np.asarray(out["filtered"])[:nT]
     SNMaps = np.asarray(out["SNMap"])[:nT]

@@ -26,11 +26,11 @@ def test_eligibility_rules():
                                            "noiseGridArcmin": 40.0},
                            "outputUnits": "uK"}}
     assert engine.eligibleForBatch(ok_model, {})
-    bad = {"class": "BeamMatchedFilter",
-           "params": {"noiseParams": {"method": "max(dataMap,CMB)",
-                                      "noiseGridArcmin": 40.0},
-                      "outputUnits": "uK"}}
-    assert not engine.eligibleForBatch(bad, {})
+    ok_max = {"class": "BeamMatchedFilter",
+              "params": {"noiseParams": {"method": "max(dataMap,CMB)",
+                                         "noiseGridArcmin": 40.0},
+                         "outputUnits": "uK"}}
+    assert engine.eligibleForBatch(ok_max, {})
     bad = {"class": "BeamMatchedFilter",
            "params": {"noiseParams": {"method": "dataMap",
                                       "noiseGridArcmin": "smart"},
@@ -124,3 +124,27 @@ def test_batched_model_noise_matches_host(tiled_run):  # noqa: F811
     assert sel.sum() > 1e5
     ratio = b[np.abs(h) > 3] / h[np.abs(h) > 3]
     assert abs(np.median(ratio) - 1) < 0.02, np.median(ratio)
+
+
+def test_batched_max_datamap_cmb_matches_host(tiled_run):  # noqa: F811
+    """noiseParams method 'max(dataMap,CMB)' through the batched engine
+    matches the host engine."""
+    from nemo_tpu import filters
+    import copy
+    inputTab, hostCatalog, config, w = tiled_run
+    f = copy.deepcopy(config.parDict["mapFilters"][0])
+    f["label"] = "Beam_maxcmb"
+    f["params"]["noiseParams"]["method"] = "max(dataMap,CMB)"
+    f["params"]["saveRMSMap"] = False
+    assert engine.eligibleForBatch(f, config.parDict)
+    tile = config.tileNames[0]
+    host = filters.filterMaps(config.unfilteredMapsDictList, f, tile,
+                              diagnosticsDir=config.diagnosticsDir,
+                              selFnDir=config.selFnDir, verbose=False)
+    bat = engine.batchFilterTiles(config, f, tileNames=[tile],
+                                  verbose=False)[tile]
+    h, b = np.asarray(host["SNMap"]), np.asarray(bat["SNMap"])
+    sel = np.abs(h) > 3
+    assert sel.sum() > 100
+    ratio = b[sel] / h[sel]
+    assert abs(np.median(ratio) - 1) < 0.05, np.median(ratio)
