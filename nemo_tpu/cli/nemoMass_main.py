@@ -87,66 +87,72 @@ def calcMassTable(tab, massOptions, Q, fRelWeightsDict, mockSurvey,
     tiles = np.asarray(tab["tileName"]) if "tileName" in tab.keys() \
         else np.array([None] * len(tab))
 
-    for i in range(len(tab)):
-        if not (y_c[i] > 0) or np.isnan(zs[i]):
-            continue
-        common = dict(tenToA0=massOptions["tenToA0"], B0=massOptions["B0"],
-                      Mpivot=massOptions["Mpivot"],
-                      sigma_int=massOptions["sigma_int"],
-                      Ez_gamma=massOptions["Ez_gamma"],
-                      onePlusRedshift_power=massOptions[
-                          "onePlusRedshift_power"],
-                      applyRelativisticCorrection=massOptions[
-                          "relativisticCorrection"],
-                      fRelWeightsDict=fRelWeightsDict.get(
-                          tiles[i], {148.0: 1.0}),
-                      tileName=tiles[i])
-        massDict = scaling.calcMass(y_c[i] * 1e-4, err_y_c[i] * 1e-4,
-                                    zs[i], zErrs[i], Q, mockSurvey,
-                                    applyMFDebiasCorrection=True, **common)
-        unCorr = scaling.calcMass(y_c[i] * 1e-4, err_y_c[i] * 1e-4,
-                                  zs[i], zErrs[i], Q, mockSurvey,
-                                  applyMFDebiasCorrection=False, **common)
-        tab[label][i] = massDict[label]
-        tab[label + "_errPlus"][i] = massDict[label + "_errPlus"]
-        tab[label + "_errMinus"][i] = massDict[label + "_errMinus"]
-        tab["Q"][i] = massDict["Q"]
-        tab[label + "Uncorr"][i] = unCorr[label]
-        tab[label + "Uncorr_errPlus"][i] = unCorr[label + "_errPlus"]
-        tab[label + "Uncorr_errMinus"][i] = unCorr[label + "_errMinus"]
-        results = {"": massDict, "Uncorr": unCorr}
-        if "rescaleFactor" in massOptions:
-            rf = massOptions["rescaleFactor"]
-            rfErr = massOptions.get("rescaleFactorErr", 0.0)
-            cal = massDict[label] / rf
-            tab[label + "Cal"][i] = cal
-            frac = np.sqrt(
-                (massDict[label + "_errPlus"] / massDict[label]) ** 2
-                + (rfErr / rf) ** 2)
-            tab[label + "Cal_errPlus"][i] = frac * cal
-            frac = np.sqrt(
-                (massDict[label + "_errMinus"] / massDict[label]) ** 2
-                + (rfErr / rf) ** 2)
-            tab[label + "Cal_errMinus"][i] = frac * cal
-            results["Cal"] = {label: cal,
-                              label + "_errPlus":
-                                  tab[label + "Cal_errPlus"][i],
-                              label + "_errMinus":
-                                  tab[label + "Cal_errMinus"][i]}
-        for suffix, res in results.items():
-            for d in otherMassEstimates:
-                thisLabel = "M%d%s" % (d["delta"], d["rhoType"][0])
-                if res[label] <= 0:
+    # All rows go through one batched device computation
+    # (scaling.calcMassBatch) instead of the reference's per-cluster loop.
+    valid = np.nonzero((y_c > 0) & ~np.isnan(zs))[0]
+    if len(valid) == 0:
+        return tab
+    res = scaling.calcMassBatch(
+        y_c[valid] * 1e-4, err_y_c[valid] * 1e-4, zs[valid], zErrs[valid],
+        Q, mockSurvey, tenToA0=massOptions["tenToA0"], B0=massOptions["B0"],
+        Mpivot=massOptions["Mpivot"], sigma_int=massOptions["sigma_int"],
+        Ez_gamma=massOptions["Ez_gamma"],
+        onePlusRedshift_power=massOptions["onePlusRedshift_power"],
+        applyRelativisticCorrection=massOptions["relativisticCorrection"],
+        tileNames=[tiles[i] for i in valid])
+    for c in (label, label + "_errPlus", label + "_errMinus",
+              label + "Uncorr", label + "Uncorr_errPlus",
+              label + "Uncorr_errMinus", "Q"):
+        col = np.asarray(tab[c], dtype=float)
+        col[valid] = res[c]
+        tab[c] = col
+
+    if "rescaleFactor" in massOptions:
+        rf = massOptions["rescaleFactor"]
+        rfErr = massOptions.get("rescaleFactorErr", 0.0)
+        cal = res[label] / rf
+        calPlus = cal * np.sqrt(
+            (res[label + "_errPlus"] / res[label]) ** 2 + (rfErr / rf) ** 2)
+        calMinus = cal * np.sqrt(
+            (res[label + "_errMinus"] / res[label]) ** 2 + (rfErr / rf) ** 2)
+        for c, vals in ((label + "Cal", cal),
+                        (label + "Cal_errPlus", calPlus),
+                        (label + "Cal_errMinus", calMinus)):
+            col = np.asarray(tab[c], dtype=float)
+            col[valid] = vals
+            tab[c] = col
+        res[label + "Cal"] = cal
+        res[label + "Cal_errPlus"] = calPlus
+        res[label + "Cal_errMinus"] = calMinus
+        suffixes = ("", "Uncorr", "Cal")
+    else:
+        suffixes = ("", "Uncorr")
+
+    for suffix in suffixes:
+        base = res[label + suffix]
+        basePlus = res[label + suffix + "_errPlus"]
+        baseMinus = res[label + suffix + "_errMinus"]
+        for d in otherMassEstimates:
+            thisLabel = "M%d%s" % (d["delta"], d["rhoType"][0])
+            colM = np.asarray(tab[thisLabel + suffix], dtype=float)
+            colP = np.asarray(tab[thisLabel + suffix + "_errPlus"],
+                              dtype=float)
+            colN = np.asarray(tab[thisLabel + suffix + "_errMinus"],
+                              dtype=float)
+            for j, i in enumerate(valid):
+                if base[j] <= 0:
                     continue
                 thisMass = mockSurvey.cosmoModel.convertMassDef(
-                    res[label] * 1e14, zs[i], massOptions["delta"],
-                    massOptions["rhoType"], d["delta"], d["rhoType"]) / 1e14
-                tab[thisLabel + suffix][i] = thisMass
-                ratio = thisMass / res[label]
-                tab[thisLabel + suffix + "_errPlus"][i] = \
-                    res[label + "_errPlus"] * ratio
-                tab[thisLabel + suffix + "_errMinus"][i] = \
-                    res[label + "_errMinus"] * ratio
+                    base[j] * 1e14, zs[i], massOptions["delta"],
+                    massOptions["rhoType"], d["delta"],
+                    d["rhoType"]) / 1e14
+                colM[i] = thisMass
+                ratio = thisMass / base[j]
+                colP[i] = basePlus[j] * ratio
+                colN[i] = baseMinus[j] * ratio
+            tab[thisLabel + suffix] = colM
+            tab[thisLabel + suffix + "_errPlus"] = colP
+            tab[thisLabel + suffix + "_errMinus"] = colN
     return tab
 
 

