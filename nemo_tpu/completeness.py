@@ -390,6 +390,19 @@ class SelFn:
                      for j in range(y0Grid.shape[1])])
             self.compMz = np.clip(compMz, 0, 1)
             self.y0TildeGrid = self.Q.getQ(theta500Grid) * y0Grid
+            # Intrinsic scatter: smear the HMF counts along the mass axis
+            # in log-y0 units (reference completeness.py:412-424)
+            sigma_int = self.scalingRelationDict["sigma_int"]
+            if sigma_int > 0:
+                from scipy.ndimage import gaussian_filter1d
+                logy0Grid = np.log(y0Grid)
+                for i in range(logy0Grid.shape[0]):
+                    dy = np.mean(np.gradient(logy0Grid[i]))
+                    if dy > 0:
+                        npix = 0.8 * sigma_int / dy
+                        self.mockSurvey.clusterCount[i] = gaussian_filter1d(
+                            self.mockSurvey.clusterCount[i], npix,
+                            mode="nearest", truncate=4.0)
         else:
             compMzCube = []
             y0GridCube = []
@@ -528,7 +541,7 @@ def calcMassLimit(completenessFraction, compMz, mockSurvey, zBinEdges=[]):
             massLimit_zGrid[i] = np.nan
     if len(zBinEdges) > 0:
         out = []
-        for i in range(len(zBinEdges) - 1)                :
+        for i in range(len(zBinEdges) - 1):
             sel = (mockSurvey.z >= zBinEdges[i]) & \
                   (mockSurvey.z < zBinEdges[i + 1])
             out.append(np.nanmean(massLimit_zGrid[sel]))
@@ -650,36 +663,101 @@ def tidyUp(config):
 def calcCompleteness(RMSTab, SNRCut, tileName, mockSurvey,
                      scalingRelationDict, QFit, plotFileName=None, z=None,
                      method="fast", numDraws=2000000, numIterations=100,
-                     verbose=False):
+                     verbose=False, rng=None):
     """Completeness on the (z, log10M) grid for one tile's noise
-    distribution (``completeness.py:1267-1419``, 'fast' method).
+    distribution (``completeness.py:1267-1419``).
 
-    Returns the compMz grid."""
+    Two methods, as in the reference:
+
+    - ``'fast'``: applies measurement errors + intrinsic scatter to 'true'
+      y0~ values on the grid, as an area-weighted log-normal survival-
+      function sum over the tile's noise bins
+      (reference ``completeness.py:1349-1391``).
+    - ``'montecarlo'``: draws ``numIterations`` mock catalogs of
+      ``numDraws`` clusters at the tile's area-weighted average noise and
+      histograms detected/total on the (M, z) grid
+      (reference ``completeness.py:1316-1344``).
+
+    Returns the compMz grid (1d over log10M when ``z`` is given)."""
     tenToA0 = scalingRelationDict["tenToA0"]
     B0 = scalingRelationDict["B0"]
     Mpivot = scalingRelationDict["Mpivot"]
     sigma_int = scalingRelationDict["sigma_int"]
     zRange = mockSurvey.z if z is None else np.array([z])
-    area = np.asarray(RMSTab["areaDeg2"])
+    area = np.asarray(RMSTab["areaDeg2"], dtype=float)
     areaWeights = area / area.sum()
-    y0RMS = np.asarray(RMSTab["y0RMS"])
+    y0RMS = np.asarray(RMSTab["y0RMS"], dtype=float)
+
+    if method == "montecarlo":
+        rng = rng or np.random.default_rng()
+        trueMassCol = "true_M%d%s" % (mockSurvey.delta,
+                                      mockSurvey.rhoType[0])
+        y0Noise = float(np.average(y0RMS, weights=areaWeights))
+        log10M = mockSurvey.log10M
+        halfM = (log10M[1] - log10M[0]) / 2.0
+        binEdges_log10M = np.concatenate([log10M - halfM,
+                                          [log10M.max() + halfM]])
+        halfZ = (mockSurvey.z[1] - mockSurvey.z[0]) / 2.0
+        binEdges_z = np.concatenate([zRange - halfZ,
+                                     [np.max(zRange) + halfZ]])
+        allMz = np.zeros((len(log10M), len(zRange)))
+        detMz = np.zeros_like(allMz)
+        applyRel = scalingRelationDict.get("relativisticCorrection", True)
+        for _ in range(numIterations):
+            tab = mockSurvey.drawSample(
+                y0Noise, scalingRelationDict, QFit, tileName=tileName,
+                SNRLimit=SNRCut, applySNRCut=False, z=z, numDraws=numDraws,
+                applyRelativisticCorrection=applyRel, rng=rng)
+            if tab is None:
+                continue
+            trueM = np.log10(np.asarray(tab[trueMassCol]) * 1e14)
+            zCol = np.asarray(tab["redshift"])
+            allMz += np.histogram2d(trueM, zCol,
+                                    [binEdges_log10M, binEdges_z])[0]
+            det = np.asarray(tab["fixed_y_c"]) * 1e-4 > y0Noise * SNRCut
+            detMz += np.histogram2d(trueM[det], zCol[det],
+                                    [binEdges_log10M, binEdges_z])[0]
+        compMz = np.ones(detMz.shape)
+        mask = allMz != 0
+        compMz[mask] = detMz[mask] / allMz[mask]
+        compMz = compMz.T
+        return compMz if z is None else compMz[0]
+
+    if method != "fast":
+        raise ValueError(
+            "calcCompleteness only has 'fast' and 'montecarlo' methods "
+            "available (got %r)" % method)
 
     compMz = np.zeros((len(zRange), len(mockSurvey.log10M)))
     for i, zk in enumerate(zRange):
         k = np.argmin(np.abs(mockSurvey.z - zk))
-        theta500s = interpolate.splev(mockSurvey.log10M,
+        # theta500/fRel splines work in log10 M500c; convert when the
+        # survey mass definition differs (reference completeness.py:1360-1366)
+        if mockSurvey.delta == 500 and mockSurvey.rhoType == "critical":
+            log10M500cs = mockSurvey.log10M
+        else:
+            log10M500cs = np.log10(mockSurvey._toM500c(mockSurvey.M, zk))
+        theta500s = interpolate.splev(log10M500cs,
                                       mockSurvey.theta500Splines[k])
         Qs = QFit.getQ(theta500s, zk, tileName=tileName)
-        fRels = interpolate.splev(mockSurvey.log10M,
-                                  mockSurvey.fRelSplines[k])
         y0Grid = tenToA0 * mockSurvey.Ez[k] ** 2 \
-            * (mockSurvey.M / Mpivot) ** (1 + B0) * Qs * fRels
+            * (mockSurvey.M / Mpivot) ** (1 + B0) * Qs
+        if scalingRelationDict.get("relativisticCorrection", True):
+            fRels = interpolate.splev(log10M500cs,
+                                      mockSurvey.fRelSplines[k])
+            y0Grid = y0Grid * fRels
         y0Grid = np.where(y0Grid <= 0, 1e-9, y0Grid)
+        # Log-normal survival sum with the 1/SNR error clamped below the
+        # cut (reference completeness.py:1379-1391)
+        log_y0 = np.log(y0Grid)
         comp = np.zeros(len(y0Grid))
         for j in range(len(y0RMS)):
-            totalErr = np.sqrt((y0RMS[j] / y0Grid) ** 2 + sigma_int ** 2)
+            SNRGrid = y0Grid / y0RMS[j]
+            log_y0Err = np.where(SNRGrid < SNRCut, 1.0 / SNRCut,
+                                 1.0 / SNRGrid)
+            log_totalErr = np.sqrt(log_y0Err ** 2 + sigma_int ** 2)
             comp = comp + areaWeights[j] * stats.norm.sf(
-                SNRCut * y0RMS[j], loc=y0Grid, scale=totalErr * y0Grid)
+                np.log(SNRCut * y0RMS[j]), loc=log_y0, scale=log_totalErr)
         compMz[i] = comp
     return compMz if z is None else compMz[0]
 

@@ -476,34 +476,34 @@ class MatchedFilter(MapFilter):
             RMSMap = np.asarray(rms) if params.get("saveRMSMap") else None
             surveyMask = np.asarray(mask).astype(float)
         else:
-          filteredMap = self.applyFilter(fMapsToFilter)
-          filteredMap = filteredMap * psMask
+            filteredMap = self.applyFilter(fMapsToFilter)
+            filteredMap = filteredMap * psMask
 
-          RMSMap = self.makeNoiseMap(filteredMap)
-          validMask = RMSMap > 0
-          SNMap = np.array(filteredMap)
-          SNMap[validMask] = SNMap[validMask] / RMSMap[validMask]
+            RMSMap = self.makeNoiseMap(filteredMap)
+            validMask = RMSMap > 0
+            SNMap = np.array(filteredMap)
+            SNMap[validMask] = SNMap[validMask] / RMSMap[validMask]
 
-          # Edge trim via min filter (filters.py:725-744)
-          trimSizePix = self._trimSizePix()
-          if trimSizePix > 0:
-            edgeCheck = np.asarray(imageops.minimum_filter(
-                jnp.abs(jnp.asarray(filteredMap) + (1 - psMask)),
-                trimSizePix))
-            edgeCheck = (edgeCheck > 0).astype(float)
-          else:
-            edgeCheck = np.ones(filteredMap.shape)
-          filteredMap = filteredMap * edgeCheck
-          surveyMask = edgeCheck * surveyMask * psMask
-          filteredMap = filteredMap * surveyMask
+            # Edge trim via min filter (filters.py:725-744)
+            trimSizePix = self._trimSizePix()
+            if trimSizePix > 0:
+                edgeCheck = np.asarray(imageops.minimum_filter(
+                    jnp.abs(jnp.asarray(filteredMap) + (1 - psMask)),
+                    trimSizePix))
+                edgeCheck = (edgeCheck > 0).astype(float)
+            else:
+                edgeCheck = np.ones(filteredMap.shape)
+            filteredMap = filteredMap * edgeCheck
+            surveyMask = edgeCheck * surveyMask * psMask
+            filteredMap = filteredMap * surveyMask
 
-          apodMask = np.asarray(
-              fourier.apod_mask(filteredMap.shape, self.apodPix)) == 1
-          surveyMask = surveyMask * apodMask
+            apodMask = np.asarray(
+                fourier.apod_mask(filteredMap.shape, self.apodPix)) == 1
+            surveyMask = surveyMask * apodMask
 
-          SNMap = SNMap * surveyMask
-          SNMap[np.isnan(SNMap)] = 0.0
-          RMSMap = RMSMap * surveyMask
+            SNMap = SNMap * surveyMask
+            SNMap[np.isnan(SNMap)] = 0.0
+            RMSMap = RMSMap * surveyMask
 
         if params.get("saveRMSMap") and RMSMap is not None:
             from .utils.wcs import WCS  # noqa

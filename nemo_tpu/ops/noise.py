@@ -188,8 +188,9 @@ def whole_map_rms(mapData, estimator="default", n_iter=10):
     flat = jnp.asarray(mapData).reshape(1, -1)
     valid = flat != 0
     rms = _cell_stats(flat, valid, mapData.shape, n_iter, estimator)[0]
-    return jnp.where(jnp.asarray(mapData) != 0, rms,
-                     rms) * jnp.ones_like(jnp.asarray(mapData))
+    # The reference fills the whole map with the single-cell RMS, including
+    # zero (masked) pixels (filters.py:411-415); masks are re-applied later.
+    return rms * jnp.ones_like(jnp.asarray(mapData))
 
 
 # -----------------------------------------------------------------------------

@@ -221,3 +221,52 @@ def test_mock_survey_counts_and_mass_pdf():
     assert p.shape == ms.log10M.shape
     assert abs(np.trapezoid(p, ms.M) - 1) < 1e-6
     assert p[0] > p[-1] * 1e3                 # steeply falling with mass
+
+
+def test_calc_completeness_fast_vs_montecarlo():
+    """calcCompleteness (completeness.py:1267-1419): the 'fast' log-normal
+    survival estimate and the 'montecarlo' drawSample histogram agree, the
+    grid is monotone in mass, and unsupported methods raise."""
+    from nemo_tpu.utils.tables import Table
+    from nemo_tpu import completeness
+    from nemo_tpu.mock import MockSurvey
+
+    ms = MockSurvey(1e13, 600.0, 0.0, 2.0, 70.0, 0.30, 0.05, 0.80, 0.95,
+                    enableDrawSample=True)
+
+    class FlatQ:
+        def getQ(self, theta500s, z=None, tileName=None):
+            return np.ones_like(np.asarray(theta500s, dtype=float))
+
+    sr = {"tenToA0": 4.95e-5, "B0": 0.08, "Mpivot": 3e14,
+          "sigma_int": 0.2, "relativisticCorrection": True}
+    RMSTab = Table({"areaDeg2": np.array([300.0, 300.0]),
+                    "y0RMS": np.array([1.5e-5, 3.0e-5])})
+    comp = completeness.calcCompleteness(RMSTab, 5.0, "1_1_0", ms, sr,
+                                         FlatQ())
+    assert comp.shape == (len(ms.z), len(ms.log10M))
+    assert np.all(comp >= 0) and np.all(comp <= 1)
+    # monotone increasing with mass at fixed z (mid-grid z)
+    k = len(ms.z) // 2
+    assert comp[k, -1] > 0.99
+    assert np.all(np.diff(comp[k]) > -1e-6)
+
+    zTest = float(ms.z[k])
+    fast1d = completeness.calcCompleteness(RMSTab, 5.0, "1_1_0", ms, sr,
+                                           FlatQ(), z=zTest)
+    mc1d = completeness.calcCompleteness(
+        RMSTab, 5.0, "1_1_0", ms, sr, FlatQ(), z=zTest,
+        method="montecarlo", numDraws=200000, numIterations=10,
+        rng=np.random.default_rng(7))
+    # The HMF falls steeply through the 20-80% completeness band, so
+    # per-bin MC statistics are noisy even at 2e6 draws; compare the
+    # band average (the reference's own check is "both methods should
+    # give consistent results", completeness.py:1291-1293)
+    sel = (fast1d > 0.2) & (fast1d < 0.8)
+    assert sel.sum() > 3
+    assert abs(np.mean(fast1d[sel]) - np.mean(mc1d[sel])) < 0.08
+    assert np.mean(np.abs(fast1d[sel] - mc1d[sel])) < 0.12
+
+    with pytest.raises(ValueError):
+        completeness.calcCompleteness(RMSTab, 5.0, "1_1_0", ms, sr,
+                                      FlatQ(), method="nope")
