@@ -313,10 +313,12 @@ def grid_rms_map_batch(mapBatch, gridSize_pix, overlap_pix=None,
     Wx = int(np.diff(xe).max() + 2 * ov)
 
     if impl == "auto":
-        # The XLA gather formulation with repeat-based assembly outruns the
-        # (serial-grid) Pallas kernel on current hardware; keep 'pallas'
-        # selectable for experimentation.
-        impl = "xla"
+        # Measured on a real v5e chip at the DR5 tile shape (16 tiles of
+        # 896x1536, gridSize 80, 2026-08-16): the fused Pallas kernel takes
+        # 27.7 ms/batch vs 13.2 s/batch for the XLA gather formulation
+        # (the per-cell window gather defeats XLA's tiling). On CPU the
+        # Pallas kernel only runs in (slow) interpret mode, so XLA wins.
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         return jax.vmap(lambda m: grid_rms_map(m, gridSize_pix,
                                                overlap_pix=overlap_pix))(
