@@ -152,6 +152,20 @@ class MapFilter:
         self.signalNorm = 1.0
         self.fRelWeights = {}
 
+    def _trimSizePix(self):
+        """Edge-trim width: edgeTrimArcmin, or 3 x the noise grid cell
+        (``filters.py:725-744`` in the reference)."""
+        params = self.params
+        if params.get("edgeTrimArcmin", 0) and params["edgeTrimArcmin"] > 0:
+            return int(round((params["edgeTrimArcmin"] / 60.0)
+                             / self.wcs.getPixelSizeDeg()))
+        grid = params["noiseParams"].get("noiseGridArcmin", None)
+        if grid is not None and grid != "smart":
+            gridSize = int(round((grid / 60.0)
+                                 / self.wcs.getPixelSizeDeg()))
+            return int(round(gridSize * 3.0))
+        return 0
+
     # -- noise map ------------------------------------------------------------
     def makeNoiseMap(self, mapData):
         """Grid-cell RMS estimation (``filters.py:345-483``), on device."""
@@ -524,18 +538,6 @@ class MatchedFilter(MapFilter):
                 "tileName": self.tileName}
 
     # ------------------------------------------------------------------
-    def _trimSizePix(self):
-        params = self.params
-        if params.get("edgeTrimArcmin", 0) and params["edgeTrimArcmin"] > 0:
-            return int(round((params["edgeTrimArcmin"] / 60.0)
-                             / self.wcs.getPixelSizeDeg()))
-        grid = params["noiseParams"].get("noiseGridArcmin", None)
-        if grid is not None and grid != "smart":
-            gridSize = int(round((grid / 60.0)
-                                 / self.wcs.getPixelSizeDeg()))
-            return int(round(gridSize * 3.0))
-        return 0
-
     def _noiseStack(self, dataStack):
         """Maps whose power defines the noise covariance
         (``filters.py:538-565``)."""
@@ -887,22 +889,25 @@ class RealSpaceMatchedFilter(MapFilter):
                               np.asarray(self.kern2d, dtype=np.float32),
                               header)
 
+    def _resolveRADecSection(self):
+        """Kernel sub-region: the configured RADecSection, or an auto
+        4 x 4 deg box about the tile centre."""
+        noiseParams = self.params["noiseParams"]
+        if noiseParams["RADecSection"] == "auto":
+            cRA, cDec = self.wcs.getCentreWCSCoords()
+            half = 2.0
+            return [cRA - half / np.cos(np.radians(cDec)),
+                    cRA + half / np.cos(np.radians(cDec)),
+                    cDec - half, cDec + half]
+        return noiseParams["RADecSection"]
+
     def buildAndApply(self, useCachedFilter=False, undoPixelWindow=False):
         params = self.params
         self._undoneWindow = False
         surveyMask = np.asarray(self.unfilteredMapsDictList[0]["surveyMask"])
         psMask = np.asarray(self.unfilteredMapsDictList[0]["pointSourceMask"])
 
-        noiseParams = params["noiseParams"]
-        if noiseParams["RADecSection"] == "auto":
-            cRA, cDec = self.wcs.getCentreWCSCoords()
-            half = 2.0
-            RADecSection = [cRA - half / np.cos(np.radians(cDec)),
-                            cRA + half / np.cos(np.radians(cDec)),
-                            cDec - half, cDec + half]
-        else:
-            RADecSection = noiseParams["RADecSection"]
-        self.buildKernel(RADecSection)
+        self.buildKernel(self._resolveRADecSection())
 
         dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
                               for m in self.unfilteredMapsDictList])
@@ -923,14 +928,7 @@ class RealSpaceMatchedFilter(MapFilter):
             mapUnits = "uK"
             beamSolidAngle_nsr = self.beamSolidAnglesDict[combinedObsFreqGHz]
 
-        if "edgeTrimArcmin" in params:
-            trimSizePix = int(round((params["edgeTrimArcmin"] / 60.0)
-                                    / self.wcs.getPixelSizeDeg()))
-        else:
-            gridSize = int(round(
-                (params["noiseParams"]["noiseGridArcmin"] / 60.0)
-                / self.wcs.getPixelSizeDeg()))
-            trimSizePix = int(round(gridSize * 3.0))
+        trimSizePix = self._trimSizePix()
         if trimSizePix > 0:
             edgeCheck = np.asarray(imageops.minimum_filter(
                 jnp.abs(jnp.asarray(filteredMap) + (1 - psMask)),

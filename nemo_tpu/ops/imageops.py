@@ -163,6 +163,27 @@ def convolve2d_reflect(m, kernel):
     return out.reshape(m.shape[:-2] + out.shape[-2:])
 
 
+def convolve2d_reflect_sum(m, kernels):
+    """Multi-frequency real-space filter application: for maps ``m`` of
+    shape (nf, ny, nx) and per-frequency kernels (nf, ky, kx), returns
+    ``sum_f ndimage.convolve(m[f], kernels[f], mode='reflect')`` as one
+    XLA conv (frequencies become input channels of a single-output-channel
+    convolution, so the frequency sum fuses into the MXU contraction).
+
+    Exactly equals summing :func:`convolve2d_reflect` per frequency.
+    """
+    ky, kx = kernels.shape[-2:]
+    if ky % 2 == 0 or kx % 2 == 0:
+        raise ValueError("convolve2d_reflect_sum requires odd-sized kernels")
+    pad = [(0, 0)] * (m.ndim - 2) + [(ky // 2, ky // 2), (kx // 2, kx // 2)]
+    padded = jnp.pad(m, pad, mode="symmetric")
+    lhs = padded[None]                                     # (1, nf, Y, X)
+    rhs = jnp.asarray(kernels, dtype=m.dtype)[:, ::-1, ::-1][None]
+    out = jax.lax.conv_general_dilated(lhs, rhs, window_strides=(1, 1),
+                                       padding="VALID")
+    return out[0, 0]
+
+
 def median_filter_host(m, size):
     """Host-side median filter (scipy), used only in per-tile preprocessing
     for hole filling (``nemo/maps.py:365``); not on the device hot path."""

@@ -189,6 +189,71 @@ def _single_tile_step(data, noise, template, w, apodM, psMask, surveyMask,
 
 
 @functools.lru_cache(maxsize=32)
+def make_sharded_realspace_step(mesh, gridSize, trimPix, rms_impl="auto"):
+    """Production batched real-space matched filter: the host engine's
+    apply stage (``nemo_tpu/filters.py:RealSpaceMatchedFilter``, reference
+    ``nemo/filters.py:1172-1218``) for a tile batch sharded over the mesh.
+
+    The truncated kernels are built per tile on host (they come from a
+    Fourier MF on a small sub-region, with the signal-norm calibration
+    folded into ``signalNorm``); the device step is the full-tile work:
+    grouped kernel convolution (frequencies ride the conv input-channel
+    contraction), RMS estimation, S/N, edge trim and masking.
+
+    Args of the returned function (leading tile axis sharded over the
+    mesh unless noted):
+        data:       (T, nf, ny, nx) preprocessed maps at TRUE tile shape
+                    (no zero padding - the conv boundary is 'reflect' at
+                    the genuine tile edge, matching the host path).
+        kern:       (T, nf, ky, kx) truncated real-space kernels, odd
+                    dims, zero-padded to the bucket's max kernel size
+                    (exact: zero taps contribute nothing).
+        signalNorm: (T,) per-tile calibration from the host kernel build.
+        apodM:      (T, ny, nx) cosine apodisation (only its == 1 core is
+                    used, as a border cut).
+        psMask, surveyMask: (T, ny, nx) masks.
+    Returns dict with "filtered" (signal units), "SNMap", "RMSMap",
+    "surveyMask".
+    """
+    from jax import shard_map
+
+    spec_tiles = PartitionSpec(TILE_AXIS)
+
+    def per_shard(data, kern, signalNorm, apodM, psMask, surveyMask):
+        filtered = jax.vmap(imageops.convolve2d_reflect_sum)(data, kern)
+        filtered = filtered * signalNorm[:, None, None]
+        filtered = filtered * psMask
+
+        RMSMap = noise_ops.grid_rms_map_batch(filtered, gridSize,
+                                              impl=rms_impl)
+        SNMap = jnp.where(RMSMap > 0,
+                          filtered / jnp.maximum(RMSMap, 1e-30), 0.0)
+
+        if trimPix > 0:
+            edge = imageops.minimum_filter(
+                jnp.abs(filtered + (1 - psMask)), trimPix)
+            edgeCheck = (edge > 0).astype(filtered.dtype)
+        else:
+            edgeCheck = jnp.ones_like(filtered)
+        # Host-engine masking semantics (RealSpaceMatchedFilter
+        # .buildAndApply): the signal map keeps the apodisation border;
+        # SN/RMS do not.
+        maskData = edgeCheck * surveyMask * psMask
+        maskSN = maskData * (apodM == 1)
+        return {"filtered": filtered * maskData, "SNMap": SNMap * maskSN,
+                "RMSMap": RMSMap * maskSN,
+                "surveyMask": maskSN.astype(jnp.uint8)}
+
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(spec_tiles,) * 6,
+        out_specs={"filtered": spec_tiles, "SNMap": spec_tiles,
+                   "RMSMap": spec_tiles, "surveyMask": spec_tiles},
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=32)
 def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                                      rms_impl="auto"):
     """Production batched matched filter: the host engine's math

@@ -27,33 +27,53 @@ import jax.numpy as jnp
 from .. import filters as filters_mod
 from ..models import sz
 from ..ops import fourier
-from .distribute import make_sharded_matched_filter_step
+from .distribute import (make_sharded_matched_filter_step,
+                         make_sharded_realspace_step)
 from .mesh import get_mesh, tile_sharding
 
 _BATCHABLE_CLASSES = ("BeamMatchedFilter", "ArnaudModelMatchedFilter",
                       "BattagliaModelMatchedFilter")
+_REALSPACE_CLASSES = ("BeamRealSpaceMatchedFilter",
+                      "ArnaudModelRealSpaceMatchedFilter",
+                      "BattagliaModelRealSpaceMatchedFilter")
+
+
+def _rmsGridBatchable(noiseParams):
+    """The apply-side RMS grid must be device-expressible."""
+    if noiseParams.get("RMSEstimator", "default") != "default":
+        return False
+    grid = noiseParams.get("noiseGridArcmin")
+    return grid is not None and grid != "smart" \
+        and noiseParams.get("numNoiseBins", 1) <= 1
 
 
 def eligibleForBatch(f, parDict):
     """A filter spec can go through the batched device path when it uses
     the Fourier matched filter with the dataMap or model noise method and
     none of the host-only extras (cached-filter writing, weight-binned
-    noise cells, noise-model catalogs)."""
+    noise cells, noise-model catalogs), or a real-space matched filter
+    (whose kernel builds on host; the full-tile convolution, RMS and S/N
+    batch on the devices)."""
+    params = f["params"]
+    noiseParams = params.get("noiseParams", {})
+    if f["class"] in _REALSPACE_CLASSES:
+        # Kernel construction (the sub-region Fourier MF) runs host-side
+        # either way, so its noise-method options need no restriction;
+        # bckSub is applied host-side during staging.
+        if not _rmsGridBatchable(noiseParams):
+            return False
+        if params.get("outputUnits") not in ("yc", "uK"):
+            return False
+        return True
     if f["class"] not in _BATCHABLE_CLASSES:
         return False
-    params = f["params"]
     if params.get("saveFilter") or params.get("savePlots") \
             or params.get("saveFreqWeightMap"):
         return False
-    noiseParams = params.get("noiseParams", {})
     if noiseParams.get("method") not in ("dataMap", "model",
                                          "max(dataMap,CMB)"):
         return False
-    if noiseParams.get("RMSEstimator", "default") != "default":
-        return False
-    grid = noiseParams.get("noiseGridArcmin")
-    if grid is None or grid == "smart" \
-            or noiseParams.get("numNoiseBins", 1) > 1:
+    if not _rmsGridBatchable(noiseParams):
         return False
     # noiseModelCatalog lives in the filter params (startup.py:70,476), and
     # the host filter reads it from self.params (filters.py:547) - a
@@ -154,8 +174,61 @@ def _prepare_tile(config, f, tileName, templateCache=None):
                        "shape": filterObj.shape}
 
 
+def _prepare_tile_realspace(config, f, tileName):
+    """Host-side staging for one real-space-filter tile: preprocessing,
+    kernel build (sub-region Fourier MF + truncation + signal-norm
+    calibration, ``RealSpaceMatchedFilter.buildKernel``), background
+    subtraction.  Returns (filterObj, stacks dict) at true tile shape."""
+    filterClass = filters_mod.getFilterClass(f["class"])
+    filterObj = filterClass(f["label"], config.unfilteredMapsDictList,
+                            f["params"], tileName=tileName,
+                            diagnosticsDir=config.diagnosticsDir,
+                            selFnDir=config.selFnDir)
+    params = filterObj.params
+    filterObj.buildKernel(filterObj._resolveRADecSection())
+
+    dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
+                          for m in filterObj.unfilteredMapsDictList])
+    if params.get("bckSub") and filterObj.bckSubScaleArcmin > 0:
+        from .. import maps as maps_mod
+        dataStack = np.stack([
+            maps_mod.subtractBackground(
+                dataStack[i], filterObj.wcs,
+                smoothScaleDeg=filterObj.bckSubScaleArcmin / 60.0)
+            for i in range(dataStack.shape[0])])
+
+    apodM = np.asarray(fourier.apod_mask(filterObj.shape,
+                                         filterObj.apodPix))
+    surveyMask = np.asarray(
+        filterObj.unfilteredMapsDictList[0]["surveyMask"], dtype=np.float64)
+    psMask = np.asarray(
+        filterObj.unfilteredMapsDictList[0]["pointSourceMask"],
+        dtype=np.float64)
+    gridSize = int(round(
+        (params["noiseParams"]["noiseGridArcmin"] / 60.0)
+        / filterObj.wcs.getPixelSizeDeg()))
+    return filterObj, {"data": dataStack,
+                       "kern": np.asarray(filterObj.kern2d,
+                                          dtype=np.float64),
+                       "signalNorm": float(filterObj.signalNorm),
+                       "apodM": apodM, "surveyMask": surveyMask,
+                       "psMask": psMask, "gridSize": gridSize,
+                       "trimPix": filterObj._trimSizePix(),
+                       "shape": filterObj.shape}
+
+
 def _pad2(a, padShape):
     return np.asarray(fourier.pad_to(jnp.asarray(a), padShape))
+
+
+def _padKernels(kern, kShape):
+    """Zero-pad (nf, ky, kx) kernels symmetrically to the bucket's common
+    odd kernel shape - exact for the reflect convolution (zero taps
+    contribute nothing and pad parity keeps the centre tap centred)."""
+    ky, kx = kern.shape[-2:]
+    dy, dx = kShape[0] - ky, kShape[1] - kx
+    assert dy % 2 == 0 and dx % 2 == 0
+    return np.pad(kern, ((0, 0), (dy // 2, dy // 2), (dx // 2, dx // 2)))
 
 
 def batchFilterTiles(config, f, tileNames=None, mesh=None, rms_impl="auto",
@@ -180,25 +253,119 @@ def batchFilterTiles(config, f, tileNames=None, mesh=None, rms_impl="auto",
                                                  2 * nDev))
     deviceBatchSize = max(nDev, (deviceBatchSize // nDev) * nDev)
 
+    realSpace = f["class"] in _REALSPACE_CLASSES
     staged = {}
     buckets = {}
     templateCache = {}
     for tileName in tileNames:
-        filterObj, stacks = _prepare_tile(config, f, tileName,
-                                          templateCache=templateCache)
+        if realSpace:
+            filterObj, stacks = _prepare_tile_realspace(config, f, tileName)
+            # true tile shape: the conv boundary must reflect at the
+            # genuine tile edge, so no zero padding of the maps
+            key = (stacks["shape"], stacks["data"].shape[0],
+                   stacks["gridSize"], stacks["trimPix"])
+        else:
+            filterObj, stacks = _prepare_tile(config, f, tileName,
+                                              templateCache=templateCache)
+            key = (stacks["padShape"], stacks["data"].shape[0],
+                   stacks["gridSize"], stacks["trimPix"])
         staged[tileName] = (filterObj, stacks)
-        key = (stacks["padShape"], stacks["data"].shape[0],
-               stacks["gridSize"], stacks["trimPix"])
         buckets.setdefault(key, []).append(tileName)
 
     results = {}
     for (padShape, nf, gridSize, trimPix), allNames in buckets.items():
         for c0 in range(0, len(allNames), deviceBatchSize):
             names = allNames[c0:c0 + deviceBatchSize]
-            _run_bucket(config, staged, names, padShape, gridSize, trimPix,
-                        mesh, nDev, rms_impl, undoPixelWindow, verbose,
-                        results)
+            if realSpace:
+                _run_bucket_realspace(config, staged, names, gridSize,
+                                      trimPix, mesh, nDev, rms_impl,
+                                      undoPixelWindow, verbose, results)
+            else:
+                _run_bucket(config, staged, names, padShape, gridSize,
+                            trimPix, mesh, nDev, rms_impl, undoPixelWindow,
+                            verbose, results)
     return results
+
+
+def _emit_result(config, filterObj, tileName, dataMap, SNMap, RMSMap,
+                 tileMask, undoPixelWindow, results):
+    """Shared per-tile result assembly: pixel-window undo, RMS-map save,
+    output-units metadata - the tail of the host engines' buildAndApply."""
+    if undoPixelWindow:
+        zeroMask = dataMap == 0
+        dataMap = np.array(fourier.apply_pixel_window(
+            jnp.asarray(dataMap), pow=-1.0))
+        dataMap[zeroMask] = 0
+    params = filterObj.params
+    if params.get("saveRMSMap") and RMSMap is not None:
+        import os
+        from ..utils import fits as nfits
+        RMSFileName = os.path.join(
+            config.selFnDir, tileName,
+            "RMSMap_%s#%s.fits" % (filterObj.label, tileName))
+        os.makedirs(os.path.dirname(RMSFileName), exist_ok=True)
+        nfits.write_image(RMSFileName, RMSMap, filterObj.wcs.header,
+                          compressionType="RICE_1")
+    if params["outputUnits"] == "yc":
+        mapUnits, obsFreqGHz, solidAngle = "yc", "yc", 0.0
+    else:
+        obsFreqGHz = float(list(filterObj.beamSolidAnglesDict)[0])
+        mapUnits = "uK"
+        solidAngle = filterObj.beamSolidAnglesDict[obsFreqGHz]
+    results[tileName] = {
+        "data": dataMap, "wcs": filterObj.wcs,
+        "obsFreqGHz": obsFreqGHz, "SNMap": SNMap,
+        "RMSMap": RMSMap, "surveyMask": tileMask,
+        "flagMask": filterObj.flagMask, "mapUnits": mapUnits,
+        "beamSolidAngle_nsr": solidAngle, "label": filterObj.label,
+        "tileName": tileName}
+
+
+def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
+                          nDev, rms_impl, undoPixelWindow, verbose,
+                          results):
+    """One device call for a chunk of same-shaped real-space-filter tiles."""
+    if verbose:
+        print("... device batch (real-space): %d tile(s) at %s"
+              % (len(names), str(staged[names[0]][1]["shape"])))
+    step = make_sharded_realspace_step(mesh, gridSize, trimPix,
+                                       rms_impl=rms_impl)
+    kShape = (max(staged[n][1]["kern"].shape[-2] for n in names),
+              max(staged[n][1]["kern"].shape[-1] for n in names))
+    data = np.stack([staged[n][1]["data"] for n in names])
+    kern = np.stack([_padKernels(staged[n][1]["kern"], kShape)
+                     for n in names])
+    signalNorm = np.array([staged[n][1]["signalNorm"] for n in names])
+    apodM = np.stack([staged[n][1]["apodM"] for n in names])
+    surveyMask = np.stack([staged[n][1]["surveyMask"] for n in names])
+    psMask = np.stack([staged[n][1]["psMask"] for n in names])
+
+    nT = len(names)
+    pad = (-nT) % nDev
+    if pad:
+        rep = ([1] * (nT - 1)) + [1 + pad]
+        (data, kern, signalNorm, apodM, surveyMask, psMask) = [
+            np.repeat(a, rep, axis=0) for a in
+            (data, kern, signalNorm, apodM, surveyMask, psMask)]
+
+    sh = tile_sharding(mesh)
+    out = step(jax.device_put(jnp.asarray(data), sh),
+               jax.device_put(jnp.asarray(kern), sh),
+               jax.device_put(jnp.asarray(signalNorm), sh),
+               jax.device_put(jnp.asarray(apodM), sh),
+               jax.device_put(jnp.asarray(psMask), sh),
+               jax.device_put(jnp.asarray(surveyMask), sh))
+    filtered = np.asarray(out["filtered"])[:nT]
+    SNMaps = np.asarray(out["SNMap"])[:nT]
+    saveRMS = staged[names[0]][0].params.get("saveRMSMap")
+    RMSMaps = np.asarray(out["RMSMap"])[:nT] if saveRMS else None
+    outMask = np.asarray(out["surveyMask"])[:nT].astype(float)
+
+    for i, tileName in enumerate(names):
+        filterObj, stacks = staged[tileName]
+        _emit_result(config, filterObj, tileName, filtered[i], SNMaps[i],
+                     RMSMaps[i] if RMSMaps is not None else None,
+                     outMask[i], undoPixelWindow, results)
 
 
 def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
@@ -271,32 +438,5 @@ def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
         RMSMap = RMSMaps[i][:shape[0], :shape[1]] * scale \
             if RMSMaps is not None else None
         tileMask = outMask[i][:shape[0], :shape[1]]
-        if undoPixelWindow:
-            zeroMask = dataMap == 0
-            dataMap = np.array(fourier.apply_pixel_window(
-                jnp.asarray(dataMap), pow=-1.0))
-            dataMap[zeroMask] = 0
-        params = filterObj.params
-        if params.get("saveRMSMap") and RMSMap is not None:
-            import os
-            from ..utils import fits as nfits
-            RMSFileName = os.path.join(
-                config.selFnDir, tileName,
-                "RMSMap_%s#%s.fits" % (filterObj.label, tileName))
-            os.makedirs(os.path.dirname(RMSFileName), exist_ok=True)
-            nfits.write_image(RMSFileName, RMSMap,
-                              filterObj.wcs.header,
-                              compressionType="RICE_1")
-        if params["outputUnits"] == "yc":
-            mapUnits, obsFreqGHz, solidAngle = "yc", "yc", 0.0
-        else:
-            obsFreqGHz = float(list(filterObj.beamSolidAnglesDict)[0])
-            mapUnits = "uK"
-            solidAngle = filterObj.beamSolidAnglesDict[obsFreqGHz]
-        results[tileName] = {
-            "data": dataMap, "wcs": filterObj.wcs,
-            "obsFreqGHz": obsFreqGHz, "SNMap": SNMap,
-            "RMSMap": RMSMap, "surveyMask": tileMask,
-            "flagMask": filterObj.flagMask, "mapUnits": mapUnits,
-            "beamSolidAngle_nsr": solidAngle, "label": filterObj.label,
-            "tileName": tileName}
+        _emit_result(config, filterObj, tileName, dataMap, SNMap, RMSMap,
+                     tileMask, undoPixelWindow, results)

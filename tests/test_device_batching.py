@@ -19,8 +19,15 @@ def test_eligibility_rules():
                                      "noiseGridArcmin": 40.0},
                      "outputUnits": "uK"}}
     assert engine.eligibleForBatch(ok, {})
-    bad = {"class": "BeamRealSpaceMatchedFilter", "params": ok["params"]}
-    assert not engine.eligibleForBatch(bad, {})
+    # real-space filters batch too (kernel builds on host, conv + RMS on
+    # device) as long as the RMS grid is device-expressible
+    rs = {"class": "BeamRealSpaceMatchedFilter", "params": ok["params"]}
+    assert engine.eligibleForBatch(rs, {})
+    rs_bad = {"class": "BeamRealSpaceMatchedFilter",
+              "params": {"noiseParams": {"method": "dataMap",
+                                         "noiseGridArcmin": "smart"},
+                         "outputUnits": "uK"}}
+    assert not engine.eligibleForBatch(rs_bad, {})
     ok_model = {"class": "BeamMatchedFilter",
                 "params": {"noiseParams": {"method": "model",
                                            "noiseGridArcmin": 40.0},
