@@ -65,6 +65,9 @@ def los_integral(b, params=None, tmax=30.0, npts=1024):
     return out if out.shape[0] > 1 else float(out[0])
 
 
+_CYL_PROFILE_CACHE = {}
+
+
 def cylindrical_profile(params=None, bmin=1e-6, bmax=100.0, npts=300,
                         truncation_tol=1e-6):
     """Unit-peak cylindrically-integrated profile on a log b grid.
@@ -73,9 +76,17 @@ def cylindrical_profile(params=None, bmin=1e-6, bmax=100.0, npts=300,
     log-spaced impact parameters, truncated where successive (unnormalised)
     values change by < ``truncation_tol``, then normalised to peak 1.
 
+    The scaled profile depends only on the GNFW shape parameters (the A10
+    profile is self-similar in b = r/R500), so results are cached - fitQ
+    evaluates ~55 masses through the same shape (``signals.py:962-1015``).
+
     Returns:
         (bRange, profile) arrays.
     """
+    key = (None if params is None else tuple(sorted(params.items())),
+           bmin, bmax, npts, truncation_tol)
+    if key in _CYL_PROFILE_CACHE:
+        return _CYL_PROFILE_CACHE[key]
     b = np.logspace(np.log10(bmin), np.log10(bmax), npts)
     y = los_integral(b, params)
     dy = np.abs(np.diff(y))
@@ -85,4 +96,5 @@ def cylindrical_profile(params=None, bmin=1e-6, bmax=100.0, npts=300,
         b = b[:cut]
         y = y[:cut]
     y = y / y.max()
+    _CYL_PROFILE_CACHE[key] = (b, y)
     return b, y

@@ -89,7 +89,7 @@ def convolveProfileWithBeam(rDeg, prof, beam):
 
 def paintSignalMap(shape, pix_scales_rad, rDeg, prof, beam=None,
                    ys=None, xs=None, amplitude=None, maxSizeDeg=10.0,
-                   convolveWithBeam=True):
+                   convolveWithBeam=True, returnDevice=False):
     """Paint object(s) with a shared radial profile into a map.
 
     Args:
@@ -101,9 +101,13 @@ def paintSignalMap(shape, pix_scales_rad, rDeg, prof, beam=None,
         amplitude: peak amplitude(s) *before* beam convolution (reference
             semantics, ``signals.py:653-655``); None = unnormalised template.
         maxSizeDeg: truncation radius for painting.
+        returnDevice: keep the painted map on device (no host copy) - on
+            remote TPU runtimes the full-map device->host transfer
+            dominates template construction, so batch consumers (fitQ)
+            keep everything resident.
 
     Returns:
-        jnp (ny, nx) map.
+        (ny, nx) map - numpy, or jnp when ``returnDevice``.
     """
     if convolveWithBeam:
         if beam is None:
@@ -125,15 +129,17 @@ def paintSignalMap(shape, pix_scales_rad, rDeg, prof, beam=None,
         sign = -1.0
     ny, nx = shape
     if ys is None:
-        return sign * np.asarray(amp) * np.asarray(
-            paint_ops.paint_template_centered(
-                shape, pix_scales_rad, r, np.abs(rprof),
-                center=(ny / 2.0, nx / 2.0)))
+        out = paint_ops.paint_template_centered(
+            shape, pix_scales_rad, r, np.abs(rprof),
+            center=(ny / 2.0, nx / 2.0))
+        if returnDevice:
+            return sign * amp * out
+        return sign * np.asarray(amp) * np.asarray(out)
     out = paint_ops.paint_objects(shape, pix_scales_rad,
                                   np.atleast_1d(ys), np.atleast_1d(xs),
                                   np.atleast_1d(amp), r, np.abs(rprof),
                                   np.radians(maxSizeDeg))
-    return sign * np.asarray(out)
+    return sign * out if returnDevice else sign * np.asarray(out)
 
 
 def makeBeamModelSignalMap(shape, pix_scales_rad, beam, ys=None, xs=None,
@@ -159,24 +165,28 @@ def makeBeamModelSignalMap(shape, pix_scales_rad, beam, ys=None, xs=None,
 def makeArnaudModelSignalMap(z, M500, shape, pix_scales_rad, beam=None,
                              ys=None, xs=None, GNFWParams="default",
                              amplitude=None, maxSizeDeg=15.0,
-                             convolveWithBeam=True, cosmoModel=None):
+                             convolveWithBeam=True, cosmoModel=None,
+                             returnDevice=False):
     """A10 cluster signal map (parity with ``signals.py:675-743``)."""
     d = makeArnaudModelProfile(z, M500, GNFWParams=GNFWParams,
                                cosmoModel=cosmoModel)
     return paintSignalMap(shape, pix_scales_rad, d["rDeg"], d["prof"],
                           beam=beam, ys=ys, xs=xs, amplitude=amplitude,
                           maxSizeDeg=maxSizeDeg,
-                          convolveWithBeam=convolveWithBeam)
+                          convolveWithBeam=convolveWithBeam,
+                          returnDevice=returnDevice)
 
 
 def makeBattagliaModelSignalMap(z, M500, shape, pix_scales_rad, beam=None,
                                 ys=None, xs=None, GNFWParams="default",
                                 amplitude=None, maxSizeDeg=15.0,
-                                convolveWithBeam=True, cosmoModel=None):
+                                convolveWithBeam=True, cosmoModel=None,
+                                returnDevice=False):
     """B12 cluster signal map (parity with ``signals.py:746-812``)."""
     d = makeBattagliaModelProfile(z, M500, GNFWParams=GNFWParams,
                                   cosmoModel=cosmoModel)
     return paintSignalMap(shape, pix_scales_rad, d["rDeg"], d["prof"],
                           beam=beam, ys=ys, xs=xs, amplitude=amplitude,
                           maxSizeDeg=maxSizeDeg,
-                          convolveWithBeam=convolveWithBeam)
+                          convolveWithBeam=convolveWithBeam,
+                          returnDevice=returnDevice)

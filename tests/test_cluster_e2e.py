@@ -167,6 +167,28 @@ def test_q_fit(cluster_run):
     assert qBig[0] < 1.0
 
 
+def test_q_fit_batched_matches_serial(cluster_run):
+    """fitQ's chunked model batching (models/qfit.py) returns exactly the
+    serial path's Q tables (VERDICT r1 item 6)."""
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    config.parDict["qfitBatchSize"] = 1
+    try:
+        serial = qfit.fitQ(config)
+        config.parDict["qfitBatchSize"] = 8
+        batched = qfit.fitQ(config)
+    finally:
+        config.parDict.pop("qfitBatchSize", None)
+    assert set(serial) == set(batched)
+    for tileName in serial:
+        assert len(serial[tileName]) == len(batched[tileName])
+        np.testing.assert_allclose(
+            np.asarray(batched[tileName]["Q"]),
+            np.asarray(serial[tileName]["Q"]), rtol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(batched[tileName]["theta500Arcmin"]),
+            np.asarray(serial[tileName]["theta500Arcmin"]), rtol=1e-10)
+
+
 def test_rms_tables_and_selfn(cluster_run):
     inputTab, cat, config, simDir, w, configPath = cluster_run
     pipelines.makeRMSTables(config)
