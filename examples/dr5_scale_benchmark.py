@@ -1,0 +1,166 @@
+"""ACT DR5-scale end-to-end benchmark on one TPU chip.
+
+Reproduces the reference's headline workload shape
+(``/root/reference/examples/ACT-DR5-clusters/DR5ClusterSearch.yml``):
+~250 tiles of 10 x 5 deg (1 deg overlap) at 0.5 arcmin, 2 frequencies,
+16 Arnaud filter scales, detection + optimal catalog + Q fit + RMS
+tables + completeness - the run the reference does in < 4 h 59 m on
+~300 MPI ranks (``DR5ClusterSearch.slurm``; BASELINE.md).
+
+Real ACT maps cannot be downloaded here (no egress), so step 1 paints a
+survey-scale simulation (60 x 210 deg at 0.5', ~12,600 deg^2, 1,000
+clusters + CMB + white noise) with the framework's own sim tools; step 2
+runs the full `nemo` CLI on it with device batching. Stage timings land
+in <outDir>/diagnostics/timings.json.
+
+Usage: python examples/dr5_scale_benchmark.py <workDir>
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import yaml
+
+
+SHAPE = (7200, 25200)          # 60 x 210 deg at 0.5'
+PIX_ARCMIN = 0.5
+BANDS = (("f150", 149.6, 1.4, 18.0), ("f090", 97.8, 2.1, 25.0))
+N_CLUSTERS = 1000
+
+FILTER_SCALES = [(M, z) for z in (0.2, 0.4, 0.8, 1.2)
+                 for M in (1e14, 2e14, 4e14, 8e14)]
+
+
+def makeSurvey(workDir):
+    import jax
+
+    from nemo_tpu import maps
+    from nemo_tpu.models import beams
+    from nemo_tpu.ops import grf
+    from nemo_tpu.utils import fits as nfits
+    from nemo_tpu.utils import wcs as nwcs
+    from nemo_tpu.utils.tables import Table
+
+    os.makedirs(workDir, exist_ok=True)
+    w = nwcs.makeWCS(SHAPE, PIX_ARCMIN / 60.0, centreRADeg=105.0,
+                     centreDecDeg=-5.0)
+
+    rng = np.random.default_rng(2026)
+    margin = 200
+    xs = rng.uniform(margin, SHAPE[1] - margin, N_CLUSTERS)
+    ys = rng.uniform(margin, SHAPE[0] - margin, N_CLUSTERS)
+    coords = w.pix2wcs(xs, ys)
+    inputTab = Table({
+        "name": np.array(["sim%04d" % i for i in range(N_CLUSTERS)]),
+        "RADeg": coords[:, 0], "decDeg": coords[:, 1],
+        "y_c": rng.uniform(0.5, 8.0, N_CLUSTERS),
+        "template": np.array(["Arnaud_M2e14_z0p4"] * N_CLUSTERS)})
+    inputTab.write(os.path.join(workDir, "inputCatalog.fits"))
+
+    mapEntries = []
+    for i, (band, freq, fwhm, noise) in enumerate(BANDS):
+        t0 = time.time()
+        beamFile = os.path.join(workDir, "beam_%s.txt" % band)
+        beams.makeGaussianBeamFile(beamFile, fwhm)
+        model = maps.makeModelImage(
+            SHAPE, w, inputTab, beamFile, obsFreqGHz=freq,
+            override={"redshift": 0.4, "M500": 2e14})
+        beam = beams.BeamProfile(beamFileName=beamFile)
+        pix = maps.pixScalesRad(w, SHAPE)
+        cmb = np.asarray(grf.sim_cmb_map(
+            jax.random.PRNGKey(77 + i), SHAPE, pix, beamBell=beam.Bell,
+            beamEll=beam.ell, noiseLevel=noise), dtype=np.float32)
+        simPath = os.path.join(workDir, "sim_%s.fits" % band)
+        nfits.write_image(simPath, cmb + np.asarray(model,
+                                                    dtype=np.float32),
+                          w.header)
+        mapEntries.append({"mapFileName": simPath, "obsFreqGHz": freq,
+                           "units": "uK", "beamFileName": beamFile})
+        print("... %s simulated in %.1f s" % (band, time.time() - t0),
+              flush=True)
+
+    maskPath = os.path.join(workDir, "surveyMask.fits")
+    nfits.write_image(maskPath, np.ones(SHAPE, dtype=np.uint8), w.header,
+                      compressionType="RICE_1")
+    return mapEntries, maskPath
+
+
+def writeConfig(workDir, mapEntries, maskPath):
+    mapFilters = []
+    for M, z in FILTER_SCALES:
+        label = "Arnaud_M%s_z%s" % (
+            ("%.0e" % M).replace("e+", "e").replace("0e14", "e14"),
+            str(z).replace(".", "p"))
+        mapFilters.append({"label": label,
+                           "params": {"M500MSun": float(M), "z": float(z)}})
+    configDict = {
+        "unfilteredMaps": mapEntries,
+        "surveyMask": maskPath,
+        "thresholdSigma": 4.0, "minObjPix": 1, "findCenterOfMass": True,
+        "useInterpolator": True, "rejectBorder": 0, "objIdent": "ACT-CL",
+        "longNames": False, "removeRings": False,
+        "allFilters": {
+            "class": "ArnaudModelMatchedFilter",
+            "params": {"noiseParams": {"method": "dataMap",
+                                       "noiseGridArcmin": 40.0},
+                       "saveFilteredMaps": False, "saveRMSMap": False,
+                       "savePlots": False, "saveDS9Regions": False,
+                       "outputUnits": "yc", "edgeTrimArcmin": 0.0}},
+        "mapFilters": mapFilters,
+        "photFilter": "Arnaud_M2e14_z0p4",
+        "fitQ": True,
+        "calcSelFn": True,
+        "selFnOptions": {"fixedSNRCut": 5.0, "method": "fast"},
+        "massOptions": {"tenToA0": 4.95e-05, "B0": 0.08,
+                        "Mpivot": 3.0e+14, "sigma_int": 0.2,
+                        "H0": 70.0, "Om0": 0.30, "Ob0": 0.05,
+                        "sigma8": 0.80, "ns": 0.95,
+                        "delta": 500, "rhoType": "critical"},
+        "useTiling": True, "stitchTiles": False,
+        "tileOverlapDeg": 1.0,
+        "tileDefinitions": {"mask": maskPath,
+                            "targetTileWidthDeg": 10.0,
+                            "targetTileHeightDeg": 5.0},
+        "useDeviceBatching": True,
+        "deviceBatchSize": 16,
+        "qfitBatchSize": 16,
+        "outputDir": os.path.join(workDir, "out"),
+    }
+    configPath = os.path.join(workDir, "dr5scale.yml")
+    with open(configPath, "w") as f:
+        yaml.safe_dump(configDict, f)
+    return configPath
+
+
+def main():
+    workDir = sys.argv[1] if len(sys.argv) > 1 else "dr5scale"
+    simReady = os.path.exists(os.path.join(workDir, "surveyMask.fits"))
+    if not simReady:
+        t0 = time.time()
+        mapEntries, maskPath = makeSurvey(workDir)
+        print("=== survey simulation: %.1f s ===" % (time.time() - t0),
+              flush=True)
+    else:
+        from nemo_tpu.utils import wcs  # noqa: F401 (env sanity)
+        maskPath = os.path.join(workDir, "surveyMask.fits")
+        mapEntries = []
+        for band, freq, fwhm, noise in BANDS:
+            mapEntries.append({
+                "mapFileName": os.path.join(workDir, "sim_%s.fits" % band),
+                "obsFreqGHz": freq, "units": "uK",
+                "beamFileName": os.path.join(workDir,
+                                             "beam_%s.txt" % band)})
+    configPath = writeConfig(workDir, mapEntries, maskPath)
+
+    from nemo_tpu.cli.nemo_main import main as nemo_main
+    t0 = time.time()
+    sys.argv = ["nemo", configPath]
+    nemo_main()
+    print("=== nemo end-to-end: %.1f s ===" % (time.time() - t0),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

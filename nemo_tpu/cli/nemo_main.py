@@ -143,6 +143,9 @@ def main():
             completeness.makeMassLimitMapsAndPlots(config)
 
     print(GLOBAL_TIMER.report())
+    with open(os.path.join(config.diagnosticsDir, "timings.json"),
+              "w") as f:
+        f.write(GLOBAL_TIMER.to_json() + "\n")
 
 
 if __name__ == "__main__":

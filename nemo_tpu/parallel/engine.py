@@ -90,20 +90,66 @@ def eligibleForBatch(f, parDict):
     return True
 
 
-def _prepare_tile(config, f, tileName, templateCache=None):
+def _preprocessTileOnce(config, tileName):
+    """Preprocess each frequency's maps for one tile ONCE, returning
+    MapDict copies carrying the preprocessed state.  MapFilter copies
+    inherit it (MapDict.preprocess is a no-op when ``_preprocessedTile``
+    matches), so staging N filters costs one preprocessing pass per tile
+    instead of N - the preprocessing chain is filter-independent
+    (``maps.py:175-475``).  Scoped to one batch call: injection runs and
+    multipass passes mutate the original map dicts, and a fresh copy
+    picks those up."""
+    out = []
+    for mapDict in config.unfilteredMapsDictList:
+        newDict = mapDict.copy() if hasattr(mapDict, "copy") \
+            else dict(mapDict)
+        if hasattr(newDict, "preprocess"):
+            newDict.preprocess(tileName=tileName,
+                               diagnosticsDir=config.diagnosticsDir)
+        out.append(newDict)
+    return out
+
+
+def _stage_tile_common(filterObj):
+    """Label-independent big arrays for one tile (shared by every filter
+    in a multi-filter batch: one host stack + one device upload instead of
+    one per filter)."""
+    dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
+                          for m in filterObj.unfilteredMapsDictList])
+    apodM = np.asarray(fourier.apod_mask(filterObj.shape,
+                                         filterObj.apodPix))
+    surveyMask = np.asarray(
+        filterObj.unfilteredMapsDictList[0]["surveyMask"], dtype=np.float64)
+    psMask = np.asarray(
+        filterObj.unfilteredMapsDictList[0]["pointSourceMask"],
+        dtype=np.float64)
+    return {"data": dataStack, "apodM": apodM, "surveyMask": surveyMask,
+            "psMask": psMask, "shape": filterObj.shape,
+            "padShape": filterObj.padShape}
+
+
+def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
+                  common=None):
     """Host-side staging for one tile: preprocessing, templates, masks.
     Returns (filterObj, stacks dict) - everything still at tile shape.
 
     ``templateCache`` reuses signal/calibration templates across tiles
     with identical geometry (same shape, pixel scales, beams) - tiles in
     the same declination band share templates, so a wide survey builds
-    each template once per band instead of once per tile."""
+    each template once per band instead of once per tile.
+
+    ``common`` is a :func:`_stage_tile_common` dict shared across filters;
+    when given (and the filter does not subset maps via ``mapToUse``) the
+    big label-independent arrays are referenced, not rebuilt."""
     filterClass = filters_mod.getFilterClass(f["class"])
-    filterObj = filterClass(f["label"], config.unfilteredMapsDictList,
+    filterObj = filterClass(f["label"],
+                            mapsList or config.unfilteredMapsDictList,
                             f["params"], tileName=tileName,
                             diagnosticsDir=config.diagnosticsDir,
                             selFnDir=config.selFnDir)
     params = filterObj.params
+    if common is None or params.get("mapToUse"):
+        common = _stage_tile_common(filterObj)
 
     def _template(beamFileName, amplitude=None):
         if templateCache is None:
@@ -118,8 +164,7 @@ def _prepare_tile(config, f, tileName, templateCache=None):
                                                 amplitude=amplitude))
         return templateCache[key]
 
-    dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
-                          for m in filterObj.unfilteredMapsDictList])
+    dataStack = common["data"]
     method = params["noiseParams"]["method"]
     if method in ("dataMap", "max(dataMap,CMB)"):
         noiseStack = dataStack
@@ -148,13 +193,6 @@ def _prepare_tile(config, f, tileName, templateCache=None):
         calibStack = templates
         unitsScale = 1.0
     w = filters_mod._freq_weights(filterObj.unfilteredMapsDictList, params)
-    apodM = np.asarray(fourier.apod_mask(filterObj.shape,
-                                         filterObj.apodPix))
-    surveyMask = np.asarray(
-        filterObj.unfilteredMapsDictList[0]["surveyMask"], dtype=np.float64)
-    psMask = np.asarray(
-        filterObj.unfilteredMapsDictList[0]["pointSourceMask"],
-        dtype=np.float64)
     gridSize = int(round(
         (params["noiseParams"]["noiseGridArcmin"] / 60.0)
         / filterObj.wcs.getPixelSizeDeg()))
@@ -163,10 +201,13 @@ def _prepare_tile(config, f, tileName, templateCache=None):
                              dtype=np.float64)
     else:
         fgPower = None
-    return filterObj, {"data": dataStack, "noise": noiseStack,
+    return filterObj, {"common": common, "data": dataStack,
+                       "noise": noiseStack,
                        "fgPower": fgPower, "template": templates,
-                       "calib": calibStack, "w": w, "apodM": apodM,
-                       "surveyMask": surveyMask, "psMask": psMask,
+                       "calib": calibStack, "w": w,
+                       "apodM": common["apodM"],
+                       "surveyMask": common["surveyMask"],
+                       "psMask": common["psMask"],
                        "gridSize": gridSize,
                        "trimPix": filterObj._trimSizePix(),
                        "unitsScale": unitsScale,
@@ -174,13 +215,14 @@ def _prepare_tile(config, f, tileName, templateCache=None):
                        "shape": filterObj.shape}
 
 
-def _prepare_tile_realspace(config, f, tileName):
+def _prepare_tile_realspace(config, f, tileName, mapsList=None):
     """Host-side staging for one real-space-filter tile: preprocessing,
     kernel build (sub-region Fourier MF + truncation + signal-norm
     calibration, ``RealSpaceMatchedFilter.buildKernel``), background
     subtraction.  Returns (filterObj, stacks dict) at true tile shape."""
     filterClass = filters_mod.getFilterClass(f["class"])
-    filterObj = filterClass(f["label"], config.unfilteredMapsDictList,
+    filterObj = filterClass(f["label"],
+                            mapsList or config.unfilteredMapsDictList,
                             f["params"], tileName=tileName,
                             diagnosticsDir=config.diagnosticsDir,
                             selFnDir=config.selFnDir)
@@ -218,7 +260,15 @@ def _prepare_tile_realspace(config, f, tileName):
 
 
 def _pad2(a, padShape):
-    return np.asarray(fourier.pad_to(jnp.asarray(a), padShape))
+    """Zero-pad the last two axes to padShape (host-side: staging must not
+    bounce arrays through the device just to pad them)."""
+    a = np.asarray(a)
+    ny, nx = a.shape[-2], a.shape[-1]
+    py, px = padShape
+    if (py, px) == (ny, nx):
+        return a
+    pad = [(0, 0)] * (a.ndim - 2) + [(0, py - ny), (0, px - nx)]
+    return np.pad(a, pad)
 
 
 def _padKernels(kern, kShape):
@@ -239,10 +289,32 @@ def batchFilterTiles(config, f, tileNames=None, mesh=None, rms_impl="auto",
     Returns {tileName: filteredMapDict} with the same contract as
     ``filters.filterMaps`` (data/SNMap/surveyMask/flagMask/units/...), so
     the result drops into the existing catalog pipeline.
+    """
+    return batchFilterTilesMulti(
+        config, [f], tileNames=tileNames, mesh=mesh, rms_impl=rms_impl,
+        undoPixelWindow=undoPixelWindow, verbose=verbose,
+        deviceBatchSize=deviceBatchSize)[f["label"]]
+
+
+def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
+                          rms_impl="auto", undoPixelWindow=True,
+                          verbose=True, deviceBatchSize=None):
+    """Batched filtering of every (tile, filter) combination.
+
+    Staging runs tile-outer so each tile's maps are loaded and
+    preprocessed ONCE for the whole filter bank (the reference preprocesses
+    per filter inside its per-tile loop, ``pipelines.py:154-184``; at DR5
+    scale that is a 16x host-side repeat), and the big label-independent
+    arrays (data, masks, apodisation) are uploaded to the devices ONCE per
+    tile chunk with every filter scale run against the resident copies -
+    only the (small relative to a survey) signal/calibration templates move
+    per filter.  Buckets flush as soon as ``deviceBatchSize`` tiles are
+    staged, so peak host memory is bounded by the chunk, not the survey.
+
+    Returns {filterLabel: {tileName: filteredMapDict}}.
 
     ``deviceBatchSize`` bounds how many tiles are resident on the devices
-    at once (default: 2 per device; config key ``deviceBatchSize``) so a
-    full survey's tile set never has to fit in HBM simultaneously - the
+    at once (default: 2 per device; config key ``deviceBatchSize``) - the
     same compiled step is reused chunk after chunk.
     """
     tileNames = tileNames if tileNames is not None else config.tileNames
@@ -253,38 +325,99 @@ def batchFilterTiles(config, f, tileNames=None, mesh=None, rms_impl="auto",
                                                  2 * nDev))
     deviceBatchSize = max(nDev, (deviceBatchSize // nDev) * nDev)
 
-    realSpace = f["class"] in _REALSPACE_CLASSES
-    staged = {}
-    buckets = {}
     templateCache = {}
-    for tileName in tileNames:
-        if realSpace:
-            filterObj, stacks = _prepare_tile_realspace(config, f, tileName)
-            # true tile shape: the conv boundary must reflect at the
-            # genuine tile edge, so no zero padding of the maps
-            key = (stacks["shape"], stacks["data"].shape[0],
-                   stacks["gridSize"], stacks["trimPix"])
-        else:
-            filterObj, stacks = _prepare_tile(config, f, tileName,
-                                              templateCache=templateCache)
-            key = (stacks["padShape"], stacks["data"].shape[0],
-                   stacks["gridSize"], stacks["trimPix"])
-        staged[tileName] = (filterObj, stacks)
-        buckets.setdefault(key, []).append(tileName)
+    results = {f["label"]: {} for f in fList}
+    staged = {f["label"]: {} for f in fList}
+    rsBuckets = {}      # (label, key) -> [names]   (real-space: per label)
+    mfBuckets = {}      # key -> {"names": [...], "labels": set()}
 
-    results = {}
-    for (padShape, nf, gridSize, trimPix), allNames in buckets.items():
-        for c0 in range(0, len(allNames), deviceBatchSize):
-            names = allNames[c0:c0 + deviceBatchSize]
-            if realSpace:
-                _run_bucket_realspace(config, staged, names, gridSize,
-                                      trimPix, mesh, nDev, rms_impl,
-                                      undoPixelWindow, verbose, results)
+    def _flush_rs(f, key, names):
+        label = f["label"]
+        padShape, nf, gridSize, trimPix = key
+        _run_bucket_realspace(config, staged[label], names, gridSize,
+                              trimPix, mesh, nDev, rms_impl,
+                              undoPixelWindow, verbose, results[label])
+        for n in names:
+            del staged[label][n]
+
+    def _flush_mf(key, bucket):
+        padShape, nf, gridSize, trimPix = key
+        names = bucket["names"]
+        # group labels by the subset of these names they actually staged
+        # under this key (labels can hop buckets across dec bands)
+        groups = {}
+        for label in sorted(bucket["labels"]):
+            sub = tuple(n for n in names if n in staged[label])
+            if sub:
+                groups.setdefault(sub, []).append(label)
+        for sub, labels in groups.items():
+            _run_bucket_shared(config, staged, labels, list(sub), padShape,
+                               gridSize, trimPix, mesh, nDev, rms_impl,
+                               undoPixelWindow, verbose, results)
+            for label in labels:
+                for n in sub:
+                    staged[label].pop(n, None)
+
+    for tileName in tileNames:
+        mapsList = _preprocessTileOnce(config, tileName)
+        common = _stage_tile_common_from_maps(mapsList)
+        for f in fList:
+            label = f["label"]
+            if f["class"] in _REALSPACE_CLASSES:
+                filterObj, stacks = _prepare_tile_realspace(
+                    config, f, tileName, mapsList=mapsList)
+                # true tile shape: the conv boundary must reflect at the
+                # genuine tile edge, so no zero padding of the maps
+                key = (stacks["shape"], stacks["data"].shape[0],
+                       stacks["gridSize"], stacks["trimPix"])
+                staged[label][tileName] = (filterObj, stacks)
+                names = rsBuckets.setdefault((label, key), [])
+                names.append(tileName)
+                if len(names) >= deviceBatchSize:
+                    _flush_rs(f, key, names)
+                    rsBuckets[(label, key)] = []
             else:
-                _run_bucket(config, staged, names, padShape, gridSize,
-                            trimPix, mesh, nDev, rms_impl, undoPixelWindow,
-                            verbose, results)
+                filterObj, stacks = _prepare_tile(
+                    config, f, tileName, templateCache=templateCache,
+                    mapsList=mapsList, common=common)
+                key = (stacks["padShape"], stacks["data"].shape[0],
+                       stacks["gridSize"], stacks["trimPix"])
+                staged[label][tileName] = (filterObj, stacks)
+                bucket = mfBuckets.setdefault(key, {"names": [],
+                                                    "labels": set()})
+                bucket["labels"].add(label)
+                if tileName not in bucket["names"]:
+                    bucket["names"].append(tileName)
+                if len(bucket["names"]) >= deviceBatchSize:
+                    _flush_mf(key, bucket)
+                    mfBuckets[key] = {"names": [], "labels": set()}
+
+    for f in fList:
+        if f["class"] in _REALSPACE_CLASSES:
+            for (label, key), names in rsBuckets.items():
+                if label == f["label"] and names:
+                    _flush_rs(f, key, names)
+                    rsBuckets[(label, key)] = []
+    for key, bucket in mfBuckets.items():
+        if bucket["names"]:
+            _flush_mf(key, bucket)
     return results
+
+
+def _stage_tile_common_from_maps(mapsList):
+    """Label-independent big arrays for one tile, straight from the
+    preprocessed map dicts (no filter object needed: the apodisation width
+    is the fixed MapFilter.apodPix = 20 and padShape is shape-derived)."""
+    dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
+                          for m in mapsList])
+    shape = dataStack.shape[-2:]
+    padShape = (fourier.good_fft_size(shape[0]),
+                fourier.good_fft_size(shape[1]))
+    apodM = np.asarray(fourier.apod_mask(shape, 20))
+    surveyMask = np.asarray(mapsList[0]["surveyMask"], dtype=np.float64)
+    psMask = np.asarray(mapsList[0]["pointSourceMask"], dtype=np.float64)
+    return {"data": dataStack, "apodM": apodM, "surveyMask": surveyMask,
+            "psMask": psMask, "shape": shape, "padShape": padShape}
 
 
 def _emit_result(config, filterObj, tileName, dataMap, SNMap, RMSMap,
@@ -368,75 +501,91 @@ def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
                      outMask[i], undoPixelWindow, results)
 
 
-def _run_bucket(config, staged, names, padShape, gridSize, trimPix, mesh,
-                nDev, rms_impl, undoPixelWindow, verbose, results):
+def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
+                       trimPix, mesh, nDev, rms_impl, undoPixelWindow,
+                       verbose, results):
+    """One tile chunk through every filter scale in ``labels``.
+
+    The big arrays (data, masks, apodisation, and - for the dataMap noise
+    method - the noise stack, which IS the data) are stacked, padded and
+    uploaded once; each filter scale then runs against the resident device
+    copies with only its signal/calibration templates crossing the wire.
+    At DR5 scale (16 scales) this cuts staged upload volume ~5x.
+    """
     if verbose:
-        print("... device batch: %d tile(s) at %s"
-              % (len(names), str(padShape)))
+        print("... device batch: %d tile(s) x %d filter(s) at %s"
+              % (len(names), len(labels), str(padShape)))
     step = make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                                             rms_impl=rms_impl)
-    data = np.stack([_pad2(staged[n][1]["data"], padShape)
-                     for n in names])
-    noise = np.stack([_pad2(staged[n][1]["noise"], padShape)
-                      for n in names])
-    template = np.stack([_pad2(staged[n][1]["template"], padShape)
-                         for n in names])
-    calib = np.stack([_pad2(staged[n][1]["calib"], padShape)
-                      for n in names])
-    apodM = np.stack([_pad2(staged[n][1]["apodM"], padShape)
-                      for n in names])
-    surveyMask = np.stack([_pad2(staged[n][1]["surveyMask"], padShape)
-                           for n in names])
-    psMask = np.stack([_pad2(staged[n][1]["psMask"], padShape)
-                       for n in names])
-    peakYX = np.array([[staged[n][1]["shape"][0] // 2,
-                        staged[n][1]["shape"][1] // 2]
-                       for n in names], dtype=np.int32)
-    # model-CMB covariance floor for the max(dataMap,CMB) method (zeros
-    # are a no-op otherwise); lives on the padded half grid
-    halfShape = (padShape[0], padShape[1] // 2 + 1)
-    fgPower = np.stack([
-        staged[n][1]["fgPower"] if staged[n][1]["fgPower"] is not None
-        else np.zeros(halfShape) for n in names])
-    w = staged[names[0]][1]["w"]
-
-    # The tile axis must divide the mesh; pad by repeating the last
-    # tile and drop the extras after the call.
     nT = len(names)
     pad = (-nT) % nDev
-    if pad:
-        rep = ([1] * (nT - 1)) + [1 + pad]
-        (data, noise, template, calib, apodM, surveyMask, psMask, fgPower,
-         peakYX) = [np.repeat(a, rep, axis=0) for a in
-                    (data, noise, template, calib, apodM, surveyMask,
-                     psMask, fgPower, peakYX)]
+    rep = ([1] * (nT - 1)) + [1 + pad] if pad else None
+
+    def _stackPad(arrs):
+        out = np.stack([_pad2(a, padShape) for a in arrs])
+        return np.repeat(out, rep, axis=0) if rep else out
 
     sh = tile_sharding(mesh)
-    out = step(jax.device_put(jnp.asarray(data), sh),
-               jax.device_put(jnp.asarray(noise), sh),
-               jax.device_put(jnp.asarray(template), sh),
-               jax.device_put(jnp.asarray(calib), sh),
-               jnp.asarray(w),
-               jax.device_put(jnp.asarray(apodM), sh),
-               jax.device_put(jnp.asarray(psMask), sh),
-               jax.device_put(jnp.asarray(surveyMask), sh),
-               jax.device_put(jnp.asarray(fgPower), sh),
-               jax.device_put(jnp.asarray(peakYX), sh))
-    filtered = np.asarray(out["filtered"])[:nT]
-    SNMaps = np.asarray(out["SNMap"])[:nT]
-    # RMS maps only cross to host when they are kept
-    saveRMS = staged[names[0]][0].params.get("saveRMSMap")
-    RMSMaps = np.asarray(out["RMSMap"])[:nT] if saveRMS else None
-    outMask = np.asarray(out["surveyMask"])[:nT].astype(float)
 
-    for i, tileName in enumerate(names):
-        filterObj, stacks = staged[tileName]
-        shape = stacks["shape"]
-        scale = stacks["unitsScale"]
-        dataMap = filtered[i][:shape[0], :shape[1]] * scale
-        SNMap = SNMaps[i][:shape[0], :shape[1]]
-        RMSMap = RMSMaps[i][:shape[0], :shape[1]] * scale \
-            if RMSMaps is not None else None
-        tileMask = outMask[i][:shape[0], :shape[1]]
-        _emit_result(config, filterObj, tileName, dataMap, SNMap, RMSMap,
-                     tileMask, undoPixelWindow, results)
+    def _put(arrs):
+        return jax.device_put(jnp.asarray(_stackPad(arrs)), sh)
+
+    common = [staged[labels[0]][n][1]["common"] for n in names]
+    dataDev = _put([c["data"] for c in common])
+    apodDev = _put([c["apodM"] for c in common])
+    psDev = _put([c["psMask"] for c in common])
+    surveyDev = _put([c["surveyMask"] for c in common])
+    peakYX = np.array([[c["shape"][0] // 2, c["shape"][1] // 2]
+                       for c in common], dtype=np.int32)
+    if rep:
+        peakYX = np.repeat(peakYX, rep, axis=0)
+    peakDev = jax.device_put(jnp.asarray(peakYX), sh)
+    halfShape = (padShape[0], padShape[1] // 2 + 1)
+    fgZerosDev = None
+
+    for label in labels:
+        st = staged[label]
+        stacksList = [st[n][1] for n in names]
+        # noise stack: for dataMap/max(dataMap,CMB) it IS the data - reuse
+        # the resident upload; 'model' noise uploads per filter
+        if all(sk["noise"] is sk["data"] for sk in stacksList):
+            noiseDev = dataDev
+        else:
+            noiseDev = _put([sk["noise"] for sk in stacksList])
+        if all(sk["fgPower"] is None for sk in stacksList):
+            if fgZerosDev is None:
+                nTot = nT + pad
+                fgZerosDev = jax.device_put(
+                    jnp.zeros((nTot,) + halfShape), sh)
+            fgDev = fgZerosDev
+        else:
+            # fgPower already lives on the padded half grid - stack only
+            fg = np.stack([sk["fgPower"] if sk["fgPower"] is not None
+                           else np.zeros(halfShape) for sk in stacksList])
+            if rep:
+                fg = np.repeat(fg, rep, axis=0)
+            fgDev = jax.device_put(jnp.asarray(fg), sh)
+        out = step(dataDev, noiseDev,
+                   _put([sk["template"] for sk in stacksList]),
+                   _put([sk["calib"] for sk in stacksList]),
+                   jnp.asarray(stacksList[0]["w"]),
+                   apodDev, psDev, surveyDev, fgDev, peakDev)
+        filtered = np.asarray(out["filtered"])[:nT]
+        SNMaps = np.asarray(out["SNMap"])[:nT]
+        # RMS maps only cross to host when they are kept
+        saveRMS = st[names[0]][0].params.get("saveRMSMap")
+        RMSMaps = np.asarray(out["RMSMap"])[:nT] if saveRMS else None
+        outMask = np.asarray(out["surveyMask"])[:nT].astype(float)
+
+        for i, tileName in enumerate(names):
+            filterObj, stacks = st[tileName]
+            shape = stacks["shape"]
+            scale = stacks["unitsScale"]
+            dataMap = filtered[i][:shape[0], :shape[1]] * scale
+            SNMap = SNMaps[i][:shape[0], :shape[1]]
+            RMSMap = RMSMaps[i][:shape[0], :shape[1]] * scale \
+                if RMSMaps is not None else None
+            tileMask = outMask[i][:shape[0], :shape[1]]
+            _emit_result(config, filterObj, tileName, dataMap, SNMap,
+                         RMSMap, tileMask, undoPixelWindow,
+                         results[label])

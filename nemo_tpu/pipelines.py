@@ -110,13 +110,15 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
     batchedResults = {}
     if config.parDict.get("useDeviceBatching") and not useCachedFilteredMaps:
         from .parallel import engine as batch_engine
-        for f in filtersList:
-            if batch_engine.eligibleForBatch(f, config.parDict):
-                with GLOBAL_TIMER.stage("filterMapsBatched"):
-                    batchedResults[f["label"]] = \
-                        batch_engine.batchFilterTiles(
-                            config, f, undoPixelWindow=undoPixelWindow,
-                            verbose=verbose)
+        eligible = [f for f in filtersList
+                    if batch_engine.eligibleForBatch(f, config.parDict)]
+        if eligible:
+            # one multi-filter call: each tile's maps are loaded and
+            # preprocessed once for the whole filter bank
+            with GLOBAL_TIMER.stage("filterMapsBatched"):
+                batchedResults = batch_engine.batchFilterTilesMulti(
+                    config, eligible, undoPixelWindow=undoPixelWindow,
+                    verbose=verbose)
 
     catalogDict = {}
     areaMaskDict = maps.TileDict({}, tileCoordsDict=config.tileCoordsDict)
