@@ -23,6 +23,9 @@ import time
 import numpy as np
 import yaml
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 SHAPE = (7200, 25200)          # 60 x 210 deg at 0.5'
 PIX_ARCMIN = 0.5

