@@ -72,9 +72,10 @@ def makeSurvey(workDir):
             override={"redshift": 0.4, "M500": 2e14})
         beam = beams.BeamProfile(beamFileName=beamFile)
         pix = maps.pixScalesRad(w, SHAPE)
-        cmb = np.asarray(grf.sim_cmb_map(
+        from nemo_tpu.utils import transfer
+        cmb = transfer.to_host_chunked(grf.sim_cmb_map(
             jax.random.PRNGKey(77 + i), SHAPE, pix, beamBell=beam.Bell,
-            beamEll=beam.ell, noiseLevel=noise), dtype=np.float32)
+            beamEll=beam.ell, noiseLevel=noise)).astype(np.float32)
         simPath = os.path.join(workDir, "sim_%s.fits" % band)
         nfits.write_image(simPath, cmb + np.asarray(model,
                                                     dtype=np.float32),

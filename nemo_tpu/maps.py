@@ -18,6 +18,7 @@ from .models import profiles, sz
 from .models.beams import BeamProfile
 from .ops import fourier, grf, imageops
 from .utils import fits as nfits
+from .utils import transfer
 from .utils.tables import Table, vstack
 from .utils.wcs import WCS, calcAngSepDeg, clipUsingRADecCoords
 
@@ -700,9 +701,18 @@ def makeModelImage(shape, wcs, catalog, beamFileName, obsFreqGHz=None,
             maxSizeDeg=maxSizeDeg))
 
     if applyPixelWindow:
-        modelMap = np.asarray(fourier.apply_pixel_window(
-            jnp.asarray(modelMap), pow=1.0))
-    return np.array(modelMap)  # writable copy (callers mutate in place)
+        modelMap = np.asarray(modelMap)
+        if modelMap.nbytes > transfer.MAX_TRANSFER_BYTES:
+            # Survey-scale maps exceed single-request transfer limits on
+            # remote TPU runtimes - float32 + sliced upload/download.
+            dev = transfer.device_put_chunked(
+                modelMap.astype(np.float32, copy=False))
+            modelMap = transfer.to_host_chunked(
+                fourier.apply_pixel_window(dev, pow=1.0))
+        else:
+            modelMap = np.asarray(fourier.apply_pixel_window(
+                jnp.asarray(modelMap), pow=1.0))
+    return np.array(modelMap, dtype=np.float64)  # writable copy
 
 
 def _quantizeSizeDeg(sizeDeg, steps=(0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 15.0)):

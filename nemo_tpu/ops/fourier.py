@@ -94,9 +94,14 @@ def pixel_window(shape, pow=1.0):
 
 
 @functools.lru_cache(maxsize=64)
-def _window_half_2d(ny, nx, pow):
+def _window_half_1d(ny, nx, pow):
     wy = _window_1d(ny) ** pow
     wx = np.sinc(np.fft.rfftfreq(nx)) ** pow
+    return wy, wx
+
+
+def _window_half_2d(ny, nx, pow):
+    wy, wx = _window_half_1d(ny, nx, pow)
     return wy[:, None] * wx[None, :]
 
 
@@ -104,11 +109,25 @@ def _window_half_2d(ny, nx, pow):
 def apply_pixel_window(m, pow=1.0):
     """Multiply/divide out the map pixel window in Fourier space
     (pixell ``enmap.apply_window`` equivalent, ``nemo/filters.py:103``).
-    Real transforms on the half grid."""
+    Real transforms on the half grid.  The separable window is formed
+    in-graph from two 1-d vectors so the compiled program embeds O(n)
+    constants, not an O(ny*nx) 2-d table (survey-scale maps would bake a
+    GB-sized constant and overflow remote-compile request limits)."""
     ny, nx = m.shape[-2], m.shape[-1]
     fm = jnp.fft.rfft2(m)
-    fm = fm * jnp.asarray(_window_half_2d(ny, nx, pow)).astype(fm.dtype)
+    wy, wx = _window_half_1d(ny, nx, pow)
+    w2d = jnp.asarray(wy)[:, None] * jnp.asarray(wx)[None, :]
+    fm = fm * w2d.astype(fm.dtype)
     return jnp.fft.irfft2(fm, s=(ny, nx))
+
+
+def rmodlmap_graph(shape, pix_scales_rad):
+    """|l| on the rfft half grid, computed in-graph from 1-d axes (use
+    inside jitted code instead of :func:`rmodlmap` to avoid baking a 2-d
+    constant into the executable)."""
+    ly, lx = rlaxes(shape, pix_scales_rad)
+    return jnp.sqrt(jnp.asarray(ly)[:, None] ** 2
+                    + jnp.asarray(lx)[None, :] ** 2)
 
 
 @functools.lru_cache(maxsize=64)

@@ -104,7 +104,7 @@ def gaussian_field(key, shape, pix_scales_rad, ell, Cl, dtype=jnp.float64):
     """
     ny, nx = shape
     dy, dx = pix_scales_rad
-    lmap = jnp.asarray(fourier.rmodlmap(shape, pix_scales_rad))
+    lmap = fourier.rmodlmap_graph(shape, pix_scales_rad)
     Cl2d = jnp.interp(lmap, jnp.asarray(ell, dtype=lmap.dtype),
                       jnp.asarray(Cl, dtype=lmap.dtype), right=0.0)
     omega_pix = dy * dx
@@ -153,7 +153,7 @@ def sim_noise_map(key, shape, noiseLevel, pix_scales_rad=None, lKnee=None,
         return jnp.where(noiseLevel > 0, white * noiseLevel, 0.0)
     if pix_scales_rad is None:
         raise ValueError("pix_scales_rad needed for 1/f noise")
-    lmap = jnp.asarray(fourier.rmodlmap(shape, pix_scales_rad))
+    lmap = fourier.rmodlmap_graph(shape, pix_scales_rad)
     with np.errstate(divide="ignore"):
         Nl = jnp.where(lmap > 0, (lKnee / jnp.maximum(lmap, 1e-9)) ** -alpha
                        + 1.0, 0.0)
