@@ -1,16 +1,22 @@
 """Benchmark: multi-frequency matched-filter throughput on one TPU chip.
 
-Metric: full per-tile-per-scale MMF pipeline steps per second per chip, on
+Metric: PRODUCTION tile-scale MMF pipeline steps per second per chip, on
 ACT DR5-like tiles (2 frequencies, ~7 x 12 deg tile at 0.5 arcmin pixels,
-padded to FFT-friendly 896 x 1536).  One step = everything inside the
-reference's per-tile filter loop (``nemo/filters.py:524-758``): noise
-covariance from tile FFTs + 3-pixel Gaussian smoothing, closed-form
-per-pixel N^-1 w|s| solve, filter application, grid sigma-clipped RMS map,
-S/N map, edge trim, and on-device top-K peak extraction.
+padded to FFT-friendly 896 x 1536).  One step = the batched engine's
+per-tile-per-scale device work (``make_sharded_matched_filter_step``,
+the same compiled program ``useDeviceBatching`` runs in production):
+noise covariance from tile FFTs + 3-pixel Gaussian smoothing, closed-form
+per-pixel N^-1 w|s| solve, signal-norm calibration against a
+known-amplitude template (reference ``filters.py:635-690``), filter
+application, grid sigma-clipped RMS map (fused Pallas kernel), S/N map,
+edge trim and masking.  Excluded (host-side in both this framework and
+the reference): per-tile preprocessing/IO, template painting, detection
+and catalog work - those are timed end-to-end by
+``examples/dr5_scale_benchmark.py`` instead.
 
 Baseline (BASELINE.md): the reference runs the full DR5 search - about 280
-tiles x 15 filter scales = 4200 tile-scale steps - in under 4 h 59 m on
-~300 CPU ranks, i.e. ~0.234 tile-scale steps/sec for the whole cluster.
+tiles x 16 filter scales = 4480 tile-scale steps - in under 4 h 59 m on
+~300 CPU ranks, i.e. ~0.25 tile-scale steps/sec for the whole cluster.
 ``vs_baseline`` is our single-chip rate divided by that full-cluster rate.
 
 Prints ONE JSON line.
@@ -30,6 +36,7 @@ def _run(step, args, jax):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _example_inputs
     from nemo_tpu.parallel import distribute
@@ -48,25 +55,34 @@ def main():
 
     def _place():
         data, noise, fsignal, w, apodM, psMask, surveyMask = hostArgs
+        apodB = np.broadcast_to(np.asarray(apodM), (nTiles, ny, nx))
+        calib = np.asarray(fsignal) * 2e-4   # known-amplitude templates
+        peakYX = np.full((nTiles, 2), ny // 2, dtype=np.int32)
+        peakYX[:, 1] = nx // 2
+        fgPower = np.zeros((nTiles, ny, nx // 2 + 1), dtype=np.float32)
         return (jax.device_put(data, sh), jax.device_put(noise, sh),
-                jax.device_put(fsignal, sh), w, apodM,
-                jax.device_put(psMask, sh), jax.device_put(surveyMask, sh))
+                jax.device_put(fsignal, sh),
+                jax.device_put(jnp.asarray(calib), sh), w,
+                jax.device_put(jnp.asarray(apodB), sh),
+                jax.device_put(psMask, sh),
+                jax.device_put(surveyMask, sh),
+                jax.device_put(jnp.asarray(fgPower), sh),
+                jax.device_put(jnp.asarray(peakYX), sh))
 
     # Warm-up / compile.  The TPU tunnel used here is flaky (transient
     # UNIMPLEMENTED errors, sometimes at device_put); retry placement AND
     # the first step so one hiccup does not void the benchmark run.  The
     # fused Pallas sigma-clip RMS kernel measures 27.7 ms/batch vs 13.2 s
     # for the XLA gather formulation at this exact shape on a real v5e
-    # chip (2026-08-16; see ops/noise.py:315) - try it first and fall back
-    # to XLA only if Pallas is unavailable on the runtime.
+    # chip (2026-08-16; see ops/noise.py:315) - rms_impl='auto' picks it
+    # on TPU and falls back to XLA elsewhere.
     step = None
     stepArgs = None
     nAttempts = 14
     for attempt in range(nAttempts):
-        rms_impl = "pallas" if attempt < nAttempts // 2 else "xla"
-        step = distribute.make_sharded_tile_step(
-            mesh, gridSize=gridSize, trimPix=trimPix, topK=256,
-            threshold=4.0, with_survey_stats=False, rms_impl=rms_impl)
+        step = distribute.make_sharded_matched_filter_step(
+            mesh, gridSize, trimPix,
+            rms_impl="auto" if attempt < nAttempts // 2 else "xla")
         try:
             stepArgs = _place()
             _run(step, stepArgs, jax)
@@ -86,15 +102,15 @@ def main():
     # Some remote TPU runtimes do not block in block_until_ready; force
     # completion with a (tiny) value read so the timing is honest.
     try:
-        float(np.asarray(out["peakVals"][0, 0]))
+        float(np.asarray(out["signalNorm"][0]))
     except Exception:
         pass
     elapsed = time.time() - t0
 
     tile_scale_steps_per_sec = nIter * nTiles / elapsed
-    baseline_cluster_rate = 4200.0 / (4.983 * 3600.0)  # ~0.234 steps/sec
+    baseline_cluster_rate = 4480.0 / (4.983 * 3600.0)  # ~0.25 steps/sec
     print(json.dumps({
-        "metric": "DR5-like 2-freq MMF tile-scale pipeline steps/sec/chip",
+        "metric": "DR5-like 2-freq MMF production tile-scale steps/sec/chip",
         "value": round(tile_scale_steps_per_sec, 4),
         "unit": "tile_scale_steps/sec/chip",
         "vs_baseline": round(tile_scale_steps_per_sec
