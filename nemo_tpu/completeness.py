@@ -72,6 +72,15 @@ def loadIntersectionMask(tileName, selFnDir, footprint):
     return _loadTile(tileName, selFnDir, "intersect_%s" % footprint)
 
 
+def loadMassLimitMap(tileName, diagnosticsDir, z):
+    """Mass-limit map for a tile at redshift z, as written by
+    :func:`makeMassLimitMap` (``completeness.py:756-775``).
+
+    Returns (map array, WCS)."""
+    return _loadTile(tileName, diagnosticsDir,
+                     "massLimitMap_z%s" % str(z).replace(".", "p"))
+
+
 def getTileTotalAreaDeg2(tileName, selFnDir, masksList=[],
                          footprintLabel=None):
     """Tile area in deg^2 after masking (``completeness.py:831-859``)."""
@@ -173,6 +182,16 @@ def downsampleRMSTab(RMSTab, stepSize=0.001 * 1e-4):
             areaBinned.append(area[sel].sum())
     return Table({"y0RMS": np.array(y0Binned),
                   "areaDeg2": np.array(areaBinned)})
+
+
+def calcTileWeightedAverageNoise(tileName, photFilterLabel, selFnDir,
+                                 footprintLabel=None):
+    """Area-weighted average y0~ noise in a tile
+    (``completeness.py:1040-1064``)."""
+    RMSTab = getRMSTab(tileName, photFilterLabel, selFnDir,
+                       footprintLabel=footprintLabel)
+    return float(np.average(np.asarray(RMSTab["y0RMS"]),
+                            weights=np.asarray(RMSTab["areaDeg2"])))
 
 
 # -----------------------------------------------------------------------------
@@ -488,6 +507,35 @@ class SelFn:
             proj += P
         return proj
 
+    def projectCatalogToMz_simple(self, tab):
+        """Project a catalog onto the (z, log10M) grid ignoring
+        uncertainties (``completeness.py:535-569``): one point-mass per
+        cluster at its ML mass, histogrammed on the grid's bin edges.
+        Masses for all rows come from one batched device computation
+        (:func:`models.scaling.calcMassBatch`) instead of the
+        reference's per-row loop."""
+        from .models import scaling
+        sr = self.scalingRelationDict
+        out = scaling.calcMassBatch(
+            np.asarray(tab["fixed_y_c"], dtype=float) * 1e-4,
+            np.asarray(tab["fixed_err_y_c"], dtype=float) * 1e-4,
+            np.asarray(tab["redshift"], dtype=float),
+            np.asarray(tab["redshiftErr"], dtype=float),
+            self.Q, self.mockSurvey, tenToA0=sr["tenToA0"], B0=sr["B0"],
+            Mpivot=sr["Mpivot"], sigma_int=sr["sigma_int"],
+            applyRelativisticCorrection=self.applyRelativisticCorrection,
+            calcErrors=False,
+            tileNames=list(np.asarray(tab["tileName"])))
+        label = self.mockSurvey.mdefLabel
+        if not self.applyMFDebiasCorrection:
+            label = label + "Uncorr"
+        obs_log10M = 14 + np.log10(np.asarray(out[label]))
+        obsGrid, _, _ = np.histogram2d(
+            obs_log10M, np.asarray(tab["redshift"], dtype=float),
+            bins=[self.mockSurvey.log10MBinEdges,
+                  self.mockSurvey.zBinEdges])
+        return obsGrid.transpose()
+
     def addPDetToCatalog(self, tab):
         """Detection probability column (``completeness.py:572-593``)."""
         log_y0Lim = np.log(self.SNRCut * np.asarray(tab["fixed_err_y_c"])
@@ -573,6 +621,26 @@ def completenessByFootprint(config):
                                "completeness90pc_%s.fits" % footprint)
         tab.write(outPath)
         results[footprint] = tab
+        # Diagnostic plots (completeness.py:1113-1127 in the reference)
+        massLabel = selFn.mockSurvey.mdefLabel
+        makeMzCompletenessPlot(
+            selFn.compMz, selFn.mockSurvey.log10M, selFn.mockSurvey.z,
+            footprint, massLabel,
+            os.path.join(config.diagnosticsDir,
+                         "MzCompleteness_%s.pdf" % footprint))
+        zs = selFn.mockSurvey.z
+        valid = np.isfinite(massLim) & (massLim > 0)
+        if valid.sum() > 1:
+            makeMassLimitVRedshiftPlot(
+                massLim[valid], zs[valid],
+                os.path.join(config.diagnosticsDir,
+                             "massLimit90pc_%s.pdf" % footprint),
+                title=footprint if footprint != "full" else None)
+            zMask = valid & (zs >= 0.2) & (zs <= 1.0)
+            if zMask.sum() > 0:
+                print("... survey-averaged 90%% completeness limit (%s, "
+                      "0.2 < z < 1.0) = %.1f x 10^14 MSun [%s]"
+                      % (massLabel, np.average(massLim[zMask]), footprint))
     return results
 
 
@@ -760,6 +828,104 @@ def calcCompleteness(RMSTab, SNRCut, tileName, mockSurvey,
                 np.log(SNRCut * y0RMS[j]), loc=log_y0, scale=log_totalErr)
         compMz[i] = comp
     return compMz if z is None else compMz[0]
+
+
+def calcCompletenessContour(compMz, log10M, z, level=0.90):
+    """Completeness contour on the (log10M, z) plane
+    (``completeness.py:1131-1171``).
+
+    The reference extracts matplotlib contour paths and takes the
+    per-redshift median; here each redshift column's crossing of
+    ``level`` is found directly by linear interpolation (deterministic,
+    no matplotlib dependency).
+
+    Returns (redshifts, log10M values) at the requested level, covering
+    the redshifts where completeness actually crosses it.
+    """
+    compMz = np.asarray(compMz)
+    cont_z, cont_log10M = [], []
+    for zi in range(compMz.shape[0]):
+        comp = compMz[zi]
+        above = np.where(comp >= level)[0]
+        if len(above) == 0 or above[0] == 0:
+            if len(above) > 0 and above[0] == 0:
+                cont_z.append(z[zi])
+                cont_log10M.append(log10M[0])
+            continue
+        i1 = above[0]
+        i0 = i1 - 1
+        frac = (level - comp[i0]) / max(comp[i1] - comp[i0], 1e-30)
+        cont_z.append(z[zi])
+        cont_log10M.append(log10M[i0] + frac * (log10M[i1] - log10M[i0]))
+    return np.array(cont_z), np.array(cont_log10M)
+
+
+def makeMzCompletenessPlot(compMz, log10M, z, title, massLabel,
+                           outFileName):
+    """(log10M, z) completeness image with the 90% contour overlaid
+    (``completeness.py:1174-1236``)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from . import plotSettings
+        plotSettings.update_rcParams()
+    except Exception as exc:  # plotting must never kill a survey run
+        print("... WARNING: Mz completeness plot failed: %s" % exc)
+        return
+    cont_z, cont_log10M = calcCompletenessContour(compMz, log10M, z)
+    fig, ax = plt.subplots(figsize=(9.5, 6.5))
+    im = ax.pcolormesh(z, log10M, np.asarray(compMz).transpose() * 100,
+                       cmap="rainbow", shading="auto")
+    if len(cont_z) > 0:
+        ax.plot(cont_z, cont_log10M, "k:", lw=3)
+    if massLabel.startswith("M"):
+        massLabel = massLabel[1:]
+    ax.set_ylabel("log$_{10}$ ($M_{\\rm %s} / M_{\\odot}$)" % massLabel)
+    ax.set_xlabel("$z$")
+    ax.set_ylim(max(13.8, log10M.min()), min(15.4, log10M.max()))
+    cb = fig.colorbar(im, pad=0.03)
+    cb.set_label("Completeness (%)")
+    if title != "full":
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(outFileName)
+    plt.close(fig)
+
+
+def makeMassLimitVRedshiftPlot(massLimit_90Complete, zRange, outFileName,
+                               title=None):
+    """90%-completeness mass limit vs redshift plot
+    (``completeness.py:1577-1612``)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from . import plotSettings
+        plotSettings.update_rcParams()
+    except Exception as exc:
+        print("... WARNING: mass-limit plot failed: %s" % exc)
+        return
+    plt.figure(figsize=(9, 6.5))
+    if title is not None:
+        plt.figtext(0.15, 0.2, title, ha="left", va="center")
+    fine_z = np.linspace(zRange.min(), zRange.max(), 100)
+    plt.plot(fine_z, np.interp(fine_z, zRange, massLimit_90Complete), "k-")
+    plt.plot(zRange, massLimit_90Complete, "D", ms=8)
+    plt.xlabel("$z$")
+    plt.ylabel("$M_{\\rm 500c}$ (10$^{14}$ M$_{\\odot}$) [90% complete]")
+    plt.xlim(0, max(2.0, float(zRange.max())))
+    plt.savefig(outFileName)
+    if outFileName.endswith(".pdf"):
+        plt.savefig(outFileName[:-4] + ".png")
+    plt.close()
+
+
+def makeFullSurveyMassLimitMapPlot(z, config):
+    """Full-area mass-limit map (FITS + plot) reprojected to a
+    quarter-resolution version of the survey pixelisation
+    (``completeness.py:1615-1668``)."""
+    _stitchMassLimitMap(config, z)
 
 
 def makeMassLimitMap(SNRCut, z, tileName, photFilterLabel, mockSurvey,

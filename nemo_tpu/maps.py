@@ -510,6 +510,29 @@ def checkMask(fileName):
         raise ValueError("Mask file '%s' contains negative values" % fileName)
 
 
+def chunkLoadMask(fileName, numChunks=8, dtype=np.uint8):
+    """Memory-efficient full-survey mask load (``maps.py:873-922``).
+
+    Survey masks are multi-GB at float64; the reference reads them in
+    row chunks to bound peak memory.  Here the memory-mapped reader
+    (:func:`utils.fits.read_image_mmap`) gives O(chunk) I/O when the
+    file is uncompressed; compressed/gzipped files fall back to a full
+    read.  Either way the result is converted to ``dtype`` in row
+    chunks so peak memory stays ~map + chunk, not 2 x map-as-float64.
+
+    Returns (mask array of ``dtype``, WCS).
+    """
+    try:
+        src, header = nfits.read_image_mmap(fileName)
+    except (IOError, OSError):
+        src, header = nfits.read_image(fileName)
+    out = np.empty(src.shape, dtype=dtype)
+    rows = max(1, src.shape[0] // max(int(numChunks), 1))
+    for i0 in range(0, src.shape[0], rows):
+        out[i0:i0 + rows] = src[i0:i0 + rows]
+    return out, WCS(header)
+
+
 # -----------------------------------------------------------------------------
 # Simulation
 
@@ -1257,6 +1280,47 @@ def noiseBiasAnalysis(sourceInjTable, plotFileName=None,
             pass
     return {"func": biasFunc, "params": params, "binCentres": centres,
             "medianRatio": med}
+
+
+def plotContamination(contamTabDict, diagnosticsDir):
+    """Contamination-rate plots + interpolated useful-fraction text files
+    (``maps.py:1622-1665``).  Consumes the tables produced by
+    :func:`estimateContamination` (keys ``<label>_<SNRKey>``)."""
+    for k, tab in contamTabDict.items():
+        SNRKey = "fixed_SNR" if "fixed" in k else "SNR"
+        if SNRKey not in tab.keys():
+            continue
+        cuts = np.asarray(tab[SNRKey], dtype=float)
+        contam = np.asarray(tab["contaminationRate"], dtype=float)
+        try:
+            from . import plotSettings
+            plotSettings.update_rcParams()
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            plt.figure(figsize=(9, 6.5))
+            plt.plot(cuts, contam, "k-")
+            plt.xlabel(SNRKey.replace("_", " "))
+            plt.ylabel("Contamination fraction > %s" % SNRKey)
+            plt.xlim(cuts.min(), cuts.max())
+            plt.ylim(-0.05, 0.6)
+            plt.savefig(os.path.join(diagnosticsDir,
+                                     "%s_contaminationEstimate.pdf" % k))
+            plt.close()
+        except Exception as exc:  # plotting must never kill a survey run
+            print("... WARNING: contamination plot failed: %s" % exc)
+        fineSNRs = np.linspace(cuts.min(), cuts.max(), 1000)
+        fineContam = np.interp(fineSNRs, cuts, contam)
+        outTxt = os.path.join(
+            diagnosticsDir, "%s_contaminationEstimate_usefulFractions.txt"
+            % k)
+        with open(outTxt, "w") as f:
+            for frac in (0.4, 0.3, 0.2, 0.1, 0.05, 0.01):
+                SNRf = fineSNRs[np.argmin(abs(fineContam - frac))]
+                line = ("... contamination fraction = %.2f for %s > %.3f"
+                        " ..." % (frac, SNRKey, SNRf))
+                print(line)
+                f.write(line + "\n")
 
 
 def estimateContamination(contamSimDict, imageDict, SNRKeys, label,

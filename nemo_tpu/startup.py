@@ -300,12 +300,11 @@ class NemoConfig:
         if isinstance(td, dict):
             if td.get("mask"):
                 surveyMaskPath = td["mask"]
-                surveyMask, header = nfits.read_image(surveyMaskPath)
-                surveyMask = np.asarray(surveyMask)
+                # memory-efficient load (reference startUp.py:466)
+                surveyMask, wcs = maps.chunkLoadMask(surveyMaskPath)
                 if surveyMask.ndim == 3:
                     surveyMask = surveyMask[0]
                 surveyMask = (surveyMask != 0).astype(np.uint8)
-                wcs = WCS(header)
             else:
                 surveyMaskPath = \
                     self.parDict["unfilteredMaps"][0]["mapFileName"]

@@ -224,6 +224,53 @@ def test_rms_tables_and_selfn(cluster_run):
     selFn.update(70.0, 0.32, 0.05, 0.82, 0.95)
     assert not np.allclose(before, selFn.compMz)
 
+    # Tile-averaged noise (reference completeness.py:1040-1064)
+    avNoise = completeness.calcTileWeightedAverageNoise(
+        "PRIMARY", config.parDict["photFilter"], config.selFnDir)
+    rmsTab = completeness.getRMSTab(
+        "PRIMARY", config.parDict["photFilter"], config.selFnDir)
+    assert (np.asarray(rmsTab["y0RMS"]).min() <= avNoise
+            <= np.asarray(rmsTab["y0RMS"]).max())
+
+    # Completeness contour + plots (completeness.py:1131-1236,1577-1612)
+    cont_z, cont_log10M = completeness.calcCompletenessContour(
+        selFn.compMz, selFn.mockSurvey.log10M, selFn.mockSurvey.z)
+    assert len(cont_z) > 3
+    zSel = (cont_z > 0.3) & (cont_z < 1.5)
+    assert np.all((cont_log10M[zSel] > 13.5) & (cont_log10M[zSel] < 15.5))
+    plotPath = os.path.join(config.diagnosticsDir, "MzCompleteness.pdf")
+    completeness.makeMzCompletenessPlot(
+        selFn.compMz, selFn.mockSurvey.log10M, selFn.mockSurvey.z,
+        "full", selFn.mockSurvey.mdefLabel, plotPath)
+    assert os.path.exists(plotPath)
+
+
+def test_project_catalog_to_mz_simple(cluster_run):
+    """Point-mass catalog projection onto the (z, log10M) grid
+    (reference completeness.py:535-569), batched through
+    scaling.calcMassBatch."""
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    import shutil
+    shutil.copy(configPath, os.path.join(config.selFnDir, "config.yml"))
+    selFn = completeness.SelFn(config.selFnDir, 5.0, zMax=2.0, zStep=0.1)
+    from nemo_tpu.utils.tables import Table
+    tab = Table({
+        "fixed_y_c": np.array([2.0, 1.0, 3.5]),
+        "fixed_err_y_c": np.array([0.2, 0.15, 0.3]),
+        "redshift": np.array([0.3, 0.6, 0.9]),
+        "redshiftErr": np.zeros(3),
+        "tileName": np.array(["PRIMARY"] * 3)})
+    grid = selFn.projectCatalogToMz_simple(tab)
+    assert grid.shape == selFn.compMz.shape
+    assert grid.sum() == pytest.approx(3.0)  # one point-mass per cluster
+    # three distinct point masses, each at a plausible (z, mass) cell
+    zi, mi = np.nonzero(grid)
+    assert len(zi) == 3
+    binnedZ = np.asarray(selFn.mockSurvey.zBinEdges)[zi]
+    assert np.allclose(np.sort(binnedZ), [0.3, 0.6, 0.9], atol=0.11)
+    assert np.all((selFn.mockSurvey.log10M[mi] > 13.5)
+                  & (selFn.mockSurvey.log10M[mi] < 15.3))
+
 
 def test_mass_inference_round_trip(cluster_run):
     """Feed the scaling relation forward then invert: recovered mass within
