@@ -40,6 +40,29 @@ def pixScalesRad(wcs, shape=None):
     return (float(np.radians(dy)), float(np.radians(dx)))
 
 
+# Decompressed-file cache for tile clipping of maps that cannot be
+# memory-mapped (tile-compressed / gzipped).  A tiled survey run clips
+# every tile from the same full-survey files; without this, each tile
+# pays a full RICE/gzip decode of the survey mask (214 decodes of a
+# ~200 MB mask at DR5 scale).  Small LRU: a run alternates between at
+# most a few such files.  Callers copy the returned array before
+# mutating (loadTile does np.array(data)).
+_FULL_READ_CACHE = {}
+_FULL_READ_CACHE_MAX = 3
+
+
+def _readFullCached(path):
+    key = (str(path), os.path.getmtime(path))
+    if key in _FULL_READ_CACHE:
+        return _FULL_READ_CACHE[key]
+    hdus = nfits.read(path)
+    hdu = next(h for h in hdus if h.data is not None)
+    while len(_FULL_READ_CACHE) >= _FULL_READ_CACHE_MAX:
+        _FULL_READ_CACHE.pop(next(iter(_FULL_READ_CACHE)))
+    _FULL_READ_CACHE[key] = (hdu.data, hdu.header)
+    return _FULL_READ_CACHE[key]
+
+
 # -----------------------------------------------------------------------------
 class MapDict(dict):
     """A sky-map descriptor + per-tile preprocessing, mirroring
@@ -75,9 +98,7 @@ class MapDict(dict):
             try:
                 full, header = nfits.read_image_mmap(path)
             except (IOError, OSError, KeyError):
-                hdus = nfits.read(path)
-                hdu = next(h for h in hdus if h.data is not None)
-                full, header = hdu.data, hdu.header
+                full, header = _readFullCached(path)
             if self.tileCoordsDict is not None and \
                     tileName in self.tileCoordsDict:
                 minX, maxX, minY, maxY = \

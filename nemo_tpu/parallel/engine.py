@@ -19,6 +19,8 @@ calibration peak being read at the (exactly pixel-centred) template peak
 instead of through a spline.
 """
 
+import functools
+
 import numpy as np
 
 import jax
@@ -110,14 +112,21 @@ def _preprocessTileOnce(config, tileName):
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _apod_np(shape, width):
+    """Host copy of the cosine apodisation window, cached so that
+    same-shape tiles share one ndarray object (the bucket runner dedups
+    device uploads by identity)."""
+    return np.asarray(fourier.apod_mask(shape, width))
+
+
 def _stage_tile_common(filterObj):
     """Label-independent big arrays for one tile (shared by every filter
     in a multi-filter batch: one host stack + one device upload instead of
     one per filter)."""
     dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
                           for m in filterObj.unfilteredMapsDictList])
-    apodM = np.asarray(fourier.apod_mask(filterObj.shape,
-                                         filterObj.apodPix))
+    apodM = _apod_np(filterObj.shape, filterObj.apodPix)
     surveyMask = np.asarray(
         filterObj.unfilteredMapsDictList[0]["surveyMask"], dtype=np.float64)
     psMask = np.asarray(
@@ -151,13 +160,21 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
     if common is None or params.get("mapToUse"):
         common = _stage_tile_common(filterObj)
 
+    # Everything the signal template depends on besides geometry/beam:
+    # the filter class plus its model-shape parameters (M500MSun, z,
+    # GNFWParams for the cluster filters; none for beam filters).  A key
+    # WITHOUT these would alias different filter scales to one template.
+    modelKey = (type(filterObj).__name__,
+                params.get("M500MSun"), params.get("z"),
+                repr(params.get("GNFWParams", "default")))
+
     def _template(beamFileName, amplitude=None):
         if templateCache is None:
             return np.asarray(filterObj.makeSignalTemplateMap(
                 beamFileName, amplitude=amplitude))
         key = (filterObj.shape,
                tuple(np.round(filterObj.pixScalesRad, 12)),
-               beamFileName, amplitude)
+               beamFileName, amplitude, modelKey)
         if key not in templateCache:
             templateCache[key] = np.asarray(
                 filterObj.makeSignalTemplateMap(beamFileName,
@@ -171,23 +188,48 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
     else:
         noiseStack = np.asarray(filterObj._noiseStack(dataStack),
                                 dtype=np.float64)
-    templates = np.stack(
-        [_template(m["beamFileName"])
-         for m in filterObj.unfilteredMapsDictList])
+
+    # The STACKED template/calib arrays are cached (not just the
+    # individual templates) so tiles with identical geometry return the
+    # very same ndarray object - the bucket runner dedups uploads by
+    # object identity and ships each distinct stack once per chunk.
+    beamFiles = tuple(m["beamFileName"]
+                      for m in filterObj.unfilteredMapsDictList)
+    geomKey = (filterObj.shape,
+               tuple(np.round(filterObj.pixScalesRad, 12)), beamFiles,
+               modelKey)
+
+    def _cachedStack(key, build):
+        if templateCache is None:
+            return build()
+        if key not in templateCache:
+            templateCache[key] = build()
+        return templateCache[key]
+
+    templates = _cachedStack(
+        ("stack",) + geomKey,
+        lambda: np.stack([_template(m["beamFileName"])
+                          for m in filterObj.unfilteredMapsDictList]))
     # Known-amplitude calibration stack (filters.py:635-690 in the
     # reference; mirrors MatchedFilter._calibrateSignalNorm here).
     y0 = 2e-4
     if params["outputUnits"] == "yc":
-        calib = []
-        for m in filterObj.unfilteredMapsDictList:
-            if m.get("units") == "yc":
-                s = _template(m["beamFileName"], amplitude=y0)
-            else:
-                deltaT0 = sz.convertToDeltaT(y0, m["obsFreqGHz"])
-                s = _template(m["beamFileName"], amplitude=deltaT0)
-            calib.append(np.asarray(fourier.apply_pixel_window(
-                jnp.asarray(np.asarray(s)), pow=1.0)))
-        calibStack = np.stack(calib)
+        def _buildCalib():
+            calib = []
+            for m in filterObj.unfilteredMapsDictList:
+                if m.get("units") == "yc":
+                    s = _template(m["beamFileName"], amplitude=y0)
+                else:
+                    deltaT0 = sz.convertToDeltaT(y0, m["obsFreqGHz"])
+                    s = _template(m["beamFileName"], amplitude=deltaT0)
+                calib.append(np.asarray(fourier.apply_pixel_window(
+                    jnp.asarray(np.asarray(s)), pow=1.0)))
+            return np.stack(calib)
+
+        unitsKey = tuple((m.get("units"), m.get("obsFreqGHz"))
+                         for m in filterObj.unfilteredMapsDictList)
+        calibStack = _cachedStack(("calib", unitsKey) + geomKey,
+                                  _buildCalib)
         unitsScale = y0
     else:
         calibStack = templates
@@ -239,8 +281,7 @@ def _prepare_tile_realspace(config, f, tileName, mapsList=None):
                 smoothScaleDeg=filterObj.bckSubScaleArcmin / 60.0)
             for i in range(dataStack.shape[0])])
 
-    apodM = np.asarray(fourier.apod_mask(filterObj.shape,
-                                         filterObj.apodPix))
+    apodM = _apod_np(filterObj.shape, filterObj.apodPix)
     surveyMask = np.asarray(
         filterObj.unfilteredMapsDictList[0]["surveyMask"], dtype=np.float64)
     psMask = np.asarray(
@@ -257,6 +298,17 @@ def _prepare_tile_realspace(config, f, tileName, mapsList=None):
                        "psMask": psMask, "gridSize": gridSize,
                        "trimPix": filterObj._trimSizePix(),
                        "shape": filterObj.shape}
+
+
+def _asBinaryMask(m):
+    """uint8 view of a strictly-binary mask (8x less upload volume);
+    non-binary masks pass through unchanged."""
+    m = np.asarray(m)
+    if m.dtype == np.uint8:
+        return m
+    if np.all((m == 0) | (m == 1)):
+        return m.astype(np.uint8)
+    return m
 
 
 def _pad2(a, padShape):
@@ -373,9 +425,6 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                 staged[label][tileName] = (filterObj, stacks)
                 names = rsBuckets.setdefault((label, key), [])
                 names.append(tileName)
-                if len(names) >= deviceBatchSize:
-                    _flush_rs(f, key, names)
-                    rsBuckets[(label, key)] = []
             else:
                 filterObj, stacks = _prepare_tile(
                     config, f, tileName, templateCache=templateCache,
@@ -388,9 +437,19 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                 bucket["labels"].add(label)
                 if tileName not in bucket["names"]:
                     bucket["names"].append(tileName)
-                if len(bucket["names"]) >= deviceBatchSize:
-                    _flush_mf(key, bucket)
-                    mfBuckets[key] = {"names": [], "labels": set()}
+        # Flush only at tile boundaries so every filter of the bank is
+        # staged for every tile in the chunk - a mid-tile flush would
+        # split the bank into a 1-filter call plus a stragglers call,
+        # re-uploading the shared data stack for each group.
+        for (label, key), names in list(rsBuckets.items()):
+            if len(names) >= deviceBatchSize:
+                fdict = next(f for f in fList if f["label"] == label)
+                _flush_rs(fdict, key, names)
+                rsBuckets[(label, key)] = []
+        for key, bucket in list(mfBuckets.items()):
+            if len(bucket["names"]) >= deviceBatchSize:
+                _flush_mf(key, bucket)
+                mfBuckets[key] = {"names": [], "labels": set()}
 
     for f in fList:
         if f["class"] in _REALSPACE_CLASSES:
@@ -413,7 +472,7 @@ def _stage_tile_common_from_maps(mapsList):
     shape = dataStack.shape[-2:]
     padShape = (fourier.good_fft_size(shape[0]),
                 fourier.good_fft_size(shape[1]))
-    apodM = np.asarray(fourier.apod_mask(shape, 20))
+    apodM = _apod_np(shape, 20)
     surveyMask = np.asarray(mapsList[0]["surveyMask"], dtype=np.float64)
     psMask = np.asarray(mapsList[0]["pointSourceMask"], dtype=np.float64)
     return {"data": dataStack, "apodM": apodM, "surveyMask": surveyMask,
@@ -422,8 +481,11 @@ def _stage_tile_common_from_maps(mapsList):
 
 def _emit_result(config, filterObj, tileName, dataMap, SNMap, RMSMap,
                  tileMask, undoPixelWindow, results):
-    """Shared per-tile result assembly: pixel-window undo, RMS-map save,
-    output-units metadata - the tail of the host engines' buildAndApply."""
+    """Shared per-tile result assembly: RMS-map save and output-units
+    metadata - the tail of the host engines' buildAndApply.  The
+    pixel-window undo rides inside the batched device step
+    (``distribute._undo_pixel_window_masked``); ``undoPixelWindow`` is
+    kept for callers staging maps that bypassed the step."""
     if undoPixelWindow:
         zeroMask = dataMap == 0
         dataMap = np.array(fourier.apply_pixel_window(
@@ -462,7 +524,8 @@ def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
         print("... device batch (real-space): %d tile(s) at %s"
               % (len(names), str(staged[names[0]][1]["shape"])))
     step = make_sharded_realspace_step(mesh, gridSize, trimPix,
-                                       rms_impl=rms_impl)
+                                       rms_impl=rms_impl,
+                                       undo_pixel_window=undoPixelWindow)
     kShape = (max(staged[n][1]["kern"].shape[-2] for n in names),
               max(staged[n][1]["kern"].shape[-1] for n in names))
     data = np.stack([staged[n][1]["data"] for n in names])
@@ -498,7 +561,7 @@ def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
         filterObj, stacks = staged[tileName]
         _emit_result(config, filterObj, tileName, filtered[i], SNMaps[i],
                      RMSMaps[i] if RMSMaps is not None else None,
-                     outMask[i], undoPixelWindow, results)
+                     outMask[i], False, results)  # undo ran in-step
 
 
 def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
@@ -515,14 +578,23 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
     if verbose:
         print("... device batch: %d tile(s) x %d filter(s) at %s"
               % (len(names), len(labels), str(padShape)))
-    step = make_sharded_matched_filter_step(mesh, gridSize, trimPix,
-                                            rms_impl=rms_impl)
+    step = make_sharded_matched_filter_step(
+        mesh, gridSize, trimPix, rms_impl=rms_impl,
+        undo_pixel_window=undoPixelWindow)
     nT = len(names)
     pad = (-nT) % nDev
     rep = ([1] * (nT - 1)) + [1 + pad] if pad else None
 
+    # On TPU the compute dtype is float32 regardless (no x64), so ship
+    # float32 over the (slow) host-device link instead of letting the
+    # runtime truncate float64 bytes on arrival - halves upload volume.
+    # On CPU keep float64: the batched-vs-host parity there is exact.
+    upDtype = np.float32 if jax.default_backend() == "tpu" else None
+
     def _stackPad(arrs):
         out = np.stack([_pad2(a, padShape) for a in arrs])
+        if upDtype is not None and out.dtype == np.float64:
+            out = out.astype(upDtype)
         return np.repeat(out, rep, axis=0) if rep else out
 
     sh = tile_sharding(mesh)
@@ -530,11 +602,39 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
     def _put(arrs):
         return jax.device_put(jnp.asarray(_stackPad(arrs)), sh)
 
+    def _putDedup(arrs):
+        """Upload only the distinct arrays of a tile-stacked input (by
+        object identity - the staging caches return shared ndarrays for
+        same-geometry tiles), then gather the full stack on device.
+        Survey tiles repeat templates across declination bands, so this
+        ships each distinct template once per chunk instead of once per
+        tile."""
+        seen, idx = {}, []
+        for a in arrs:
+            k = id(a)
+            if k not in seen:
+                seen[k] = len(seen)
+            idx.append(seen[k])
+        if len(seen) == len(arrs):
+            return _put(arrs)
+        uniq = [None] * len(seen)
+        for a in arrs:
+            uniq[seen[id(a)]] = a
+        uniqStack = np.stack([_pad2(a, padShape) for a in uniq])
+        if upDtype is not None and uniqStack.dtype == np.float64:
+            uniqStack = uniqStack.astype(upDtype)
+        uniqDev = jax.device_put(jnp.asarray(uniqStack))
+        idxA = np.asarray(idx, dtype=np.int32)
+        if rep:
+            idxA = np.repeat(idxA, rep, axis=0)
+        full = jnp.take(uniqDev, jnp.asarray(idxA), axis=0)
+        return jax.device_put(full, sh)
+
     common = [staged[labels[0]][n][1]["common"] for n in names]
     dataDev = _put([c["data"] for c in common])
-    apodDev = _put([c["apodM"] for c in common])
-    psDev = _put([c["psMask"] for c in common])
-    surveyDev = _put([c["surveyMask"] for c in common])
+    apodDev = _putDedup([c["apodM"] for c in common])
+    psDev = _put([_asBinaryMask(c["psMask"]) for c in common])
+    surveyDev = _put([_asBinaryMask(c["surveyMask"]) for c in common])
     peakYX = np.array([[c["shape"][0] // 2, c["shape"][1] // 2]
                        for c in common], dtype=np.int32)
     if rep:
@@ -562,12 +662,14 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
             # fgPower already lives on the padded half grid - stack only
             fg = np.stack([sk["fgPower"] if sk["fgPower"] is not None
                            else np.zeros(halfShape) for sk in stacksList])
+            if upDtype is not None:
+                fg = fg.astype(upDtype)
             if rep:
                 fg = np.repeat(fg, rep, axis=0)
             fgDev = jax.device_put(jnp.asarray(fg), sh)
         out = step(dataDev, noiseDev,
-                   _put([sk["template"] for sk in stacksList]),
-                   _put([sk["calib"] for sk in stacksList]),
+                   _putDedup([sk["template"] for sk in stacksList]),
+                   _putDedup([sk["calib"] for sk in stacksList]),
                    jnp.asarray(stacksList[0]["w"]),
                    apodDev, psDev, surveyDev, fgDev, peakDev)
         filtered = np.asarray(out["filtered"])[:nT]
@@ -587,5 +689,5 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
                 if RMSMaps is not None else None
             tileMask = outMask[i][:shape[0], :shape[1]]
             _emit_result(config, filterObj, tileName, dataMap, SNMap,
-                         RMSMap, tileMask, undoPixelWindow,
+                         RMSMap, tileMask, False,  # undo ran in-step
                          results[label])

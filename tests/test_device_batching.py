@@ -155,3 +155,54 @@ def test_batched_max_datamap_cmb_matches_host(tiled_run):  # noqa: F811
     assert sel.sum() > 100
     ratio = b[sel] / h[sel]
     assert abs(np.median(ratio) - 1) < 0.05, np.median(ratio)
+
+
+def test_batched_multi_scale_templates_distinct(tiled_run,  # noqa: F811
+                                                tmp_path):
+    """Regression: the template cache must key on the filter's model
+    parameters (M500MSun, z), not just geometry - an aliased key made
+    every scale in a batched multi-scale run reuse the first scale's
+    template.  Two well-separated Arnaud scales through ONE
+    batchFilterTilesMulti call must each match their host-engine
+    filterMaps output."""
+    from nemo_tpu import filters as filters_mod
+
+    inputTab, hostCatalog, config, w = tiled_run
+    fSmall = {"label": "Arnaud_M1e14_z1p2",
+              "class": "ArnaudModelMatchedFilter",
+              "params": {"M500MSun": 1e14, "z": 1.2,
+                         "noiseParams": {"method": "dataMap",
+                                         "noiseGridArcmin": 40.0},
+                         "outputUnits": "yc", "edgeTrimArcmin": 10.0}}
+    fBig = {"label": "Arnaud_M8e14_z0p2",
+            "class": "ArnaudModelMatchedFilter",
+            "params": {"M500MSun": 8e14, "z": 0.2,
+                       "noiseParams": {"method": "dataMap",
+                                       "noiseGridArcmin": 40.0},
+                       "outputUnits": "yc", "edgeTrimArcmin": 10.0}}
+    tileName = config.tileNames[0]
+    batched = engine.batchFilterTilesMulti(config, [fSmall, fBig],
+                                           tileNames=[tileName],
+                                           verbose=False)
+    # The two scales must produce genuinely different filtered maps
+    mapA = batched[fSmall["label"]][tileName]["data"]
+    mapB = batched[fBig["label"]][tileName]["data"]
+    assert not np.allclose(mapA, mapB, rtol=0.1)
+
+    # ... and each must match its host-engine equivalent
+    for f in (fSmall, fBig):
+        for m in config.unfilteredMapsDictList:
+            m.preprocess(tileName=tileName,
+                         diagnosticsDir=config.diagnosticsDir)
+        host = filters_mod.filterMaps(
+            config.unfilteredMapsDictList, f, tileName,
+            diagnosticsDir=config.diagnosticsDir,
+            selFnDir=config.selFnDir, verbose=False)
+        hostMap = np.asarray(host["data"])
+        devMap = np.asarray(batched[f["label"]][tileName]["data"])
+        core = np.s_[100:-100, 100:-100]
+        h, d = hostMap[core], devMap[core]
+        sel = np.abs(h) > np.percentile(np.abs(h), 99)
+        ratio = d[sel] / h[sel]
+        assert abs(np.median(ratio) - 1) < 0.02, (f["label"],
+                                                  np.median(ratio))
