@@ -19,12 +19,51 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _paint_centered_jit(shape, scales, center, rp, vp):
+    ny, nx = shape
+    dtype = rp.dtype
+    yy = (jnp.arange(ny, dtype=dtype) - center[0]) * scales[0]
+    xx = (jnp.arange(nx, dtype=dtype) - center[1]) * scales[1]
+    r = jnp.sqrt(yy[:, None] ** 2 + xx[None, :] ** 2)
+    return jnp.interp(r, rp, vp, left=vp[0], right=0.0)
+
+
+def _pad_table(rp, vp, dtype):
+    """Pad a radial table to a bucketed length so the jitted painter
+    compiles once per (shape, table-bucket), not once per table length.
+    Padding appends strictly-increasing radii far beyond any map with
+    zero values - jnp.interp then returns 0 there, identical to the
+    unpadded right=0 behaviour."""
+    n = len(rp)
+    size = 256
+    while size < n + 1:       # always >= 1 pad slot: the zero landing
+        size *= 2
+    rpad = np.empty(size, dtype=dtype)
+    vpad = np.zeros(size, dtype=dtype)
+    rpad[:n] = rp
+    vpad[:n] = vp
+    # First pad point sits immediately after the table end so the
+    # interpolation drops to zero within a negligible radius step,
+    # matching the unpadded right=0 cutoff; the rest march upward to
+    # keep the radii strictly increasing.
+    relStep = 1e-6 if dtype == np.float32 else 1e-9
+    eps = abs(rp[-1]) * relStep + 1e-30
+    rpad[n:] = rp[-1] + eps * np.arange(1, size - n + 1)
+    return rpad, vpad
+
+
 def paint_template_centered(shape, pix_scales_rad, r_prof, v_prof,
                             center=None, dtype=jnp.float64):
     """Paint one unit-amplitude radial profile centred on the map.
 
     Used for building filter signal templates (the reference centres these
-    at the map centre coords, ``nemo/filters.py:1244``).
+    at the map centre coords, ``nemo/filters.py:1244``).  One fused jitted
+    dispatch with the pixel scales, centre and profile table as dynamic
+    arguments: survey tiles at different declinations (different pixel
+    scales) reuse the same compiled program - on remote TPU runtimes the
+    eager formulation cost ~6 round trips per template and a
+    recompilation per declination band.
 
     Args:
         shape: (ny, nx).
@@ -34,17 +73,15 @@ def paint_template_centered(shape, pix_scales_rad, r_prof, v_prof,
         center: optional float (cy, cx) pixel coords; default (ny/2, nx/2).
     """
     ny, nx = shape
-    dy, dx = pix_scales_rad
     if center is None:
-        cy, cx = ny / 2.0, nx / 2.0
-    else:
-        cy, cx = center
-    yy = (jnp.arange(ny, dtype=dtype) - cy) * dy
-    xx = (jnp.arange(nx, dtype=dtype) - cx) * dx
-    r = jnp.sqrt(yy[:, None] ** 2 + xx[None, :] ** 2)
-    rp = jnp.asarray(r_prof, dtype=dtype)
-    vp = jnp.asarray(v_prof, dtype=dtype)
-    return jnp.interp(r, rp, vp, left=vp[0], right=0.0)
+        center = (ny / 2.0, nx / 2.0)
+    npDtype = np.dtype(jnp.zeros((), dtype=dtype).dtype)
+    rp, vp = _pad_table(np.asarray(r_prof), np.asarray(v_prof), npDtype)
+    return _paint_centered_jit(
+        (int(ny), int(nx)),
+        jnp.asarray(np.asarray(pix_scales_rad, dtype=npDtype)),
+        jnp.asarray(np.asarray(center, dtype=npDtype)),
+        jnp.asarray(rp), jnp.asarray(vp))
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "pix_scales_rad",
