@@ -995,27 +995,33 @@ class RealSpaceMatchedFilter(MapFilter):
 # Template mixins (filters.py:1222-1277)
 
 class BeamFilter(MapFilter):
-    def makeSignalTemplateMap(self, beamFileName, amplitude=None):
+    def makeSignalTemplateMap(self, beamFileName, amplitude=None,
+                              returnDevice=False):
         return profiles.makeBeamModelSignalMap(
-            self.shape, self.pixScalesRad, beamFileName, amplitude=amplitude)
+            self.shape, self.pixScalesRad, beamFileName, amplitude=amplitude,
+            returnDevice=returnDevice)
 
 
 class ArnaudModelFilter(MapFilter):
-    def makeSignalTemplateMap(self, beamFileName, amplitude=None):
+    def makeSignalTemplateMap(self, beamFileName, amplitude=None,
+                              returnDevice=False):
         return profiles.makeArnaudModelSignalMap(
             self.params["z"], self.params["M500MSun"], self.shape,
             self.pixScalesRad, beam=beamFileName,
             GNFWParams=self.params.get("GNFWParams", "default"),
-            amplitude=amplitude, convolveWithBeam=True)
+            amplitude=amplitude, convolveWithBeam=True,
+            returnDevice=returnDevice)
 
 
 class BattagliaModelFilter(MapFilter):
-    def makeSignalTemplateMap(self, beamFileName, amplitude=None):
+    def makeSignalTemplateMap(self, beamFileName, amplitude=None,
+                              returnDevice=False):
         return profiles.makeBattagliaModelSignalMap(
             self.params["z"], self.params["M500MSun"], self.shape,
             self.pixScalesRad, beam=beamFileName,
             GNFWParams=self.params.get("GNFWParams", "default"),
-            amplitude=amplitude, convolveWithBeam=True)
+            amplitude=amplitude, convolveWithBeam=True,
+            returnDevice=returnDevice)
 
 
 class ArnaudModelMatchedFilter(MatchedFilter, ArnaudModelFilter):

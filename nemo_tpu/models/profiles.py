@@ -12,6 +12,7 @@ radial real-space painting at sub-pixel positions (device scatter-add
 instead of pixell ``pointsrcs.sim_objects``).
 """
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops import paint as paint_ops
@@ -143,7 +144,8 @@ def paintSignalMap(shape, pix_scales_rad, rDeg, prof, beam=None,
 
 
 def makeBeamModelSignalMap(shape, pix_scales_rad, beam, ys=None, xs=None,
-                           amplitude=None, maxSizeDeg=None):
+                           amplitude=None, maxSizeDeg=None,
+                           returnDevice=False):
     """Signal map containing the beam itself (point-source template),
     parity with ``signals.py:587-619``."""
     if isinstance(beam, str):
@@ -153,9 +155,11 @@ def makeBeamModelSignalMap(shape, pix_scales_rad, beam, ys=None, xs=None,
     prof = beam.profile1d
     ny, nx = shape
     if ys is None:
-        return np.asarray(amp) * np.asarray(
-            paint_ops.paint_template_centered(shape, pix_scales_rad, r, prof,
-                                              center=(ny / 2.0, nx / 2.0)))
+        out = paint_ops.paint_template_centered(
+            shape, pix_scales_rad, r, prof, center=(ny / 2.0, nx / 2.0))
+        if returnDevice:
+            return jnp.asarray(amp) * out
+        return np.asarray(amp) * np.asarray(out)
     rmax = maxSizeDeg if maxSizeDeg is not None else beam.rDeg[-1]
     return np.asarray(paint_ops.paint_objects(
         shape, pix_scales_rad, np.atleast_1d(ys), np.atleast_1d(xs),

@@ -130,7 +130,7 @@ def _assemble_rms(cellRMS, plan_y, plan_x, ny, nx):
 
 
 def grid_rms_map(mapData, gridSize_pix, overlap_pix=None, estimator="default",
-                 n_iter=10):
+                 n_iter=10, return_cells=False):
     """Estimate the noise map over grid cells (numNoiseBins = 1 path).
 
     Args:
@@ -139,9 +139,13 @@ def grid_rms_map(mapData, gridSize_pix, overlap_pix=None, estimator="default",
         overlap_pix: window overlap; defaults to gridSize // 2 as the
             reference (``filters.py:418``).
         estimator: 'default' (3-sigma clip) or 'percentile'.
+        return_cells: return the (nCy, nCx) per-cell RMS grid instead of
+            the full-resolution map (see :func:`assemble_rms_host` - the
+            grid is ~4 orders of magnitude smaller, which matters when
+            results cross a slow host-device link).
 
     Returns:
-        RMS map, same shape.
+        RMS map, same shape (or the cell grid with ``return_cells``).
     """
     mapData = jnp.asarray(mapData)
     ny, nx = mapData.shape
@@ -179,6 +183,8 @@ def grid_rms_map(mapData, gridSize_pix, overlap_pix=None, estimator="default",
     cellRMS = _cell_stats(flat, valid, (Wy, Wx), n_iter, estimator)
     cellRMS = cellRMS.reshape(nCy, nCx)
 
+    if return_cells:
+        return cellRMS
     return _assemble_rms(cellRMS, _expansion_plan(ye, nCy, ny, ov),
                          _expansion_plan(xe, nCx, nx, ov), ny, nx)
 
@@ -296,10 +302,42 @@ def _grid_rms_cells_pallas(paddedBatch, starts_y, starts_x, offs_y, offs_x,
       paddedBatch)
 
 
+def assemble_rms_host(cellRMS, ny, nx, gridSize_pix, overlap_pix=None):
+    """Host (numpy) expansion of a per-cell RMS grid to full resolution,
+    numerically identical to the device ``_assemble_rms`` path.  Used by
+    the batched engine: downloading the cell grid and expanding here is
+    ~4 orders of magnitude less transfer than downloading the full map.
+    """
+    cellRMS = np.asarray(cellRMS)
+    nCy, nCx = cellRMS.shape
+    gridSize = int(gridSize_pix)
+    ov = int(gridSize // 2) if overlap_pix is None else int(overlap_pix)
+    ye = cell_edges(ny, gridSize)
+    xe = cell_edges(nx, gridSize)
+    ry0, vy0, ry1, vy1 = _expansion_plan(ye, nCy, ny, ov)
+    rx0, vx0, rx1, vx1 = _expansion_plan(xe, nCx, nx, ov)
+
+    def expand(reps_y, reps_x):
+        up = np.repeat(cellRMS, reps_y, axis=0)
+        return np.repeat(up, reps_x, axis=1)
+
+    out = np.zeros((ny, nx), dtype=cellRMS.dtype)
+    for reps_y, vy, reps_x, vx in ((ry1, vy1, rx1, vx1),
+                                   (ry1, vy1, rx0, vx0),
+                                   (ry0, vy0, rx1, vx1),
+                                   (ry0, vy0, rx0, vx0)):
+        v = expand(reps_y, reps_x)
+        ok = vy[:, None] & vx[None, :] & (v > 0)
+        out[ok] = v[ok]
+    return out
+
+
 def grid_rms_map_batch(mapBatch, gridSize_pix, overlap_pix=None,
-                       impl="auto", interpret=False):
+                       impl="auto", interpret=False, return_cells=False):
     """Batched noise-map estimation (nT, ny, nx) -> (nT, ny, nx), with the
-    fused Pallas kernel on TPU ('pallas') or the XLA gather path ('xla')."""
+    fused Pallas kernel on TPU ('pallas') or the XLA gather path ('xla').
+    With ``return_cells`` the (nT, nCy, nCx) per-cell grid is returned
+    instead (expand with :func:`assemble_rms_host`)."""
     mapBatch = jnp.asarray(mapBatch)
     if mapBatch.ndim == 2:
         mapBatch = mapBatch[None]
@@ -321,7 +359,8 @@ def grid_rms_map_batch(mapBatch, gridSize_pix, overlap_pix=None,
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         return jax.vmap(lambda m: grid_rms_map(m, gridSize_pix,
-                                               overlap_pix=overlap_pix))(
+                                               overlap_pix=overlap_pix,
+                                               return_cells=return_cells))(
             mapBatch)
 
     starts_y = np.repeat(ye[:-1], nCx)
@@ -343,6 +382,8 @@ def grid_rms_map_batch(mapBatch, gridSize_pix, overlap_pix=None,
                                      offs_y, offs_x, lens_y, lens_x,
                                      (Wy_al, Wx_al), interpret=interpret)
     cellRMS = cellRMS.reshape(nT, nCy, nCx)
+    if return_cells:
+        return cellRMS
 
     plan_y = _expansion_plan(ye, nCy, ny, ov)
     plan_x = _expansion_plan(xe, nCx, nx, ov)

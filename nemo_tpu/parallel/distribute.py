@@ -273,7 +273,8 @@ def make_sharded_realspace_step(mesh, gridSize, trimPix, rms_impl="auto",
 @functools.lru_cache(maxsize=32)
 def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                                      rms_impl="auto",
-                                     undo_pixel_window=False):
+                                     undo_pixel_window=False,
+                                     lean_outputs=False):
     """Production batched matched filter: the host engine's math
     (``nemo_tpu/filters.py:MatchedFilter.buildAndApply``) for a tile batch
     sharded over the device mesh.
@@ -343,11 +344,6 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
             data, noise, template, calib, apodM, fgPower, peakYX)
         filtered = filtered * psMask
 
-        RMSMap = noise_ops.grid_rms_map_batch(filtered, gridSize,
-                                              impl=rms_impl)
-        SNMap = jnp.where(RMSMap > 0,
-                          filtered / jnp.maximum(RMSMap, 1e-30), 0.0)
-
         if trimPix > 0:
             edge = imageops.minimum_filter(
                 jnp.abs(filtered + (1 - psMask)), trimPix)
@@ -358,26 +354,47 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         # signal map keeps the apodisation border; SN/RMS do not.
         maskData = edgeCheck * surveyMask * psMask
         maskSN = maskData * (apodM == 1)
+
+        if lean_outputs:
+            # Slow-link mode: ship the per-cell RMS grid (KBs) instead of
+            # the full RMS and S/N maps; the host expands the grid
+            # (noise_ops.assemble_rms_host) and rebuilds
+            # SN = filtered * maskSN / RMS exactly (all masks binary).
+            cells = noise_ops.grid_rms_map_batch(filtered, gridSize,
+                                                 impl=rms_impl,
+                                                 return_cells=True)
+            return {"filtered": filtered * maskData, "RMSCells": cells,
+                    "surveyMask": maskSN.astype(jnp.uint8),
+                    "signalNorm": norms}
+
+        RMSMap = noise_ops.grid_rms_map_batch(filtered, gridSize,
+                                              impl=rms_impl)
+        SNMap = jnp.where(RMSMap > 0,
+                          filtered / jnp.maximum(RMSMap, 1e-30), 0.0)
         outMap = filtered * maskData
         if undo_pixel_window:
             # In-step deconvolution at the padded shape: saves one
-            # host round trip per (tile, filter) - at DR5 scale, ~3400
-            # tunnel dispatches (the host engine equivalent crops first,
-            # nemo_tpu/filters.py:66; interior values agree to float
-            # tolerance, covered by the batched-vs-host parity tests).
+            # host round trip per (tile, filter) (the host engine
+            # equivalent crops first, nemo_tpu/filters.py:66; interior
+            # values agree to float tolerance).
             outMap = jax.vmap(_undo_pixel_window_masked)(outMap, maskData)
         return {"filtered": outMap, "SNMap": SNMap * maskSN,
                 "RMSMap": RMSMap * maskSN,
                 "surveyMask": maskSN.astype(jnp.uint8),
                 "signalNorm": norms}
 
+    if lean_outputs:
+        out_specs = {"filtered": spec_tiles, "RMSCells": spec_tiles,
+                     "surveyMask": spec_tiles, "signalNorm": spec_tiles}
+    else:
+        out_specs = {"filtered": spec_tiles, "SNMap": spec_tiles,
+                     "RMSMap": spec_tiles, "surveyMask": spec_tiles,
+                     "signalNorm": spec_tiles}
     sharded = shard_map(
         per_shard, mesh=mesh,
         in_specs=(spec_tiles, spec_tiles, spec_tiles, spec_tiles, spec_rep,
                   spec_tiles, spec_tiles, spec_tiles, spec_tiles,
                   spec_tiles),
-        out_specs={"filtered": spec_tiles, "SNMap": spec_tiles,
-                   "RMSMap": spec_tiles, "surveyMask": spec_tiles,
-                   "signalNorm": spec_tiles},
+        out_specs=out_specs,
         check_vma=False)
     return jax.jit(sharded)

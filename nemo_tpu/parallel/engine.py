@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from .. import filters as filters_mod
 from ..models import sz
 from ..ops import fourier
+from ..ops import noise as noise_ops
 from .distribute import (make_sharded_matched_filter_step,
                          make_sharded_realspace_step)
 from .mesh import get_mesh, tile_sharding
@@ -116,8 +117,12 @@ def _preprocessTileOnce(config, tileName):
 def _apod_np(shape, width):
     """Host copy of the cosine apodisation window, cached so that
     same-shape tiles share one ndarray object (the bucket runner dedups
-    device uploads by identity)."""
-    return np.asarray(fourier.apod_mask(shape, width))
+    device uploads by identity).  Built with numpy outer products - the
+    jnp path would bounce an 11 MB array through the device link."""
+    ny, nx = shape[-2], shape[-1]
+    wy = fourier._apod_profile(ny, int(width))
+    wx = fourier._apod_profile(nx, int(width))
+    return wy[:, None] * wx[None, :]
 
 
 def _stage_tile_common(filterObj):
@@ -169,16 +174,19 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
                 repr(params.get("GNFWParams", "default")))
 
     def _template(beamFileName, amplitude=None):
+        # Templates are built AND cached on device (returnDevice): on a
+        # remote TPU runtime a host copy would cost a slow download per
+        # template, only to be re-uploaded by the bucket runner.
         if templateCache is None:
-            return np.asarray(filterObj.makeSignalTemplateMap(
-                beamFileName, amplitude=amplitude))
+            return filterObj.makeSignalTemplateMap(
+                beamFileName, amplitude=amplitude, returnDevice=True)
         key = (filterObj.shape,
                tuple(np.round(filterObj.pixScalesRad, 12)),
                beamFileName, amplitude, modelKey)
         if key not in templateCache:
-            templateCache[key] = np.asarray(
-                filterObj.makeSignalTemplateMap(beamFileName,
-                                                amplitude=amplitude))
+            templateCache[key] = filterObj.makeSignalTemplateMap(
+                beamFileName, amplitude=amplitude, returnDevice=True)
+            _trimCache(templateCache)
         return templateCache[key]
 
     dataStack = common["data"]
@@ -204,12 +212,13 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
             return build()
         if key not in templateCache:
             templateCache[key] = build()
+            _trimCache(templateCache)
         return templateCache[key]
 
     templates = _cachedStack(
         ("stack",) + geomKey,
-        lambda: np.stack([_template(m["beamFileName"])
-                          for m in filterObj.unfilteredMapsDictList]))
+        lambda: jnp.stack([_template(m["beamFileName"])
+                           for m in filterObj.unfilteredMapsDictList]))
     # Known-amplitude calibration stack (filters.py:635-690 in the
     # reference; mirrors MatchedFilter._calibrateSignalNorm here).
     y0 = 2e-4
@@ -222,9 +231,10 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
                 else:
                     deltaT0 = sz.convertToDeltaT(y0, m["obsFreqGHz"])
                     s = _template(m["beamFileName"], amplitude=deltaT0)
-                calib.append(np.asarray(fourier.apply_pixel_window(
-                    jnp.asarray(np.asarray(s)), pow=1.0)))
-            return np.stack(calib)
+                # window application stays on device - no host bounce
+                calib.append(fourier.apply_pixel_window(jnp.asarray(s),
+                                                        pow=1.0))
+            return jnp.stack(calib)
 
         unitsKey = tuple((m.get("units"), m.get("obsFreqGHz"))
                          for m in filterObj.unfilteredMapsDictList)
@@ -300,6 +310,16 @@ def _prepare_tile_realspace(config, f, tileName, mapsList=None):
                        "shape": filterObj.shape}
 
 
+_TEMPLATE_CACHE_MAX = 256   # ~1.4 GB of f32 tile templates on device
+
+
+def _trimCache(cache):
+    """FIFO-evict the oldest template-cache entries (survey tiles march
+    through declination bands in order, so old bands never recur)."""
+    while len(cache) > _TEMPLATE_CACHE_MAX:
+        cache.pop(next(iter(cache)))
+
+
 def _asBinaryMask(m):
     """uint8 view of a strictly-binary mask (8x less upload volume);
     non-binary masks pass through unchanged."""
@@ -350,8 +370,15 @@ def batchFilterTiles(config, f, tileNames=None, mesh=None, rms_impl="auto",
 
 def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                           rms_impl="auto", undoPixelWindow=True,
-                          verbose=True, deviceBatchSize=None):
+                          verbose=True, deviceBatchSize=None,
+                          consume=None):
     """Batched filtering of every (tile, filter) combination.
+
+    ``consume(label, tileName, filteredMapDict) -> bool``: optional
+    streaming sink invoked as each result lands on host.  Returning True
+    transfers ownership - the engine drops its reference, so peak memory
+    is one chunk of maps, not the whole survey (214 DR5 tiles x 16
+    scales x ~22 MB of float64 maps is ~75 GB if accumulated).
 
     Staging runs tile-outer so each tile's maps are loaded and
     preprocessed ONCE for the whole filter bank (the reference preprocesses
@@ -388,7 +415,8 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
         padShape, nf, gridSize, trimPix = key
         _run_bucket_realspace(config, staged[label], names, gridSize,
                               trimPix, mesh, nDev, rms_impl,
-                              undoPixelWindow, verbose, results[label])
+                              undoPixelWindow, verbose, results[label],
+                              label=label, consume=consume)
         for n in names:
             del staged[label][n]
 
@@ -405,14 +433,21 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
         for sub, labels in groups.items():
             _run_bucket_shared(config, staged, labels, list(sub), padShape,
                                gridSize, trimPix, mesh, nDev, rms_impl,
-                               undoPixelWindow, verbose, results)
+                               undoPixelWindow, verbose, results,
+                               consume=consume)
             for label in labels:
                 for n in sub:
                     staged[label].pop(n, None)
 
+    import time as _time
+    phaseT = {"preprocess": 0.0, "stage": 0.0}
+
     for tileName in tileNames:
+        t0 = _time.time()
         mapsList = _preprocessTileOnce(config, tileName)
         common = _stage_tile_common_from_maps(mapsList)
+        phaseT["preprocess"] += _time.time() - t0
+        t0 = _time.time()
         for f in fList:
             label = f["label"]
             if f["class"] in _REALSPACE_CLASSES:
@@ -437,6 +472,7 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                 bucket["labels"].add(label)
                 if tileName not in bucket["names"]:
                     bucket["names"].append(tileName)
+        phaseT["stage"] += _time.time() - t0
         # Flush only at tile boundaries so every filter of the bank is
         # staged for every tile in the chunk - a mid-tile flush would
         # split the bank into a 1-filter call plus a stragglers call,
@@ -450,6 +486,11 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
             if len(bucket["names"]) >= deviceBatchSize:
                 _flush_mf(key, bucket)
                 mfBuckets[key] = {"names": [], "labels": set()}
+                if verbose:
+                    print("    [staging so far: preprocess %.1fs, "
+                          "templates+stage %.1fs]"
+                          % (phaseT["preprocess"], phaseT["stage"]),
+                          flush=True)
 
     for f in fList:
         if f["class"] in _REALSPACE_CLASSES:
@@ -483,13 +524,16 @@ def _emit_result(config, filterObj, tileName, dataMap, SNMap, RMSMap,
                  tileMask, undoPixelWindow, results):
     """Shared per-tile result assembly: RMS-map save and output-units
     metadata - the tail of the host engines' buildAndApply.  The
-    pixel-window undo rides inside the batched device step
-    (``distribute._undo_pixel_window_masked``); ``undoPixelWindow`` is
-    kept for callers staging maps that bypassed the step."""
+    pixel-window undo runs with HOST numpy FFTs: a device dispatch here
+    would cost one round trip per (tile, filter) - ~3400 at DR5 scale on
+    a remote TPU link - while the host transform takes ~30 ms."""
     if undoPixelWindow:
         zeroMask = dataMap == 0
-        dataMap = np.array(fourier.apply_pixel_window(
-            jnp.asarray(dataMap), pow=-1.0))
+        ny, nx = dataMap.shape
+        wy, wx = fourier._window_half_1d(ny, nx, -1.0)
+        fm = np.fft.rfft2(dataMap)
+        dataMap = np.fft.irfft2(fm * (wy[:, None] * wx[None, :]),
+                                s=(ny, nx))
         dataMap[zeroMask] = 0
     params = filterObj.params
     if params.get("saveRMSMap") and RMSMap is not None:
@@ -518,7 +562,7 @@ def _emit_result(config, filterObj, tileName, dataMap, SNMap, RMSMap,
 
 def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
                           nDev, rms_impl, undoPixelWindow, verbose,
-                          results):
+                          results, label=None, consume=None):
     """One device call for a chunk of same-shaped real-space-filter tiles."""
     if verbose:
         print("... device batch (real-space): %d tile(s) at %s"
@@ -562,11 +606,14 @@ def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
         _emit_result(config, filterObj, tileName, filtered[i], SNMaps[i],
                      RMSMaps[i] if RMSMaps is not None else None,
                      outMask[i], False, results)  # undo ran in-step
+        if consume is not None and label is not None:
+            if consume(label, tileName, results[tileName]):
+                results.pop(tileName, None)
 
 
 def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
                        trimPix, mesh, nDev, rms_impl, undoPixelWindow,
-                       verbose, results):
+                       verbose, results, consume=None):
     """One tile chunk through every filter scale in ``labels``.
 
     The big arrays (data, masks, apodisation, and - for the dataMap noise
@@ -575,12 +622,16 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
     copies with only its signal/calibration templates crossing the wire.
     At DR5 scale (16 scales) this cuts staged upload volume ~5x.
     """
+    import time as _time
     if verbose:
         print("... device batch: %d tile(s) x %d filter(s) at %s"
-              % (len(names), len(labels), str(padShape)))
+              % (len(names), len(labels), str(padShape)), flush=True)
+    tPhase = {"upload": 0.0, "step": 0.0, "download": 0.0}
+    t0 = _time.time()
+    # Lean outputs: full S/N and RMS maps never cross the (slow) link -
+    # the per-cell RMS grid does, and the host rebuilds both exactly.
     step = make_sharded_matched_filter_step(
-        mesh, gridSize, trimPix, rms_impl=rms_impl,
-        undo_pixel_window=undoPixelWindow)
+        mesh, gridSize, trimPix, rms_impl=rms_impl, lean_outputs=True)
     nT = len(names)
     pad = (-nT) % nDev
     rep = ([1] * (nT - 1)) + [1 + pad] if pad else None
@@ -608,28 +659,43 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
         same-geometry tiles), then gather the full stack on device.
         Survey tiles repeat templates across declination bands, so this
         ships each distinct template once per chunk instead of once per
-        tile."""
+        tile.  Device-resident inputs (the template caches) never touch
+        the link at all: they are padded/stacked/gathered in place."""
         seen, idx = {}, []
         for a in arrs:
             k = id(a)
             if k not in seen:
                 seen[k] = len(seen)
             idx.append(seen[k])
-        if len(seen) == len(arrs):
-            return _put(arrs)
         uniq = [None] * len(seen)
         for a in arrs:
             uniq[seen[id(a)]] = a
-        uniqStack = np.stack([_pad2(a, padShape) for a in uniq])
-        if upDtype is not None and uniqStack.dtype == np.float64:
-            uniqStack = uniqStack.astype(upDtype)
-        uniqDev = jax.device_put(jnp.asarray(uniqStack))
+        onDevice = any(isinstance(a, jax.Array) for a in uniq)
+        if not onDevice and len(seen) == len(arrs):
+            return _put(arrs)
+        if onDevice:
+            padded = [jnp.pad(jnp.asarray(a),
+                              [(0, 0)] * (a.ndim - 2)
+                              + [(0, padShape[0] - a.shape[-2]),
+                                 (0, padShape[1] - a.shape[-1])])
+                      if a.shape[-2:] != tuple(padShape) else jnp.asarray(a)
+                      for a in uniq]
+            uniqDev = jnp.stack(padded)
+            if upDtype is not None and uniqDev.dtype == jnp.float64:
+                uniqDev = uniqDev.astype(upDtype)
+        else:
+            uniqStack = np.stack([_pad2(a, padShape) for a in uniq])
+            if upDtype is not None and uniqStack.dtype == np.float64:
+                uniqStack = uniqStack.astype(upDtype)
+            uniqDev = jax.device_put(jnp.asarray(uniqStack))
         idxA = np.asarray(idx, dtype=np.int32)
         if rep:
             idxA = np.repeat(idxA, rep, axis=0)
         full = jnp.take(uniqDev, jnp.asarray(idxA), axis=0)
         return jax.device_put(full, sh)
 
+    tPhase["step"] += _time.time() - t0  # step build/compile
+    t0 = _time.time()
     common = [staged[labels[0]][n][1]["common"] for n in names]
     dataDev = _put([c["data"] for c in common])
     apodDev = _putDedup([c["apodM"] for c in common])
@@ -642,6 +708,8 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
     peakDev = jax.device_put(jnp.asarray(peakYX), sh)
     halfShape = (padShape[0], padShape[1] // 2 + 1)
     fgZerosDev = None
+    jax.block_until_ready(dataDev)
+    tPhase["upload"] += _time.time() - t0
 
     for label in labels:
         st = staged[label]
@@ -667,27 +735,46 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
             if rep:
                 fg = np.repeat(fg, rep, axis=0)
             fgDev = jax.device_put(jnp.asarray(fg), sh)
+        t0 = _time.time()
         out = step(dataDev, noiseDev,
                    _putDedup([sk["template"] for sk in stacksList]),
                    _putDedup([sk["calib"] for sk in stacksList]),
                    jnp.asarray(stacksList[0]["w"]),
                    apodDev, psDev, surveyDev, fgDev, peakDev)
+        jax.block_until_ready(out)
+        tPhase["step"] += _time.time() - t0
+        t0 = _time.time()
         filtered = np.asarray(out["filtered"])[:nT]
-        SNMaps = np.asarray(out["SNMap"])[:nT]
-        # RMS maps only cross to host when they are kept
-        saveRMS = st[names[0]][0].params.get("saveRMSMap")
-        RMSMaps = np.asarray(out["RMSMap"])[:nT] if saveRMS else None
-        outMask = np.asarray(out["surveyMask"])[:nT].astype(float)
+        cells = np.asarray(out["RMSCells"])[:nT]
+        outMask = np.asarray(out["surveyMask"])[:nT]
+        tPhase["download"] += _time.time() - t0
 
+        saveRMS = st[names[0]][0].params.get("saveRMSMap")
         for i, tileName in enumerate(names):
             filterObj, stacks = st[tileName]
             shape = stacks["shape"]
             scale = stacks["unitsScale"]
-            dataMap = filtered[i][:shape[0], :shape[1]] * scale
-            SNMap = SNMaps[i][:shape[0], :shape[1]]
-            RMSMap = RMSMaps[i][:shape[0], :shape[1]] * scale \
-                if RMSMaps is not None else None
-            tileMask = outMask[i][:shape[0], :shape[1]]
+            # Expand the cell grid at the PADDED shape (where the device
+            # estimated it), then crop - matching the non-lean path.
+            rmsPad = noise_ops.assemble_rms_host(
+                cells[i], padShape[0], padShape[1], gridSize)
+            tileMask = outMask[i][:shape[0], :shape[1]].astype(float)
+            filtPad = filtered[i]
+            rms = rmsPad[:shape[0], :shape[1]]
+            filt = filtPad[:shape[0], :shape[1]]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                SNMap = np.where(rms > 0,
+                                 filt / np.maximum(rms, 1e-30), 0.0) \
+                    * tileMask
+            dataMap = filt * scale
+            RMSMap = rms * tileMask * scale if saveRMS else None
             _emit_result(config, filterObj, tileName, dataMap, SNMap,
-                         RMSMap, tileMask, False,  # undo ran in-step
+                         RMSMap, tileMask, undoPixelWindow,
                          results[label])
+            if consume is not None:
+                if consume(label, tileName, results[label][tileName]):
+                    results[label].pop(tileName, None)
+    if verbose:
+        print("    [chunk: upload %.1fs, step(+compile) %.1fs, "
+              "download %.1fs]" % (tPhase["upload"], tPhase["step"],
+                                   tPhase["download"]), flush=True)

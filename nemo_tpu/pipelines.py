@@ -99,42 +99,150 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
                         if f["label"] == photFilter]
     filtersList += [f for f in config.parDict["mapFilters"]
                     if photFilter is None or f["label"] != photFilter]
-    photFilteredMapDict = None
-
     undoPixelWindow = not useCachedRMSMap
+
+    catalogDict = {}
+    areaMaskDict = maps.TileDict({}, tileCoordsDict=config.tileCoordsDict)
+    flagMaskDict = maps.TileDict({}, tileCoordsDict=config.tileCoordsDict)
+    photMaps = {}   # tileName -> phot-filter maps, while the tile is live
+
+    def _processFilteredMap(f, tileName, filteredMapDict):
+        """Everything downstream of one (tile, filter) filtered map:
+        cached-RMS S/N recompute, optional map writes, detection or
+        forced photometry, flux measurement, catalog entry.  Factored
+        out of the tile loop so the batched engine can stream results
+        through it chunk by chunk instead of holding every survey map
+        in memory."""
+        label = f["label"] + "#" + tileName
+        catalogDict[label] = {}
+        if f["params"].get("saveDS9Regions"):
+            DS9RegionsPath = os.path.join(
+                filteredMapsDir, tileName, "%s_filteredMap.reg" % label)
+        else:
+            DS9RegionsPath = None
+        filteredMapFileName = os.path.join(
+            filteredMapsDir, tileName, "%s_filteredMap.fits" % label)
+        SNMapFileName = os.path.join(filteredMapsDir, tileName,
+                                     "%s_SNMap.fits" % label)
+
+        if useCachedRMSMap and photFilter is not None:
+            # See the reference's long comment at pipelines.py:216-232
+            RMSMap, _ = completeness.loadRMSMap(tileName, config.selFnDir,
+                                                photFilter)
+            validMask = RMSMap > 0
+            SNMap = np.array(filteredMapDict["data"])
+            SNMap[validMask] = SNMap[validMask] / RMSMap[validMask]
+            filteredMapDict["SNMap"] = SNMap
+            mask = filteredMapDict["data"] == 0
+            d = np.array(fourier.apply_pixel_window(
+                jnp.asarray(filteredMapDict["data"]), pow=-1.0))
+            d[mask] = 0
+            filteredMapDict["data"] = d
+
+        if f["params"].get("saveFilteredMaps"):
+            hdr = dict(filteredMapDict["wcs"].header)
+            hdr["BUNIT"] = filteredMapDict["mapUnits"]
+            if filteredMapDict.get("beamSolidAngle_nsr"):
+                hdr["BEAMNSR"] = filteredMapDict["beamSolidAngle_nsr"]
+                hdr["FREQGHZ"] = filteredMapDict["obsFreqGHz"]
+            os.makedirs(os.path.dirname(filteredMapFileName),
+                        exist_ok=True)
+            nfits.write_image(filteredMapFileName,
+                              filteredMapDict["data"], hdr)
+            nfits.write_image(SNMapFileName, filteredMapDict["SNMap"],
+                              hdr)
+
+        if f["label"] == photFilter:
+            photMaps[tileName] = {"SNMap": filteredMapDict["SNMap"],
+                                  "data": filteredMapDict["data"]}
+        photFilteredMapDict = photMaps.get(tileName)
+
+        if config.parDict.get("forcedPhotometryCatalog"):
+            catalog = photometry.makeForcedPhotometryCatalog(
+                filteredMapDict,
+                config.parDict["forcedPhotometryCatalog"],
+                useInterpolator=config.parDict["useInterpolator"],
+                DS9RegionsPath=DS9RegionsPath)
+        else:
+            with GLOBAL_TIMER.stage("findObjects"):
+                catalog = photometry.findObjects(
+                    filteredMapDict,
+                    threshold=config.parDict["thresholdSigma"],
+                    minObjPix=config.parDict["minObjPix"],
+                    findCenterOfMass=config.parDict["findCenterOfMass"],
+                    removeRings=config.parDict["removeRings"],
+                    ringThresholdSigma=config.parDict["ringThresholdSigma"],
+                    rejectBorder=config.parDict["rejectBorder"],
+                    objIdent=config.parDict["objIdent"],
+                    longNames=config.parDict["longNames"],
+                    useInterpolator=config.parDict["useInterpolator"],
+                    measureShapes=config.parDict["measureShapes"],
+                    invertMap=invertMap, DS9RegionsPath=DS9RegionsPath)
+
+        if writeAreaMask and tileName not in areaMaskDict:
+            areaMaskDict[tileName] = np.array(
+                filteredMapDict["surveyMask"], dtype=np.uint8)
+        if writeFlagMask and tileName not in flagMaskDict:
+            flagMaskDict[tileName] = np.asarray(
+                filteredMapDict["flagMask"], dtype=np.uint8)
+
+        if measureFluxes:
+            photometry.measureFluxes(
+                catalog, filteredMapDict, config.diagnosticsDir,
+                photFilteredMapDict=photFilteredMapDict,
+                useInterpolator=config.parDict["useInterpolator"])
+        else:
+            if photFilter is not None and len(catalog) > 0:
+                photometry.getSNRValues(
+                    catalog, photFilteredMapDict["SNMap"],
+                    filteredMapDict["wcs"], prefix="fixed_",
+                    useInterpolator=config.parDict["useInterpolator"],
+                    invertMap=invertMap)
+        catalogDict[label]["catalog"] = catalog
 
     # Opt-in device batching: run every eligible filter over ALL tiles as
     # one sharded call per shape bucket (the TPU replacement for the
-    # reference's one-tile-per-MPI-rank distribution), then let the loop
-    # below consume the precomputed maps.
+    # reference's one-tile-per-MPI-rank distribution). When the whole
+    # filter bank is eligible, results STREAM through
+    # _processFilteredMap as each chunk completes (detection overlaps
+    # the next chunk's device work and memory stays bounded by a chunk);
+    # otherwise results accumulate and the loop below consumes them.
     batchedResults = {}
     if config.parDict.get("useDeviceBatching") and not useCachedFilteredMaps:
         from .parallel import engine as batch_engine
         eligible = [f for f in filtersList
                     if batch_engine.eligibleForBatch(f, config.parDict)]
+        eligibleLabels = set(f["label"] for f in eligible)
+        streamOK = eligibleLabels == set(f["label"] for f in filtersList)
+        consume = None
+        if streamOK and eligible:
+            pendingTiles = {}
+
+            def consume(label, tileName, res):
+                pendingTiles.setdefault(tileName, {})[label] = res
+                if eligibleLabels <= set(pendingTiles[tileName]):
+                    byLabel = pendingTiles.pop(tileName)
+                    for f in filtersList:
+                        if f["label"] in byLabel:
+                            _processFilteredMap(f, tileName,
+                                                byLabel.pop(f["label"]))
+                    photMaps.pop(tileName, None)
+                return True
+
         if eligible:
             # one multi-filter call: each tile's maps are loaded and
             # preprocessed once for the whole filter bank
             with GLOBAL_TIMER.stage("filterMapsBatched"):
                 batchedResults = batch_engine.batchFilterTilesMulti(
                     config, eligible, undoPixelWindow=undoPixelWindow,
-                    verbose=verbose)
-
-    catalogDict = {}
-    areaMaskDict = maps.TileDict({}, tileCoordsDict=config.tileCoordsDict)
-    flagMaskDict = maps.TileDict({}, tileCoordsDict=config.tileCoordsDict)
+                    verbose=verbose, consume=consume)
     for tileName in config.tileNames:
         if verbose:
             print(">>> Making filtered maps - tileName = %s" % tileName)
         for f in filtersList:
             label = f["label"] + "#" + tileName
-            catalogDict[label] = {}
-            if f["params"].get("saveDS9Regions"):
-                DS9RegionsPath = os.path.join(
-                    filteredMapsDir, tileName,
-                    "%s_filteredMap.reg" % label)
-            else:
-                DS9RegionsPath = None
+            if label in catalogDict and "catalog" in catalogDict[label]:
+                continue    # already streamed through the batched engine
 
             filteredMapFileName = os.path.join(
                 filteredMapsDir, tileName, "%s_filteredMap.fits" % label)
@@ -172,80 +280,9 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
                         verbose=True, undoPixelWindow=undoPixelWindow,
                         useCachedFilter=useCachedFilters)
 
-            if useCachedRMSMap and photFilter is not None:
-                # See the reference's long comment at pipelines.py:216-232
-                RMSMap, _ = completeness.loadRMSMap(tileName, config.selFnDir,
-                                                    photFilter)
-                validMask = RMSMap > 0
-                SNMap = np.array(filteredMapDict["data"])
-                SNMap[validMask] = SNMap[validMask] / RMSMap[validMask]
-                filteredMapDict["SNMap"] = SNMap
-                mask = filteredMapDict["data"] == 0
-                d = np.array(fourier.apply_pixel_window(
-                    jnp.asarray(filteredMapDict["data"]), pow=-1.0))
-                d[mask] = 0
-                filteredMapDict["data"] = d
-
-            if f["params"].get("saveFilteredMaps"):
-                hdr = dict(filteredMapDict["wcs"].header)
-                hdr["BUNIT"] = filteredMapDict["mapUnits"]
-                if filteredMapDict.get("beamSolidAngle_nsr"):
-                    hdr["BEAMNSR"] = filteredMapDict["beamSolidAngle_nsr"]
-                    hdr["FREQGHZ"] = filteredMapDict["obsFreqGHz"]
-                os.makedirs(os.path.dirname(filteredMapFileName),
-                            exist_ok=True)
-                nfits.write_image(filteredMapFileName,
-                                  filteredMapDict["data"], hdr)
-                nfits.write_image(SNMapFileName, filteredMapDict["SNMap"],
-                                  hdr)
-
-            if f["label"] == photFilter:
-                photFilteredMapDict = {"SNMap": filteredMapDict["SNMap"],
-                                       "data": filteredMapDict["data"]}
-
-            if config.parDict.get("forcedPhotometryCatalog"):
-                catalog = photometry.makeForcedPhotometryCatalog(
-                    filteredMapDict,
-                    config.parDict["forcedPhotometryCatalog"],
-                    useInterpolator=config.parDict["useInterpolator"],
-                    DS9RegionsPath=DS9RegionsPath)
-            else:
-              with GLOBAL_TIMER.stage("findObjects"):
-                catalog = photometry.findObjects(
-                    filteredMapDict,
-                    threshold=config.parDict["thresholdSigma"],
-                    minObjPix=config.parDict["minObjPix"],
-                    findCenterOfMass=config.parDict["findCenterOfMass"],
-                    removeRings=config.parDict["removeRings"],
-                    ringThresholdSigma=config.parDict["ringThresholdSigma"],
-                    rejectBorder=config.parDict["rejectBorder"],
-                    objIdent=config.parDict["objIdent"],
-                    longNames=config.parDict["longNames"],
-                    useInterpolator=config.parDict["useInterpolator"],
-                    measureShapes=config.parDict["measureShapes"],
-                    invertMap=invertMap, DS9RegionsPath=DS9RegionsPath)
-
-            if writeAreaMask and tileName not in areaMaskDict:
-                areaMaskDict[tileName] = np.array(
-                    filteredMapDict["surveyMask"], dtype=np.uint8)
-            if writeFlagMask and tileName not in flagMaskDict:
-                flagMaskDict[tileName] = np.asarray(
-                    filteredMapDict["flagMask"], dtype=np.uint8)
-
-            if measureFluxes:
-                photometry.measureFluxes(
-                    catalog, filteredMapDict, config.diagnosticsDir,
-                    photFilteredMapDict=photFilteredMapDict,
-                    useInterpolator=config.parDict["useInterpolator"])
-            else:
-                if photFilter is not None and len(catalog) > 0:
-                    photometry.getSNRValues(
-                        catalog, photFilteredMapDict["SNMap"],
-                        filteredMapDict["wcs"], prefix="fixed_",
-                        useInterpolator=config.parDict["useInterpolator"],
-                        invertMap=invertMap)
+            _processFilteredMap(f, tileName, filteredMapDict)
             del filteredMapDict
-            catalogDict[label]["catalog"] = catalog
+        photMaps.pop(tileName, None)
 
     optimalCatalog = catalogs.makeOptimalCatalog(
         catalogDict, constraintsList=config.parDict["catalogCuts"])
