@@ -168,7 +168,7 @@ class MapDict(dict):
                                  % self["obsFreqGHz"])
             data = (data / conv[int(self["obsFreqGHz"])]) * 2.726 * 1e6
 
-        if self.get("weightsFileName"):
+        if self.get("weightsFileName") is not None:
             weights = self.loadTile("weightsFileName", tileName)
             weights = np.array(weights, dtype=np.float64)
             if weights.ndim == 3:
@@ -179,7 +179,7 @@ class MapDict(dict):
             weights = np.ones(data.shape)
         data[weights == 0] = 0
 
-        if self.get("surveyMask"):
+        if self.get("surveyMask") is not None:
             surveyMask = self.loadTile("surveyMask", tileName)
         else:
             surveyMask = np.ones(data.shape, dtype=np.uint8)
@@ -192,12 +192,12 @@ class MapDict(dict):
                 jnp.asarray(apodMask.astype(float)), 20))
             data = data * apodMask
 
-        if self.get("pointSourceMask"):
+        if self.get("pointSourceMask") is not None:
             psMask = self.loadTile("pointSourceMask", tileName)
         else:
             psMask = np.ones(data.shape, dtype=np.uint8)
 
-        if self.get("flagMask"):
+        if self.get("flagMask") is not None:
             flagMask = self.loadTile("flagMask", tileName) * surveyMask
         else:
             flagMask = np.zeros(data.shape, dtype=np.uint8)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec
 
 from ..ops import fourier, imageops
+from ..ops import detect as detect_ops
 from ..ops import noise as noise_ops
 from ..ops import solve as solve_ops
 from .mesh import TILE_AXIS, get_mesh, tile_sharding
@@ -270,11 +271,26 @@ def make_sharded_realspace_step(mesh, gridSize, trimPix, rms_impl="auto",
     return jax.jit(sharded)
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def gather_cutouts_batch(snBatch, fmBatch, ys, xs, window=16):
+    """Per-tile spline-window cutouts from a RESIDENT (S/N, signal) map
+    pair at externally-supplied positions - the cross-filter (fixed_)
+    photometry read against the reference filter's maps, without those
+    maps ever leaving the device."""
+
+    def one(sn, fm, yy, xx):
+        return detect_ops.gather_cutouts(jnp.stack([sn, fm]), yy, xx,
+                                         window=window)
+
+    return jax.vmap(one)(snBatch, fmBatch, ys, xs)
+
+
 @functools.lru_cache(maxsize=32)
 def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                                      rms_impl="auto",
                                      undo_pixel_window=False,
-                                     lean_outputs=False):
+                                     lean_outputs=False,
+                                     detect_params=None):
     """Production batched matched filter: the host engine's math
     (``nemo_tpu/filters.py:MatchedFilter.buildAndApply``) for a tile batch
     sharded over the device mesh.
@@ -355,6 +371,46 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         maskData = edgeCheck * surveyMask * psMask
         maskSN = maskData * (apodM == 1)
 
+        if detect_params is not None:
+            # Fully device-side detection (ops/detect.py): segmentation,
+            # per-object statistics and spline-window cutouts all happen
+            # here; only O(K) results cross the link.  The full maps stay
+            # resident as jit outputs for the caller's cross-filter
+            # (fixed_) cutout gathers.
+            threshold, maxObjects, nIter, useCom, cutWindow = detect_params
+            cells = noise_ops.grid_rms_map_batch(filtered, gridSize,
+                                                 impl=rms_impl,
+                                                 return_cells=True)
+            RMSMap = jax.vmap(lambda c: noise_ops._assemble_rms(
+                c, noise_ops._expansion_plan(
+                    noise_ops.cell_edges(filtered.shape[-2], gridSize),
+                    c.shape[0], filtered.shape[-2], gridSize // 2),
+                noise_ops._expansion_plan(
+                    noise_ops.cell_edges(filtered.shape[-1], gridSize),
+                    c.shape[1], filtered.shape[-1], gridSize // 2),
+                filtered.shape[-2], filtered.shape[-1]))(cells)
+            SNMap = jnp.where(RMSMap > 0,
+                              filtered / jnp.maximum(RMSMap, 1e-30),
+                              0.0) * maskSN
+            det = detect_ops.detect_objects_batch(SNMap, threshold,
+                                                  max_objects=maxObjects,
+                                                  n_iter=nIter)
+            outMap = jax.vmap(_undo_pixel_window_masked)(
+                filtered * maskData, maskData)
+            ys = det["comY"] if useCom else det["peakY"]
+            xs = det["comX"] if useCom else det["peakX"]
+
+            def cutOne(sn, fm, yy, xx):
+                return detect_ops.gather_cutouts(
+                    jnp.stack([sn, fm]), yy, xx, window=cutWindow)
+
+            cut, cutY0, cutX0 = jax.vmap(cutOne)(SNMap, outMap, ys, xs)
+            return {"filtered": outMap, "SNMap": SNMap,
+                    "RMSCells": cells,
+                    "surveyMask": maskSN.astype(jnp.uint8),
+                    "signalNorm": norms, "det": det,
+                    "cut": cut, "cutY0": cutY0, "cutX0": cutX0}
+
         if lean_outputs:
             # Slow-link mode: ship the per-cell RMS grid (KBs) instead of
             # the full RMS and S/N maps; the host expands the grid
@@ -383,7 +439,16 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                 "surveyMask": maskSN.astype(jnp.uint8),
                 "signalNorm": norms}
 
-    if lean_outputs:
+    if detect_params is not None:
+        out_specs = {"filtered": spec_tiles, "SNMap": spec_tiles,
+                     "RMSCells": spec_tiles, "surveyMask": spec_tiles,
+                     "signalNorm": spec_tiles,
+                     "det": {k: spec_tiles for k in
+                             ("valid", "numPix", "comY", "comX", "peak",
+                              "peakY", "peakX", "nObjects")},
+                     "cut": spec_tiles, "cutY0": spec_tiles,
+                     "cutX0": spec_tiles}
+    elif lean_outputs:
         out_specs = {"filtered": spec_tiles, "RMSCells": spec_tiles,
                      "surveyMask": spec_tiles, "signalNorm": spec_tiles}
     else:

@@ -371,7 +371,7 @@ def batchFilterTiles(config, f, tileNames=None, mesh=None, rms_impl="auto",
 def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                           rms_impl="auto", undoPixelWindow=True,
                           verbose=True, deviceBatchSize=None,
-                          consume=None):
+                          consume=None, detectParams=None):
     """Batched filtering of every (tile, filter) combination.
 
     ``consume(label, tileName, filteredMapDict) -> bool``: optional
@@ -430,11 +430,17 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
             sub = tuple(n for n in names if n in staged[label])
             if sub:
                 groups.setdefault(sub, []).append(label)
-        for sub, labels in groups.items():
+        photLabel = config.parDict.get("photFilter")
+        groupList = sorted(groups.items(),
+                           key=lambda kv: photLabel not in kv[1])
+        for sub, labels in groupList:
+            if photLabel in labels:  # phot first: its maps stay resident
+                labels = [photLabel] + [l for l in labels
+                                        if l != photLabel]
             _run_bucket_shared(config, staged, labels, list(sub), padShape,
                                gridSize, trimPix, mesh, nDev, rms_impl,
                                undoPixelWindow, verbose, results,
-                               consume=consume)
+                               consume=consume, detectParams=detectParams)
             for label in labels:
                 for n in sub:
                     staged[label].pop(n, None)
@@ -611,9 +617,112 @@ def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
                 results.pop(tileName, None)
 
 
+def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
+                         detectParams, label, photLabel, photRes,
+                         seenTiles, tPhase, results, consume):
+    """Assemble per-tile results in device-detection mode: only O(K)
+    statistics, spline-window cutouts and the tiny RMS cell grid cross
+    the link; the full maps stay resident on the devices."""
+    import time as _time
+    from .distribute import gather_cutouts_batch
+
+    threshold, maxObjects, nIter, useCom, cutWindow = detectParams
+    det = out["det"]
+    ysDev = det["comY"] if useCom else det["peakY"]
+    xsDev = det["comX"] if useCom else det["peakX"]
+    photCut = None
+    if photRes is not None and label != photLabel:
+        photCut = gather_cutouts_batch(photRes["SNMap"],
+                                       photRes["filtered"],
+                                       ysDev, xsDev, window=cutWindow)
+
+    t0 = _time.time()
+    detNp = {k: np.asarray(v)[:nT] for k, v in det.items()}
+    cut = np.asarray(out["cut"])[:nT]
+    cutY0 = np.asarray(out["cutY0"])[:nT]
+    cutX0 = np.asarray(out["cutX0"])[:nT]
+    cells = np.asarray(out["RMSCells"])[:nT]
+    norms = np.asarray(out["signalNorm"])[:nT]
+    if photCut is not None:
+        pCut = np.asarray(photCut[0])[:nT]
+        pY0 = np.asarray(photCut[1])[:nT]
+        pX0 = np.asarray(photCut[2])[:nT]
+    tPhase["download"] += _time.time() - t0
+
+    saveRMS = st[names[0]][0].params.get("saveRMSMap")
+    for i, tileName in enumerate(names):
+        filterObj, stacks = st[tileName]
+        shape = stacks["shape"]
+        scale = stacks["unitsScale"]
+        nObj = int(detNp["nObjects"][i])
+        if nObj > maxObjects:
+            print("... WARNING: %d objects in %s#%s exceed the device "
+                  "detection budget (%d); raise deviceDetectionMaxObjects"
+                  % (nObj, label, tileName, maxObjects))
+        tileMask = None
+        if tileName not in seenTiles or saveRMS:
+            # One mask download per tile (first label wins, as in the
+            # accumulate path's areaMask writes); also needed to zero the
+            # excluded area in a saved RMS map (getRMSTab reads zeros as
+            # "outside the survey").
+            t0 = _time.time()
+            tileMask = np.asarray(
+                out["surveyMask"][i])[:shape[0], :shape[1]].astype(float)
+            tPhase["download"] += _time.time() - t0
+            seenTiles.add(tileName)
+        cutScaled = np.array(cut[i], dtype=np.float64)
+        cutScaled[:, 1] *= scale     # signal plane to output units
+        res = {
+            "deviceDetections": {k: detNp[k][i] for k in
+                                 ("valid", "numPix", "comY", "comX",
+                                  "peak", "peakY", "peakX")},
+            "cutouts": cutScaled, "cutY0": cutY0[i], "cutX0": cutX0[i],
+            "cutWindow": cutWindow,
+            "wcs": filterObj.wcs, "label": filterObj.label,
+            "tileName": tileName, "flagMask": filterObj.flagMask,
+            "surveyMask": tileMask, "signalNorm": float(norms[i]),
+        }
+        if photCut is not None:
+            pc = np.array(pCut[i], dtype=np.float64)
+            pc[:, 1] *= photRes["scale"]
+            res["photCutouts"] = pc
+            res["photCutY0"] = pY0[i]
+            res["photCutX0"] = pX0[i]
+        elif label == photLabel:
+            # the phot filter reads fixed_ values from its own maps
+            res["photCutouts"] = cutScaled
+            res["photCutY0"] = cutY0[i]
+            res["photCutX0"] = cutX0[i]
+        if filterObj.params["outputUnits"] == "yc":
+            res["mapUnits"], res["obsFreqGHz"] = "yc", "yc"
+            res["beamSolidAngle_nsr"] = 0.0
+        else:
+            obsFreqGHz = float(list(filterObj.beamSolidAnglesDict)[0])
+            res["mapUnits"] = "uK"
+            res["obsFreqGHz"] = obsFreqGHz
+            res["beamSolidAngle_nsr"] = \
+                filterObj.beamSolidAnglesDict[obsFreqGHz]
+        if saveRMS:
+            rmsPad = noise_ops.assemble_rms_host(
+                cells[i], padShape[0], padShape[1], gridSize)
+            rms = rmsPad[:shape[0], :shape[1]] * tileMask * scale
+            import os
+            from ..utils import fits as nfits
+            RMSFileName = os.path.join(
+                config.selFnDir, tileName,
+                "RMSMap_%s#%s.fits" % (filterObj.label, tileName))
+            os.makedirs(os.path.dirname(RMSFileName), exist_ok=True)
+            nfits.write_image(RMSFileName, rms, filterObj.wcs.header,
+                              compressionType="RICE_1")
+        results[label][tileName] = res
+        if consume is not None:
+            if consume(label, tileName, res):
+                results[label].pop(tileName, None)
+
+
 def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
                        trimPix, mesh, nDev, rms_impl, undoPixelWindow,
-                       verbose, results, consume=None):
+                       verbose, results, consume=None, detectParams=None):
     """One tile chunk through every filter scale in ``labels``.
 
     The big arrays (data, masks, apodisation, and - for the dataMap noise
@@ -711,9 +820,19 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
     jax.block_until_ready(dataDev)
     tPhase["upload"] += _time.time() - t0
 
+    photLabel = config.parDict.get("photFilter")
+    photRes = None          # resident phot maps for fixed_ cutout gathers
+    seenTiles = set()       # maskSN downloaded once per tile, not per label
+
     for label in labels:
         st = staged[label]
         stacksList = [st[n][1] for n in names]
+        useDetect = detectParams is not None \
+            and not st[names[0]][0].params.get("saveFilteredMaps")
+        stepFn = make_sharded_matched_filter_step(
+            mesh, gridSize, trimPix, rms_impl=rms_impl,
+            lean_outputs=not useDetect,
+            detect_params=detectParams if useDetect else None)
         # noise stack: for dataMap/max(dataMap,CMB) it IS the data - reuse
         # the resident upload; 'model' noise uploads per filter
         if all(sk["noise"] is sk["data"] for sk in stacksList):
@@ -736,20 +855,31 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
                 fg = np.repeat(fg, rep, axis=0)
             fgDev = jax.device_put(jnp.asarray(fg), sh)
         t0 = _time.time()
-        out = step(dataDev, noiseDev,
-                   _putDedup([sk["template"] for sk in stacksList]),
-                   _putDedup([sk["calib"] for sk in stacksList]),
-                   jnp.asarray(stacksList[0]["w"]),
-                   apodDev, psDev, surveyDev, fgDev, peakDev)
-        jax.block_until_ready(out)
+        out = stepFn(dataDev, noiseDev,
+                     _putDedup([sk["template"] for sk in stacksList]),
+                     _putDedup([sk["calib"] for sk in stacksList]),
+                     jnp.asarray(stacksList[0]["w"]),
+                     apodDev, psDev, surveyDev, fgDev, peakDev)
         tPhase["step"] += _time.time() - t0
+        saveRMS = st[names[0]][0].params.get("saveRMSMap")
+
+        if useDetect:
+            _emit_detect_results(
+                config, st, names, nT, out, padShape, gridSize,
+                detectParams, label, photLabel, photRes, seenTiles,
+                tPhase, results, consume)
+            if label == photLabel:
+                photRes = {"SNMap": out["SNMap"],
+                           "filtered": out["filtered"],
+                           "scale": stacksList[0]["unitsScale"]}
+            continue
+
         t0 = _time.time()
         filtered = np.asarray(out["filtered"])[:nT]
         cells = np.asarray(out["RMSCells"])[:nT]
         outMask = np.asarray(out["surveyMask"])[:nT]
         tPhase["download"] += _time.time() - t0
 
-        saveRMS = st[names[0]][0].params.get("saveRMSMap")
         for i, tileName in enumerate(names):
             filterObj, stacks = st[tileName]
             shape = stacks["shape"]

@@ -183,6 +183,123 @@ def _measureShape(data, segMap, objID, numSigPix):
     return out
 
 
+def _cutoutSpline(cutout, y0, x0, y, x, useInterpolator):
+    """Value at float (y, x) from a spline-window cutout anchored at
+    (y0, x0) - bit-identical to ``interp.subpixel_values`` on the full
+    map when the anchors agree (ops/detect.py gather_cutouts)."""
+    if not useInterpolator:
+        P = cutout.shape[-1]
+        return float(cutout[int(np.clip(round(y) - y0, 0, P - 1)),
+                            int(np.clip(round(x) - x0, 0, P - 1))])
+    from scipy import interpolate as sinterp
+    P = cutout.shape[-1]
+    spl = sinterp.RectBivariateSpline(
+        np.arange(y0, y0 + P), np.arange(x0, x0 + P), cutout, kx=3, ky=3)
+    return float(spl(y, x)[0][0])
+
+
+def catalogFromDeviceDetections(filteredMapDict, threshold=3.0, minObjPix=3,
+                                findCenterOfMass=True, objIdent="ACT-CL",
+                                longNames=False, useInterpolator=True,
+                                ycObsFreqGHz=148.0, DS9RegionsPath=None):
+    """Build the detection + flux catalog from on-device detection
+    products (``ops/detect.py`` via the batched engine's device-detect
+    mode) - the TPU-native equivalent of ``findObjects`` +
+    ``measureFluxes``, with only per-object statistics and spline-window
+    cutouts ever leaving the device.
+
+    ``filteredMapDict`` carries: deviceDetections (valid/numPix/com/peak
+    arrays), cutouts (K, 2, P, P) of (S/N map, signal map in output
+    units) plus their anchors, optional photCutouts of the reference
+    filter's maps at the same positions, wcs/label/tileName/flagMask and
+    unit metadata.
+    """
+    det = filteredMapDict["deviceDetections"]
+    cut = filteredMapDict["cutouts"]
+    cutY0 = filteredMapDict["cutY0"]
+    cutX0 = filteredMapDict["cutX0"]
+    wcs = filteredMapDict["wcs"]
+    flagMask = np.asarray(filteredMapDict["flagMask"])
+    mapUnits = filteredMapDict["mapUnits"]
+    obsFreqGHz = filteredMapDict.get("obsFreqGHz")
+    beamSolidAngle_nsr = filteredMapDict.get("beamSolidAngle_nsr", 0)
+    photCut = filteredMapDict.get("photCutouts")
+    reportJyFluxes = (mapUnits == "uK" and beamSolidAngle_nsr
+                      and obsFreqGHz not in (None, "yc"))
+
+    catalog = []
+    idNumCount = 1
+    K = len(det["valid"])
+    for k in range(K):
+        if not det["valid"][k] or det["numPix"][k] <= minObjPix:
+            continue
+        y = float(det["comY"][k] if findCenterOfMass else det["peakY"][k])
+        x = float(det["comX"][k] if findCenterOfMass else det["peakX"][k])
+        objDict = {"id": idNumCount, "x": x, "y": y}
+        idNumCount += 1
+        ra, dec = wcs.pix2wcs(x, y)
+        if ra < 0:
+            ra = 360 + ra
+        objDict["RADeg"], objDict["decDeg"] = ra, dec
+        objDict["galacticLatDeg"] = catalogs.galacticLatDeg(ra, dec)
+        if longNames:
+            objDict["name"] = catalogs.makeLongName(ra, dec,
+                                                    prefix=objIdent)
+        else:
+            objDict["name"] = catalogs.makeName(ra, dec, prefix=objIdent)
+        objDict["numSigPix"] = float(det["numPix"][k])
+        objDict["template"] = filteredMapDict["label"]
+        objDict["tileName"] = filteredMapDict["tileName"]
+        snr = _cutoutSpline(cut[k, 0], int(cutY0[k]), int(cutX0[k]), y, x,
+                            useInterpolator)
+        objDict["SNR"] = snr
+        yi = int(np.clip(round(y), 0, flagMask.shape[0] - 1))
+        xi = int(np.clip(round(x), 0, flagMask.shape[1] - 1))
+        objDict["flags"] = int(flagMask[yi, xi])
+        if snr <= threshold:
+            continue
+
+        # Flux columns (measureFluxes semantics, photometry.py:258-351)
+        mapValue = _cutoutSpline(cut[k, 1], int(cutY0[k]), int(cutX0[k]),
+                                 y, x, useInterpolator)
+        readers = [("", snr, mapValue)]
+        if photCut is not None:
+            pY0 = int(filteredMapDict["photCutY0"][k])
+            pX0 = int(filteredMapDict["photCutX0"][k])
+            fixedSNR = _cutoutSpline(photCut[k, 0], pY0, pX0, y, x,
+                                     useInterpolator)
+            fixedVal = _cutoutSpline(photCut[k, 1], pY0, pX0, y, x,
+                                     useInterpolator)
+            objDict["fixed_SNR"] = fixedSNR
+            readers.append(("fixed_", fixedSNR, fixedVal))
+        for prefix, snrV, val in readers:
+            snr_safe = snrV if snrV != 0 else 1e-9
+            if mapUnits == "yc":
+                objDict[prefix + "y_c"] = val / 1e-4
+                objDict[prefix + "err_y_c"] = \
+                    objDict[prefix + "y_c"] / snr_safe
+                deltaTc = sz.convertToDeltaT(val,
+                                             obsFrequencyGHz=ycObsFreqGHz)
+                objDict[prefix + "deltaT_c"] = deltaTc
+                objDict[prefix + "err_deltaT_c"] = abs(deltaTc / snr_safe)
+            else:
+                objDict[prefix + "deltaT_c"] = val
+                objDict[prefix + "err_deltaT_c"] = val / snr_safe
+                if reportJyFluxes:
+                    objDict[prefix + "fluxJy"] = sz.deltaTToJyPerSr(
+                        val, obsFreqGHz) * beamSolidAngle_nsr * 1e-9
+                    objDict[prefix + "err_fluxJy"] = sz.deltaTToJyPerSr(
+                        objDict[prefix + "err_deltaT_c"],
+                        obsFreqGHz) * beamSolidAngle_nsr * 1e-9
+        catalog.append(objDict)
+
+    if len(catalog) > 0:
+        catalog = catalogs.catalogListToTab(catalog)
+        if DS9RegionsPath is not None:
+            catalogs.catalog2DS9(catalog, DS9RegionsPath)
+    return catalog
+
+
 def getSNRValues(catalog, SNMap, wcs, useInterpolator=True, invertMap=False,
                  prefix=""):
     """Measure SNR at catalog positions (``photometry.py:225-255``)."""

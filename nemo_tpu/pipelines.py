@@ -10,6 +10,7 @@ provided by :mod:`nemo_tpu.parallel`.
 import os
 import time
 
+import jax
 import numpy as np
 
 from . import catalogs, filters, maps, photometry
@@ -120,6 +121,29 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
                 filteredMapsDir, tileName, "%s_filteredMap.reg" % label)
         else:
             DS9RegionsPath = None
+
+        if "deviceDetections" in filteredMapDict:
+            # Device-detect mode: segmentation + statistics + cutouts all
+            # happened on the devices; build the catalog from them.
+            with GLOBAL_TIMER.stage("findObjects"):
+                catalog = photometry.catalogFromDeviceDetections(
+                    filteredMapDict,
+                    threshold=config.parDict["thresholdSigma"],
+                    minObjPix=config.parDict["minObjPix"],
+                    findCenterOfMass=config.parDict["findCenterOfMass"],
+                    objIdent=config.parDict["objIdent"],
+                    longNames=config.parDict["longNames"],
+                    useInterpolator=config.parDict["useInterpolator"],
+                    DS9RegionsPath=DS9RegionsPath)
+            if writeAreaMask and tileName not in areaMaskDict \
+                    and filteredMapDict.get("surveyMask") is not None:
+                areaMaskDict[tileName] = np.array(
+                    filteredMapDict["surveyMask"], dtype=np.uint8)
+            if writeFlagMask and tileName not in flagMaskDict:
+                flagMaskDict[tileName] = np.asarray(
+                    filteredMapDict["flagMask"], dtype=np.uint8)
+            catalogDict[label]["catalog"] = catalog
+            return
         filteredMapFileName = os.path.join(
             filteredMapsDir, tileName, "%s_filteredMap.fits" % label)
         SNMapFileName = os.path.join(filteredMapsDir, tileName,
@@ -229,13 +253,34 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
                     photMaps.pop(tileName, None)
                 return True
 
+        # Fully device-side detection when the whole pipeline shape
+        # allows it (TPU by default - it keeps the full maps off the
+        # slow host link; force with useDeviceDetection: true/false)
+        detectParams = None
+        dd = config.parDict.get("useDeviceDetection", "auto")
+        wantDetect = (dd is True) or (dd == "auto"
+                                      and jax.default_backend() == "tpu")
+        if wantDetect and streamOK and eligible and measureFluxes \
+                and undoPixelWindow \
+                and not config.parDict.get("forcedPhotometryCatalog") \
+                and not invertMap \
+                and not config.parDict["removeRings"] \
+                and not config.parDict["measureShapes"]:
+            detectParams = (
+                float(config.parDict["thresholdSigma"]),
+                int(config.parDict.get("deviceDetectionMaxObjects", 128)),
+                128,
+                bool(config.parDict["findCenterOfMass"]),
+                16)
+
         if eligible:
             # one multi-filter call: each tile's maps are loaded and
             # preprocessed once for the whole filter bank
             with GLOBAL_TIMER.stage("filterMapsBatched"):
                 batchedResults = batch_engine.batchFilterTilesMulti(
                     config, eligible, undoPixelWindow=undoPixelWindow,
-                    verbose=verbose, consume=consume)
+                    verbose=verbose, consume=consume,
+                    detectParams=detectParams)
     for tileName in config.tileNames:
         if verbose:
             print(">>> Making filtered maps - tileName = %s" % tileName)

@@ -206,3 +206,45 @@ def test_batched_multi_scale_templates_distinct(tiled_run,  # noqa: F811
         ratio = d[sel] / h[sel]
         assert abs(np.median(ratio) - 1) < 0.02, (f["label"],
                                                   np.median(ratio))
+
+
+def test_device_detection_matches_host(tiled_run, tmp_path):  # noqa: F811
+    """Full on-device detection (segmentation + stats + cutouts on the
+    device, catalog assembled from O(K) downloads) must reproduce the
+    host pipeline's catalog: identical objects, near-identical positions
+    and S/N, fluxes to the documented in-step pixel-window tolerance."""
+    inputTab, hostCatalog, config, w = tiled_run
+    # Reference: the SAME batched engine with host-side detection, so the
+    # comparison isolates the device detection/cutout path (batched vs
+    # host-engine differences are covered by
+    # test_batched_pipeline_matches_host_engine).
+    config.parDict["useDeviceBatching"] = True
+    try:
+        config.parDict["useDeviceDetection"] = False
+        refCatalog = pipelines._filterMapsAndMakeCatalogs(
+            config, rootOutDir=str(tmp_path / "ref"), verbose=False)
+        config.parDict["useDeviceDetection"] = True
+        devCatalog = pipelines._filterMapsAndMakeCatalogs(
+            config, rootOutDir=str(tmp_path / "devdet"), verbose=False)
+    finally:
+        config.parDict["useDeviceDetection"] = False
+        config.parDict["useDeviceBatching"] = False
+
+    refSNR = np.asarray(refCatalog["SNR"])
+    devSNR = np.asarray(devCatalog["SNR"])
+    assert (refSNR > 6).sum() == (devSNR > 6).sum()
+
+    refM, devM, seps = catalogs.crossMatch(refCatalog, devCatalog,
+                                           radiusArcmin=0.5)
+    sel = np.asarray(refM["SNR"]) > 6
+    assert sel.sum() >= 5
+    # positions: identical segmentation + centroid math
+    assert np.max(np.asarray(seps)[sel]) * 3600 < 0.1
+    # S/N: same masked ratio computed either side of the link
+    snrRatio = np.asarray(devM["SNR"])[sel] / np.asarray(refM["SNR"])[sel]
+    assert np.max(np.abs(snrRatio - 1)) < 1e-6, snrRatio
+    # fluxes: in-step pixel-window undo runs at the padded shape (the
+    # reference path undoes at tile shape) - sub-percent interior effect
+    ampRatio = (np.asarray(devM["deltaT_c"])[sel]
+                / np.asarray(refM["deltaT_c"])[sel])
+    assert np.max(np.abs(ampRatio - 1)) < 0.01, ampRatio
