@@ -638,13 +638,22 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
 
     t0 = _time.time()
     detNp = {k: np.asarray(v)[:nT] for k, v in det.items()}
-    cut = np.asarray(out["cut"])[:nT]
     cutY0 = np.asarray(out["cutY0"])[:nT]
     cutX0 = np.asarray(out["cutX0"])[:nT]
     cells = np.asarray(out["RMSCells"])[:nT]
     norms = np.asarray(out["signalNorm"])[:nT]
+    # Valid detections occupy a PREFIX of the K object slots (roots are
+    # sorted with the invalid sentinel at the end), so per-tile cutout
+    # downloads slice to the actual object count instead of shipping the
+    # full K-slot padding - typically a 2-3x transfer cut, and smaller
+    # requests also move faster on this link.
+    kUse = detNp["valid"].sum(axis=1).astype(int)
+    cut = [np.asarray(out["cut"][i, :kUse[i]]) if kUse[i] else
+           np.zeros((0, 2) + out["cut"].shape[-2:]) for i in range(nT)]
     if photCut is not None:
-        pCut = np.asarray(photCut[0])[:nT]
+        pCut = [np.asarray(photCut[0][i, :kUse[i]]) if kUse[i] else
+                np.zeros((0, 2) + out["cut"].shape[-2:])
+                for i in range(nT)]
         pY0 = np.asarray(photCut[1])[:nT]
         pX0 = np.asarray(photCut[2])[:nT]
     tPhase["download"] += _time.time() - t0
