@@ -637,22 +637,35 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                                        ysDev, xsDev, window=cutWindow)
 
     t0 = _time.time()
-    detNp = {k: np.asarray(v)[:nT] for k, v in det.items()}
-    cutY0 = np.asarray(out["cutY0"])[:nT]
-    cutX0 = np.asarray(out["cutX0"])[:nT]
+    # Per-request link latency adds up: pack the per-object statistics
+    # into ONE device array and ship them in one request; same for the
+    # anchors and cell grids.
+    detKeys = ("valid", "numPix", "comY", "comX", "peak", "peakY",
+               "peakX")
+    packed = np.asarray(jnp.stack(
+        [det[k].astype(jnp.float32) for k in detKeys]
+        + [out["cutY0"].astype(jnp.float32),
+           out["cutX0"].astype(jnp.float32)], axis=-1))[:nT]
+    detNp = {k: packed[..., j] for j, k in enumerate(detKeys)}
+    detNp["nObjects"] = np.asarray(det["nObjects"])[:nT]
+    cutY0 = packed[..., len(detKeys)].astype(np.int32)
+    cutX0 = packed[..., len(detKeys) + 1].astype(np.int32)
     cells = np.asarray(out["RMSCells"])[:nT]
     norms = np.asarray(out["signalNorm"])[:nT]
     # Valid detections occupy a PREFIX of the K object slots (roots are
-    # sorted with the invalid sentinel at the end), so per-tile cutout
-    # downloads slice to the actual object count instead of shipping the
-    # full K-slot padding - typically a 2-3x transfer cut, and smaller
-    # requests also move faster on this link.
+    # sorted with the invalid sentinel at the end): one sliced request
+    # ships every tile's actual objects without the K-slot padding.
     kUse = detNp["valid"].sum(axis=1).astype(int)
-    cut = [np.asarray(out["cut"][i, :kUse[i]]) if kUse[i] else
-           np.zeros((0, 2) + out["cut"].shape[-2:]) for i in range(nT)]
+    kMax = int(kUse.max()) if nT else 0
+    P2 = out["cut"].shape[-2:]
+    if kMax:
+        cutAll = np.asarray(out["cut"][:nT, :kMax])
+    cut = [cutAll[i, :kUse[i]] if kUse[i] else np.zeros((0, 2) + P2)
+           for i in range(nT)]
     if photCut is not None:
-        pCut = [np.asarray(photCut[0][i, :kUse[i]]) if kUse[i] else
-                np.zeros((0, 2) + out["cut"].shape[-2:])
+        if kMax:
+            pAll = np.asarray(photCut[0][:nT, :kMax])
+        pCut = [pAll[i, :kUse[i]] if kUse[i] else np.zeros((0, 2) + P2)
                 for i in range(nT)]
         pY0 = np.asarray(photCut[1])[:nT]
         pX0 = np.asarray(photCut[2])[:nT]
