@@ -290,7 +290,8 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                                      rms_impl="auto",
                                      undo_pixel_window=False,
                                      lean_outputs=False,
-                                     detect_params=None):
+                                     detect_params=None,
+                                     return_filter=False):
     """Production batched matched filter: the host engine's math
     (``nemo_tpu/filters.py:MatchedFilter.buildAndApply``) for a tile batch
     sharded over the device mesh.
@@ -344,20 +345,26 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         # centre (the TILE centre - the zero padding sits at the high
         # ends, so the centre varies per tile within a shape bucket).
         fCalib = jnp.fft.rfft2(c)
-        filteredCalib = jnp.sum(jnp.fft.irfft2(fCalib * filt, s=(ny, nx)),
-                                axis=0)
+        calibPlanes = jnp.fft.irfft2(fCalib * filt, s=(ny, nx))
+        filteredCalib = jnp.sum(calibPlanes, axis=0)
         peak = filteredCalib[peakYX[0], peakYX[1]]
         signalNorm = 1.0 / peak
 
         filtered = jnp.sum(jnp.fft.irfft2(fMaps * filt, s=(ny, nx)),
                            axis=0) * signalNorm
-        return filtered, signalNorm
+        # Per-frequency share of the calibration peak = fRel weights
+        # (host engine reads these at the peak pixel, filters.py:671-674)
+        planePeaks = calibPlanes[:, peakYX[0], peakYX[1]]
+        fRelW = planePeaks / peak
+        return filtered, signalNorm, filt, fRelW
 
     def per_shard(data, noise, template, calib, w, apodM, psMask,
                   surveyMask, fgPower, peakYX):
-        filtered, norms = jax.vmap(
+        filtered, norms, filts, fRelW = jax.vmap(
             lambda d, n, t, c, a, g, p: one_tile(d, n, t, c, w, a, g, p))(
             data, noise, template, calib, apodM, fgPower, peakYX)
+        filterOut = {"filt": filts, "fRelW": fRelW} if return_filter \
+            else {}
         filtered = filtered * psMask
 
         if trimPix > 0:
@@ -405,11 +412,12 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                     jnp.stack([sn, fm]), yy, xx, window=cutWindow)
 
             cut, cutY0, cutX0 = jax.vmap(cutOne)(SNMap, outMap, ys, xs)
-            return {"filtered": outMap, "SNMap": SNMap,
-                    "RMSCells": cells,
-                    "surveyMask": maskSN.astype(jnp.uint8),
-                    "signalNorm": norms, "det": det,
-                    "cut": cut, "cutY0": cutY0, "cutX0": cutX0}
+            return dict({"filtered": outMap, "SNMap": SNMap,
+                         "RMSCells": cells,
+                         "surveyMask": maskSN.astype(jnp.uint8),
+                         "signalNorm": norms, "det": det,
+                         "cut": cut, "cutY0": cutY0, "cutX0": cutX0},
+                        **filterOut)
 
         if lean_outputs:
             # Slow-link mode: ship the per-cell RMS grid (KBs) instead of
@@ -419,9 +427,10 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
             cells = noise_ops.grid_rms_map_batch(filtered, gridSize,
                                                  impl=rms_impl,
                                                  return_cells=True)
-            return {"filtered": filtered * maskData, "RMSCells": cells,
-                    "surveyMask": maskSN.astype(jnp.uint8),
-                    "signalNorm": norms}
+            return dict({"filtered": filtered * maskData,
+                         "RMSCells": cells,
+                         "surveyMask": maskSN.astype(jnp.uint8),
+                         "signalNorm": norms}, **filterOut)
 
         RMSMap = noise_ops.grid_rms_map_batch(filtered, gridSize,
                                               impl=rms_impl)
@@ -434,10 +443,10 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
             # equivalent crops first, nemo_tpu/filters.py:66; interior
             # values agree to float tolerance).
             outMap = jax.vmap(_undo_pixel_window_masked)(outMap, maskData)
-        return {"filtered": outMap, "SNMap": SNMap * maskSN,
-                "RMSMap": RMSMap * maskSN,
-                "surveyMask": maskSN.astype(jnp.uint8),
-                "signalNorm": norms}
+        return dict({"filtered": outMap, "SNMap": SNMap * maskSN,
+                     "RMSMap": RMSMap * maskSN,
+                     "surveyMask": maskSN.astype(jnp.uint8),
+                     "signalNorm": norms}, **filterOut)
 
     if detect_params is not None:
         out_specs = {"filtered": spec_tiles, "SNMap": spec_tiles,
@@ -455,6 +464,9 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         out_specs = {"filtered": spec_tiles, "SNMap": spec_tiles,
                      "RMSMap": spec_tiles, "surveyMask": spec_tiles,
                      "signalNorm": spec_tiles}
+    if return_filter:
+        out_specs["filt"] = spec_tiles
+        out_specs["fRelW"] = spec_tiles
     sharded = shard_map(
         per_shard, mesh=mesh,
         in_specs=(spec_tiles, spec_tiles, spec_tiles, spec_tiles, spec_rep,

@@ -20,6 +20,7 @@ instead of through a spline.
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -70,8 +71,11 @@ def eligibleForBatch(f, parDict):
         return True
     if f["class"] not in _BATCHABLE_CLASSES:
         return False
-    if params.get("saveFilter") or params.get("savePlots") \
-            or params.get("saveFreqWeightMap"):
+    # saveFilter/saveFreqWeightMap are supported: the sharded step
+    # returns the built filter + fRel peak shares and the runner writes
+    # the same cache FITS the host engine would (fitQ / getFRelWeights
+    # consume it); savePlots stays host-only.
+    if params.get("savePlots"):
         return False
     if noiseParams.get("method") not in ("dataMap", "model",
                                          "max(dataMap,CMB)"):
@@ -617,6 +621,33 @@ def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
                 results.pop(tileName, None)
 
 
+def _saveFilterCaches(st, names, nT, out, tPhase):
+    """Write the filter cache FITS (host ``MapFilter.saveFilter`` format:
+    SIGNORM + RW fRel-weight headers) from the sharded step's
+    ``return_filter`` outputs - fitQ and getFRelWeights read these."""
+    import time as _time
+    from ..utils import fits as nfits
+
+    t0 = _time.time()
+    filts = np.asarray(out["filt"])[:nT]
+    fRelW = np.asarray(out["fRelW"])[:nT]
+    norms = np.asarray(out["signalNorm"])[:nT]
+    tPhase["download"] += _time.time() - t0
+    for i, tileName in enumerate(names):
+        filterObj, stacks = st[tileName]
+        header = nfits.Header()
+        # host convention: signalNorm includes the output-units scale
+        header["SIGNORM"] = float(norms[i] * stacks["unitsScale"])
+        for count, m in enumerate(filterObj.unfilteredMapsDictList,
+                                  start=1):
+            header["RW%d_GHZ" % count] = m["obsFreqGHz"]
+            header["RW%d" % count] = float(fRelW[i, count - 1])
+        os.makedirs(os.path.dirname(filterObj.filterFileName),
+                    exist_ok=True)
+        nfits.write_image(filterObj.filterFileName,
+                          np.asarray(filts[i], dtype=np.float64), header)
+
+
 def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                          detectParams, label, photLabel, photRes,
                          seenTiles, tPhase, results, consume):
@@ -851,10 +882,12 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
         stacksList = [st[n][1] for n in names]
         useDetect = detectParams is not None \
             and not st[names[0]][0].params.get("saveFilteredMaps")
+        wantFilter = bool(st[names[0]][0].params.get("saveFilter"))
         stepFn = make_sharded_matched_filter_step(
             mesh, gridSize, trimPix, rms_impl=rms_impl,
             lean_outputs=not useDetect,
-            detect_params=detectParams if useDetect else None)
+            detect_params=detectParams if useDetect else None,
+            return_filter=wantFilter)
         # noise stack: for dataMap/max(dataMap,CMB) it IS the data - reuse
         # the resident upload; 'model' noise uploads per filter
         if all(sk["noise"] is sk["data"] for sk in stacksList):
@@ -884,6 +917,8 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
                      apodDev, psDev, surveyDev, fgDev, peakDev)
         tPhase["step"] += _time.time() - t0
         saveRMS = st[names[0]][0].params.get("saveRMSMap")
+        if wantFilter:
+            _saveFilterCaches(st, names, nT, out, tPhase)
 
         if useDetect:
             _emit_detect_results(

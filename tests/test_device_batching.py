@@ -43,8 +43,16 @@ def test_eligibility_rules():
                                       "noiseGridArcmin": "smart"},
                       "outputUnits": "uK"}}
     assert not engine.eligibleForBatch(bad, {})
+    # saveFilter batches too now (the step returns the built filter and
+    # the runner writes the host-format cache); savePlots stays host-only
+    okFilt = {"class": "BeamMatchedFilter",
+              "params": {"saveFilter": True,
+                         "noiseParams": {"method": "dataMap",
+                                         "noiseGridArcmin": 40.0},
+                         "outputUnits": "uK"}}
+    assert engine.eligibleForBatch(okFilt, {})
     bad = {"class": "BeamMatchedFilter",
-           "params": {"saveFilter": True,
+           "params": {"savePlots": True,
                       "noiseParams": {"method": "dataMap",
                                       "noiseGridArcmin": 40.0},
                       "outputUnits": "uK"}}
@@ -248,3 +256,45 @@ def test_device_detection_matches_host(tiled_run, tmp_path):  # noqa: F811
     ampRatio = (np.asarray(devM["deltaT_c"])[sel]
                 / np.asarray(refM["deltaT_c"])[sel])
     assert np.max(np.abs(ampRatio - 1)) < 0.01, ampRatio
+
+
+def test_batched_filter_cache_feeds_loadFilter(tiled_run, tmp_path):  # noqa: F811
+    """saveFilter through the batched engine writes the host-format cache
+    (SIGNORM + RW headers): loadFilter must read it back and the filter
+    must match a host-built one closely (calibration peak read differs
+    sub-percent: integer-pixel vs spline)."""
+    from nemo_tpu import filters as filters_mod
+
+    inputTab, hostCatalog, config, w = tiled_run
+    f = {"label": "BeamSaveF", "class": "BeamMatchedFilter",
+         "params": {"noiseParams": {"method": "dataMap",
+                                    "noiseGridArcmin": 40.0},
+                    "outputUnits": "uK", "edgeTrimArcmin": 10.0,
+                    "saveFilter": True}}
+    tileName = config.tileNames[0]
+    engine.batchFilterTilesMulti(config, [f], tileNames=[tileName],
+                                 verbose=False)
+
+    loader = filters_mod.getFilterClass(f["class"])(
+        f["label"], config.unfilteredMapsDictList, f["params"],
+        tileName=tileName, diagnosticsDir=config.diagnosticsDir)
+    assert os.path.exists(loader.filterFileName)
+    loader.loadFilter()
+    assert loader.filt.ndim == 3 and np.isfinite(loader.filt).all()
+    assert np.isfinite(loader.signalNorm) and loader.signalNorm != 1.0
+    assert len(loader.fRelWeights) == 1   # single-frequency sim
+    assert abs(sum(loader.fRelWeights.values()) - 1.0) < 1e-6
+
+    # Host-built filter for the same tile: same filter to float tolerance,
+    # same calibration normalisation to sub-percent
+    import shutil
+    shutil.rmtree(os.path.dirname(loader.filterFileName))
+    host = filters_mod.getFilterClass(f["class"])(
+        f["label"], config.unfilteredMapsDictList, f["params"],
+        tileName=tileName, diagnosticsDir=config.diagnosticsDir)
+    host.buildAndApply()
+    hostFilt = np.asarray(host.filt)
+    assert hostFilt.shape == loader.filt.shape
+    denom = np.abs(hostFilt).max()
+    assert np.abs(hostFilt - loader.filt).max() / denom < 1e-6
+    assert abs(host.signalNorm / loader.signalNorm - 1) < 0.01
