@@ -314,7 +314,10 @@ def _prepare_tile_realspace(config, f, tileName, mapsList=None):
                        "shape": filterObj.shape}
 
 
-_TEMPLATE_CACHE_MAX = 256   # ~1.4 GB of f32 tile templates on device
+_TEMPLATE_CACHE_MAX = 96    # ~0.6 GB of f32 tile templates on device
+                            # (device HBM also carries the resident data
+                            # batch, the step workspace and - in detect
+                            # mode - the reference filter's maps)
 
 
 def _trimCache(cache):
@@ -929,6 +932,7 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
                 photRes = {"SNMap": out["SNMap"],
                            "filtered": out["filtered"],
                            "scale": stacksList[0]["unitsScale"]}
+            del out     # free the rest of this label's device outputs
             continue
 
         t0 = _time.time()
@@ -936,6 +940,7 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
         cells = np.asarray(out["RMSCells"])[:nT]
         outMask = np.asarray(out["surveyMask"])[:nT]
         tPhase["download"] += _time.time() - t0
+        del out     # free this label's device outputs before host work
 
         for i, tileName in enumerate(names):
             filterObj, stacks = st[tileName]
