@@ -128,7 +128,9 @@ def writeConfig(workDir, mapEntries, maskPath):
                             "targetTileWidthDeg": 10.0,
                             "targetTileHeightDeg": 5.0},
         "useDeviceBatching": True,
-        "deviceBatchSize": 16,
+        # 8 tiles resident: the 16-tile batch OOMs a 16 GB v5e in the
+        # detect+return_filter step (workspace + caches + residents)
+        "deviceBatchSize": 8,
         "qfitBatchSize": 16,
         "outputDir": os.path.join(workDir, "out"),
     }
