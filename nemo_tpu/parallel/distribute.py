@@ -341,30 +341,41 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         filt = jnp.moveaxis(solve_ops.solve_small(A, b), -1, 0)
 
         # Signal-norm calibration: push the known-amplitude template
-        # through the same filter and read the peak at the template
-        # centre (the TILE centre - the zero padding sits at the high
-        # ends, so the centre varies per tile within a shape bucket).
+        # through the same filter.  The template centre is the TILE
+        # centre (shape/2.0) which for odd tile dimensions sits BETWEEN
+        # pixels, so an integer-pixel read misses the peak by up to a
+        # few percent - instead a 33x33 crop of the filtered template
+        # ships to host, where the same windowed-spline sub-pixel read
+        # as the host engine (filters.py:660-662) fixes the exact
+        # normalisation.  The filtered map returned here is therefore
+        # UNNORMALISED; S/N is a ratio and unaffected, and the host
+        # scales signal values once per tile.
         fCalib = jnp.fft.rfft2(c)
         calibPlanes = jnp.fft.irfft2(fCalib * filt, s=(ny, nx))
         filteredCalib = jnp.sum(calibPlanes, axis=0)
         peak = filteredCalib[peakYX[0], peakYX[1]]
-        signalNorm = 1.0 / peak
+        signalNorm = 1.0 / peak    # integer-pixel estimate (diagnostic)
+        crop = jax.lax.dynamic_slice(
+            filteredCalib,
+            (jnp.clip(peakYX[0] - 16, 0, ny - 33),
+             jnp.clip(peakYX[1] - 16, 0, nx - 33)), (33, 33))
 
         filtered = jnp.sum(jnp.fft.irfft2(fMaps * filt, s=(ny, nx)),
-                           axis=0) * signalNorm
+                           axis=0)
         # Per-frequency share of the calibration peak = fRel weights
         # (host engine reads these at the peak pixel, filters.py:671-674)
         planePeaks = calibPlanes[:, peakYX[0], peakYX[1]]
         fRelW = planePeaks / peak
-        return filtered, signalNorm, filt, fRelW
+        return filtered, signalNorm, filt, fRelW, crop
 
     def per_shard(data, noise, template, calib, w, apodM, psMask,
                   surveyMask, fgPower, peakYX):
-        filtered, norms, filts, fRelW = jax.vmap(
+        filtered, norms, filts, fRelW, crops = jax.vmap(
             lambda d, n, t, c, a, g, p: one_tile(d, n, t, c, w, a, g, p))(
             data, noise, template, calib, apodM, fgPower, peakYX)
         filterOut = {"filt": filts, "fRelW": fRelW} if return_filter \
             else {}
+        filterOut["calibCrop"] = crops
         filtered = filtered * psMask
 
         if trimPix > 0:
@@ -464,6 +475,7 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         out_specs = {"filtered": spec_tiles, "SNMap": spec_tiles,
                      "RMSMap": spec_tiles, "surveyMask": spec_tiles,
                      "signalNorm": spec_tiles}
+    out_specs["calibCrop"] = spec_tiles
     if return_filter:
         out_specs["filt"] = spec_tiles
         out_specs["fRelW"] = spec_tiles

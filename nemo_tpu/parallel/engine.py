@@ -624,7 +624,32 @@ def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
                 results.pop(tileName, None)
 
 
-def _saveFilterCaches(st, names, nT, out, tPhase):
+def _calibNormsFromCrops(out, st, names, nT, padShape, tPhase):
+    """Per-tile signal normalisation (1 / sub-pixel calibration peak)
+    from the step's 33x33 filtered-calibration crops - the same windowed
+    spline read as the host engine (filters.py:660-662).  The step's
+    own integer-pixel read misses the peak for odd tile dimensions
+    (template centres sit between pixels)."""
+    import time as _time
+    from scipy import interpolate as sinterp
+
+    t0 = _time.time()
+    crops = np.asarray(out["calibCrop"], dtype=np.float64)[:nT]
+    tPhase["download"] += _time.time() - t0
+    py, px = padShape
+    norms = np.empty(nT)
+    for i, tileName in enumerate(names):
+        shape = st[tileName][1]["shape"]
+        y0c = int(np.clip(shape[0] // 2 - 16, 0, py - 33))
+        x0c = int(np.clip(shape[1] // 2 - 16, 0, px - 33))
+        spl = sinterp.RectBivariateSpline(
+            np.arange(y0c, y0c + 33), np.arange(x0c, x0c + 33), crops[i],
+            kx=3, ky=3)
+        norms[i] = 1.0 / float(spl(shape[0] / 2.0, shape[1] / 2.0)[0][0])
+    return norms
+
+
+def _saveFilterCaches(st, names, nT, out, tPhase, hostNorms):
     """Write the filter cache FITS (host ``MapFilter.saveFilter`` format:
     SIGNORM + RW fRel-weight headers) from the sharded step's
     ``return_filter`` outputs - fitQ and getFRelWeights read these."""
@@ -634,13 +659,12 @@ def _saveFilterCaches(st, names, nT, out, tPhase):
     t0 = _time.time()
     filts = np.asarray(out["filt"])[:nT]
     fRelW = np.asarray(out["fRelW"])[:nT]
-    norms = np.asarray(out["signalNorm"])[:nT]
     tPhase["download"] += _time.time() - t0
     for i, tileName in enumerate(names):
         filterObj, stacks = st[tileName]
         header = nfits.Header()
         # host convention: signalNorm includes the output-units scale
-        header["SIGNORM"] = float(norms[i] * stacks["unitsScale"])
+        header["SIGNORM"] = float(hostNorms[i] * stacks["unitsScale"])
         for count, m in enumerate(filterObj.unfilteredMapsDictList,
                                   start=1):
             header["RW%d_GHZ" % count] = m["obsFreqGHz"]
@@ -653,7 +677,7 @@ def _saveFilterCaches(st, names, nT, out, tPhase):
 
 def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                          detectParams, label, photLabel, photRes,
-                         seenTiles, tPhase, results, consume):
+                         seenTiles, tPhase, results, consume, hostNorms):
     """Assemble per-tile results in device-detection mode: only O(K)
     statistics, spline-window cutouts and the tiny RMS cell grid cross
     the link; the full maps stay resident on the devices."""
@@ -685,7 +709,6 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
     cutY0 = packed[..., len(detKeys)].astype(np.int32)
     cutX0 = packed[..., len(detKeys) + 1].astype(np.int32)
     cells = np.asarray(out["RMSCells"])[:nT]
-    norms = np.asarray(out["signalNorm"])[:nT]
     # Valid detections occupy a PREFIX of the K object slots (roots are
     # sorted with the invalid sentinel at the end): one sliced request
     # ships every tile's actual objects without the K-slot padding.
@@ -709,7 +732,7 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
     for i, tileName in enumerate(names):
         filterObj, stacks = st[tileName]
         shape = stacks["shape"]
-        scale = stacks["unitsScale"]
+        scale = stacks["unitsScale"] * hostNorms[i]
         nObj = int(detNp["nObjects"][i])
         if nObj > maxObjects:
             print("... WARNING: %d objects in %s#%s exceed the device "
@@ -736,11 +759,12 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
             "cutWindow": cutWindow,
             "wcs": filterObj.wcs, "label": filterObj.label,
             "tileName": tileName, "flagMask": filterObj.flagMask,
-            "surveyMask": tileMask, "signalNorm": float(norms[i]),
+            "surveyMask": tileMask,
+            "signalNorm": float(hostNorms[i]),
         }
         if photCut is not None:
             pc = np.array(pCut[i], dtype=np.float64)
-            pc[:, 1] *= photRes["scale"]
+            pc[:, 1] *= photRes["scale"][i]
             res["photCutouts"] = pc
             res["photCutY0"] = pY0[i]
             res["photCutX0"] = pX0[i]
@@ -920,18 +944,21 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
                      apodDev, psDev, surveyDev, fgDev, peakDev)
         tPhase["step"] += _time.time() - t0
         saveRMS = st[names[0]][0].params.get("saveRMSMap")
+        hostNorms = _calibNormsFromCrops(out, st, names, nT, padShape,
+                                         tPhase)
         if wantFilter:
-            _saveFilterCaches(st, names, nT, out, tPhase)
+            _saveFilterCaches(st, names, nT, out, tPhase, hostNorms)
 
         if useDetect:
             _emit_detect_results(
                 config, st, names, nT, out, padShape, gridSize,
                 detectParams, label, photLabel, photRes, seenTiles,
-                tPhase, results, consume)
+                tPhase, results, consume, hostNorms)
             if label == photLabel:
                 photRes = {"SNMap": out["SNMap"],
                            "filtered": out["filtered"],
-                           "scale": stacksList[0]["unitsScale"]}
+                           "scale": stacksList[0]["unitsScale"]
+                           * hostNorms}
             del out     # free the rest of this label's device outputs
             continue
 
@@ -945,7 +972,7 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
         for i, tileName in enumerate(names):
             filterObj, stacks = st[tileName]
             shape = stacks["shape"]
-            scale = stacks["unitsScale"]
+            scale = stacks["unitsScale"] * hostNorms[i]
             # Expand the cell grid at the PADDED shape (where the device
             # estimated it), then crop - matching the non-lean path.
             rmsPad = noise_ops.assemble_rms_host(
