@@ -204,6 +204,11 @@ def fitQ(config):
                 zRange.append(z)
 
     QTabDict = {}
+    # Painted (and pixel-windowed) model stacks are geometry-dependent
+    # but FILTER-independent: tiles in the same declination band reuse
+    # them, so each band pays the ~55 model paints once instead of per
+    # tile.  Only the current geometry stays resident (~0.6 GB HBM).
+    paintCache = {}
     for tileName in config.tileNames:
         print("... fitting Q in tile %s" % tileName)
         filt = next(f for f in config.parDict["mapFilters"]
@@ -268,15 +273,23 @@ def fitQ(config):
         models = list(zip(zRange, MRange))
         peaks = []
         if batchSize > 1:
-            for c0 in range(0, len(models), batchSize):
-                chunk = models[c0:c0 + batchSize]
-                stack = [_paint(z, M, device=True) for z, M in chunk]
-                stack += [stack[-1]] * (batchSize - len(chunk))
-                dev = fourier.apply_pixel_window(jnp.stack(stack), pow=1.0)
+            geomKey = (tuple(shape), tuple(np.round(pix, 12)), batchSize)
+            if geomKey not in paintCache:
+                chunks = []
+                for c0 in range(0, len(models), batchSize):
+                    chunk = models[c0:c0 + batchSize]
+                    stack = [_paint(z, M, device=True) for z, M in chunk]
+                    stack += [stack[-1]] * (batchSize - len(chunk))
+                    dev = fourier.apply_pixel_window(jnp.stack(stack),
+                                                     pow=1.0)
+                    chunks.append((dev, len(chunk)))
+                paintCache.clear()      # previous geometry won't recur
+                paintCache[geomKey] = chunks
+            for dev, nChunk in paintCache[geomKey]:
                 filteredDev = filterObj.applyFilter(dev, returnDevice=True)
                 crops = np.asarray(filteredDev[..., y0i:int(cy) + half,
                                                x0i:int(cx) + half])
-                for j in range(len(chunk)):
+                for j in range(nChunk):
                     peaks.append(subpixel_value(crops[j], cy - y0i,
                                                 cx - x0i))
         else:
