@@ -275,6 +275,33 @@ class MapFilter:
         arcminRange = np.arange(prof.shape[1]) * self.degPerPixX * 60.0
         return prof, arcminRange
 
+    def saveRealSpaceFilterProfile(self):
+        """PNG plot of the filter's 1-d real-space profile per band into
+        ``diagnosticsDir`` (reference ``nemo/filters.py:307-338``,
+        triggered by ``savePlots: true``)."""
+        from . import plotSettings
+        prof, arcminRange = self.makeRealSpaceFilterProfile()
+        plotSettings.update_rcParams()
+        import matplotlib.pyplot as plt
+        fig = plt.figure(figsize=(8, 8))
+        plt.axes([0.14, 0.11, 0.835, 0.86])
+        plt.ylabel("Amplitude")
+        plt.xlabel("$\\theta$ (arcmin)")
+        for row, mapDict in zip(prof, self.unfilteredMapsDictList):
+            if mapDict.get("obsFreqGHz") is not None:
+                lineLabel = "%d GHz" % mapDict["obsFreqGHz"]
+            else:
+                lineLabel = "yc"
+            plt.plot(arcminRange, row, label=lineLabel)
+        plt.xlim(0, 10.0)
+        plt.ylim(prof.min(), prof.max() * 1.1)
+        plt.legend()
+        os.makedirs(self.diagnosticsDir, exist_ok=True)
+        plt.savefig(os.path.join(
+            self.diagnosticsDir,
+            "realSpaceProfile1d_%s#%s.png" % (self.label, self.tileName)))
+        plt.close(fig)
+
     # -- caching ---------------------------------------------------------------
     def saveFilter(self):
         header = nfits.Header()
@@ -351,10 +378,12 @@ def _build_filter_core(noiseStack, fSignalsAbs, w, apodM, padShape=None):
     if padShape is not None:
         m = fourier.pad_to(m, padShape)
     fNoise = jnp.fft.rfft2(m)
-    # N_ij = smooth3(Re(F_i conj F_j)) (filters.py:567-587)
+    # N_ij = smooth3(Re(F_i conj F_j)) (filters.py:567-587); the smoothing
+    # reproduces the reference's FULL-grid ndimage.gaussian_filter exactly
+    # (Hermitian extension of the half grid - see imageops)
     prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
-    prods = imageops.gaussian_filter(
-        prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
+    prods = imageops.gaussian_filter_rfft_fullgrid(
+        prods.reshape((-1,) + prods.shape[-2:]), (3, 3), m.shape[-1])
     N = prods.reshape(nf, nf, *prods.shape[-2:])
     # filt = N^-1 (w |s|) at every (ly, lx) (filters.py:624-630)
     A = jnp.moveaxis(N, (0, 1), (-2, -1))              # (ny, nx, nf, nf)
@@ -529,6 +558,9 @@ class MatchedFilter(MapFilter):
                               compressionType="RICE_1")
         if params.get("saveFilter") and self.filterFileName is not None:
             self.saveFilter()
+        if params.get("savePlots") and self.diagnosticsDir is not None:
+            # reference filters.py:764-765
+            self.saveRealSpaceFilterProfile()
 
         return {"data": np.asarray(filteredMap), "wcs": self.wcs,
                 "obsFreqGHz": combinedObsFreqGHz,
@@ -603,8 +635,9 @@ class MatchedFilter(MapFilter):
             prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
             prods = jnp.maximum(prods, jnp.asarray(fgPower)[None, None])
             nf = noiseStack.shape[0]
-            prods = imageops.gaussian_filter(
-                prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
+            prods = imageops.gaussian_filter_rfft_fullgrid(
+                prods.reshape((-1,) + prods.shape[-2:]), (3, 3),
+                self.padShape[1])
             N = prods.reshape(nf, nf, *prods.shape[-2:])
             A = jnp.moveaxis(N, (0, 1), (-2, -1))
             b = jnp.moveaxis(fSignalsAbs, 0, -1) * jnp.asarray(w)
@@ -888,6 +921,48 @@ class RealSpaceMatchedFilter(MapFilter):
             nfits.write_image(self.filterFileName,
                               np.asarray(self.kern2d, dtype=np.float32),
                               header)
+
+        if self.diagnosticsDir is not None:
+            self._saveKernelProfilePlot(prof, arcminRange, mask)
+
+    def _saveKernelProfilePlot(self, prof, arcminRange, mask):
+        """Kernel-profile diagnostics (reference ``filters.py:1043-1072``,
+        written unconditionally during the kernel build): the plotted data
+        as ``filterProf1D_<label>#<tile>.npz`` plus the smoothed per-band
+        1-d profile plot ``filterPlot1D_<label>#<tile>.pdf``."""
+        from scipy import interpolate as sinterp
+        from . import plotSettings
+        os.makedirs(self.diagnosticsDir, exist_ok=True)
+        np.savez(os.path.join(
+            self.diagnosticsDir,
+            "filterProf1D_%s#%s.npz" % (self.label, self.tileName)),
+            arcminRange=arcminRange, prof=prof, mask=mask,
+            bckSubScaleArcmin=self.bckSubScaleArcmin)
+        plotSettings.update_rcParams()
+        import matplotlib.pyplot as plt
+        fig = plt.figure(figsize=(9, 6.5))
+        plt.axes([0.13, 0.12, 0.86, 0.86])
+        for row, mapDict in zip(prof, self.unfilteredMapsDictList):
+            tck = sinterp.splrep(arcminRange[mask], row[mask])
+            plotRange = np.linspace(0, arcminRange[mask].max(), 1000)
+            if mapDict.get("obsFreqGHz") is not None:
+                lineLabel = "%d GHz" % mapDict["obsFreqGHz"]
+            else:
+                lineLabel = "yc"
+            plt.plot(plotRange, sinterp.splev(plotRange, tck), "-",
+                     label=lineLabel)
+        plt.xlabel("$\\theta$ (arcmin)")
+        plt.ylabel("Amplitude")
+        plt.legend()
+        plt.xlim(0, arcminRange[mask].max())
+        if self.params.get("bckSub"):
+            plt.plot([self.bckSubScaleArcmin] * 3,
+                     np.linspace(-1.2, 1.2, 3), "k--")
+        plt.ylim(-1.2, 0.2)
+        plt.savefig(os.path.join(
+            self.diagnosticsDir,
+            "filterPlot1D_%s#%s.pdf" % (self.label, self.tileName)))
+        plt.close(fig)
 
     def _resolveRADecSection(self):
         """Kernel sub-region: the configured RADecSection, or an auto

@@ -307,7 +307,11 @@ class MockSurvey:
             zs[sel] = zk
 
         log10Ms = np.clip(log10Ms, self.log10M.min(), self.log10M.max())
-        fRels = np.clip(fRels, 0.1, 1.0)
+        # Reference semantics (MockSurvey.py:568-571): only NON-POSITIVE
+        # fRel values (crazy masses at odd cosmologies) are floored to 0.1
+        # to keep logs finite; legitimate values in (0, 0.1) survive.
+        fRels[fRels <= 0] = 0.1
+        fRels[fRels > 1] = 1.0
         true_y0s = tenToA0 * Ez2s * (10 ** log10Ms / Mpivot) ** (1 + B0) * Qs
         if applyRelativisticCorrection:
             true_y0s = true_y0s * fRels

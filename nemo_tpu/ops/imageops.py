@@ -61,6 +61,40 @@ def gaussian_filter(m, sigma, truncate=4.0):
     return out
 
 
+def hermitian_extend(half, nxFull):
+    """Reconstruct the FULL (unshifted-layout) Fourier grid of a real
+    map's power/covariance from its rfft half grid.
+
+    For real input, F(-k) = conj(F(k)), so any product Re(F_i conj F_j)
+    satisfies full[ky, nx - j] = full[(-ky) % ny, j].  The missing columns
+    j = ncol..nx-1 are therefore the ky-flipped mirror of columns
+    nx-ncol..1.  Exact for covariances of real maps and for any
+    |l|-symmetric power (e.g. a CMB C_l floor).
+    """
+    ncol = half.shape[-1]
+    src = half[..., :, 1:nxFull - ncol + 1]          # columns 1..nx-ncol
+    # ky-flip: out[ky] = in[(-ky) % ny] == roll(reverse(in), 1)
+    mirror = jnp.roll(src[..., ::-1, :], 1, axis=-2)[..., :, ::-1]
+    return jnp.concatenate([half, mirror], axis=-1)
+
+
+def gaussian_filter_rfft_fullgrid(half, sigma, nxFull, truncate=4.0):
+    """Smooth an rfft-half-grid covariance EXACTLY as the reference smooths
+    the full complex grid (``ndimage.gaussian_filter`` on the unshifted
+    full layout, ``nemo/filters.py:583``): Hermitian-extend to the full
+    grid, smooth with 'reflect' boundaries there, crop back.
+
+    The naive alternative - reflect padding on the half grid itself -
+    differs near the Nyquist column (an array edge on the half grid but
+    interior on the full grid, where its neighbours are ky-flipped
+    mirror columns).
+    """
+    ncol = half.shape[-1]
+    full = hermitian_extend(half, nxFull)
+    sm = gaussian_filter(full, sigma, truncate)
+    return sm[..., :ncol]
+
+
 def _sliding_extremum_1d(m, size, init, cummin_fn, axis):
     """van Herk / Gil-Werman sliding min (or max) along one axis: O(1) work
     per pixel independent of window size, via per-block prefix and suffix

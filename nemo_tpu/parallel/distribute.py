@@ -48,11 +48,11 @@ def _build_and_apply_filter(data, noise, template, w, apodM):
     nf, ny, nx = data.shape
     fNoise = jnp.fft.rfft2(noise * apodM[None])
     prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
-    # 3-pixel Gaussian smoothing of the covariance. NOTE: on the half grid
-    # the kx ~ 0 boundary uses reflect padding, a one-column approximation
-    # of the full-grid smoothing (the host engine keeps full-grid parity).
-    prods = imageops.gaussian_filter(
-        prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
+    # 3-pixel Gaussian smoothing of the covariance, Hermitian-extended so
+    # it EXACTLY reproduces the reference's full-grid smoothing (and the
+    # host engine's) from the half grid.
+    prods = imageops.gaussian_filter_rfft_fullgrid(
+        prods.reshape((-1,) + prods.shape[-2:]), (3, 3), nx)
     N = prods.reshape(nf, nf, *prods.shape[-2:])
     fSignalAbs = jnp.abs(jnp.fft.rfft2(template))
     A = jnp.moveaxis(N, (0, 1), (-2, -1))
@@ -332,8 +332,9 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         # (host engine parity, filters.py max(dataMap,CMB) branch); a
         # zero fg map is a no-op for plain dataMap/model methods.
         prods = jnp.maximum(prods, fg[None, None])
-        prods = imageops.gaussian_filter(
-            prods.reshape((-1,) + prods.shape[-2:]), (3, 3))
+        # full-grid-exact covariance smoothing (host-engine parity)
+        prods = imageops.gaussian_filter_rfft_fullgrid(
+            prods.reshape((-1,) + prods.shape[-2:]), (3, 3), nx)
         N = prods.reshape(nf, nf, *prods.shape[-2:])
         fSignalAbs = jnp.abs(jnp.fft.rfft2(t))
         A = jnp.moveaxis(N, (0, 1), (-2, -1))

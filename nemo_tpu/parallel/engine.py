@@ -12,11 +12,14 @@ stage.
 
 Enabled with ``useDeviceBatching: true`` in the config.  Filters that need
 host-only features fall back to the per-tile engine automatically (see
-:func:`eligibleForBatch`); numerics match the host engine to float
-tolerance because both use the same half-grid formulation - the only
-differences are the RMS grid running on the padded tile and the
-calibration peak being read at the (exactly pixel-centred) template peak
-instead of through a spline.
+:func:`eligibleForBatch`).  Numerics: the filtered SIGNAL maps match the
+host engine to float tolerance (measured max ~3e-16 relative on the tiled
+sim - both engines share the half-grid formulation with full-grid-exact
+covariance smoothing and the same windowed-spline calibration read); the
+S/N maps differ at the <~0.7% level only through the RMS grid, whose
+cells are laid out on the padded bucket shape here but on the true tile
+shape in the host engine (tiles of different true shapes share one
+bucket, so a tile-shaped grid cannot be expressed in the shared jit).
 """
 
 import functools

@@ -45,6 +45,33 @@ def test_gaussian_filter_scipy_parity():
         np.testing.assert_allclose(ours, ref, atol=1e-10)
 
 
+def test_gaussian_filter_rfft_fullgrid_parity():
+    """Covariance smoothing on the rfft half grid must reproduce the
+    reference's FULL-grid ndimage.gaussian_filter (nemo/filters.py:583)
+    exactly, for every (ny, nx) parity - the Hermitian extension closes
+    the Nyquist-column boundary difference the naive half-grid reflect
+    padding has."""
+    rng = np.random.default_rng(11)
+    for ny, nx in [(64, 96), (65, 97), (64, 97), (65, 96)]:
+        m = rng.normal(size=(2, ny, nx))
+        F = np.fft.fft2(m)
+        prodsFull = np.real(F[:, None] * np.conj(F[None, :])
+                            ).reshape(-1, ny, nx)
+        ref = ndimage.gaussian_filter(prodsFull, (0, 3, 3))
+        Fh = np.fft.rfft2(m)
+        prodsHalf = np.real(Fh[:, None] * np.conj(Fh[None, :])
+                            ).reshape(-1, ny, nx // 2 + 1)
+        ext = np.asarray(imageops.hermitian_extend(jnp.asarray(prodsHalf),
+                                                   nx))
+        scale = np.abs(prodsFull).max()
+        np.testing.assert_allclose(ext, prodsFull, rtol=1e-10,
+                                   atol=1e-12 * scale)
+        got = np.asarray(imageops.gaussian_filter_rfft_fullgrid(
+            jnp.asarray(prodsHalf), (3, 3), nx))
+        np.testing.assert_allclose(got, ref[..., : nx // 2 + 1], rtol=1e-10,
+                                   atol=1e-12 * scale)
+
+
 def test_minimum_filter_scipy_parity():
     rng = np.random.default_rng(3)
     m = rng.normal(size=(41, 37))
