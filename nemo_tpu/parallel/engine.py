@@ -678,6 +678,56 @@ def _saveFilterCaches(st, names, nT, out, tPhase, hostNorms):
                           np.asarray(filts[i], dtype=np.float64), header)
 
 
+def _emit_overflow_fallback(config, out, i, filterObj, shape, scale,
+                            tileMask, cellsI, padShape, gridSize, saveRMS,
+                            photRes, label, photLabel, tPhase):
+    """Host-style result for a tile whose segment count exceeded the
+    device detection budget: the calibrated signal and S/N maps come off
+    the device (they are resident step outputs in detect mode, pixel
+    window already undone in-step) and the pipeline's host ``findObjects``
+    - which has no object cap - takes over for this tile.  The reference
+    filter's maps ride along for the fixed_ photometry columns."""
+    import time as _time
+    from ..utils import fits as nfits
+
+    t0 = _time.time()
+    fullF = np.asarray(out["filtered"][i])[:shape[0], :shape[1]]
+    fullSN = np.asarray(out["SNMap"][i])[:shape[0], :shape[1]]
+    tPhase["download"] += _time.time() - t0
+    rmsPad = noise_ops.assemble_rms_host(cellsI, padShape[0], padShape[1],
+                                         gridSize)
+    rms = rmsPad[:shape[0], :shape[1]] * tileMask * scale
+    if filterObj.params["outputUnits"] == "yc":
+        unitsMeta = {"mapUnits": "yc", "obsFreqGHz": "yc",
+                     "beamSolidAngle_nsr": 0.0}
+    else:
+        obsFreqGHz = float(list(filterObj.beamSolidAnglesDict)[0])
+        unitsMeta = {"mapUnits": "uK", "obsFreqGHz": obsFreqGHz,
+                     "beamSolidAngle_nsr":
+                         filterObj.beamSolidAnglesDict[obsFreqGHz]}
+    res = dict({"data": fullF * scale, "SNMap": fullSN,
+                "RMSMap": rms if saveRMS else None,
+                "surveyMask": tileMask, "flagMask": filterObj.flagMask,
+                "wcs": filterObj.wcs, "label": filterObj.label,
+                "tileName": filterObj.tileName}, **unitsMeta)
+    if photRes is not None and label != photLabel:
+        # fixed_ columns need the reference filter's maps on host too
+        t0 = _time.time()
+        pSN = np.asarray(photRes["SNMap"][i])[:shape[0], :shape[1]]
+        pD = np.asarray(photRes["filtered"][i])[:shape[0], :shape[1]] \
+            * photRes["scale"][i]
+        tPhase["download"] += _time.time() - t0
+        res["photMapsDict"] = {"SNMap": pSN, "data": pD}
+    if saveRMS:
+        RMSFileName = os.path.join(
+            config.selFnDir, filterObj.tileName,
+            "RMSMap_%s#%s.fits" % (filterObj.label, filterObj.tileName))
+        os.makedirs(os.path.dirname(RMSFileName), exist_ok=True)
+        nfits.write_image(RMSFileName, rms, filterObj.wcs.header,
+                          compressionType="RICE_1")
+    return res
+
+
 def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                          detectParams, label, photLabel, photRes,
                          seenTiles, tPhase, results, consume, hostNorms):
@@ -737,12 +787,9 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
         shape = stacks["shape"]
         scale = stacks["unitsScale"] * hostNorms[i]
         nObj = int(detNp["nObjects"][i])
-        if nObj > maxObjects:
-            print("... WARNING: %d objects in %s#%s exceed the device "
-                  "detection budget (%d); raise deviceDetectionMaxObjects"
-                  % (nObj, label, tileName, maxObjects))
+        overflow = nObj > maxObjects
         tileMask = None
-        if tileName not in seenTiles or saveRMS:
+        if overflow or tileName not in seenTiles or saveRMS:
             # One mask download per tile (first label wins, as in the
             # accumulate path's areaMask writes); also needed to zero the
             # excluded area in a saved RMS map (getRMSTab reads zeros as
@@ -752,6 +799,25 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                 out["surveyMask"][i])[:shape[0], :shape[1]].astype(float)
             tPhase["download"] += _time.time() - t0
             seenTiles.add(tileName)
+        if overflow:
+            # Crowded tile: more segments than the device object budget.
+            # The full maps are still resident as step outputs, so fall
+            # back to HOST detection for this tile (reference findObjects
+            # has no object cap, nemo/photometry.py:25-190): download its
+            # maps and emit a host-style result - never a silently
+            # truncated catalog.
+            print("... %d objects in %s#%s exceed the device detection "
+                  "budget (%d): falling back to host detection for this "
+                  "tile" % (nObj, label, tileName, maxObjects))
+            res = _emit_overflow_fallback(
+                config, out, i, filterObj, shape, scale, tileMask,
+                cells[i], padShape, gridSize, saveRMS, photRes, label,
+                photLabel, tPhase)
+            results[label][tileName] = res
+            if consume is not None:
+                if consume(label, tileName, res):
+                    results[label].pop(tileName, None)
+            continue
         cutScaled = np.array(cut[i], dtype=np.float64)
         cutScaled[:, 1] *= scale     # signal plane to output units
         res = {

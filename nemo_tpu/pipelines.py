@@ -179,7 +179,10 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
         if f["label"] == photFilter:
             photMaps[tileName] = {"SNMap": filteredMapDict["SNMap"],
                                   "data": filteredMapDict["data"]}
-        photFilteredMapDict = photMaps.get(tileName)
+        # device-detection overflow fallback tiles carry the reference
+        # filter's maps with them (parallel/engine.py overflow path)
+        photFilteredMapDict = photMaps.get(tileName) \
+            or filteredMapDict.get("photMapsDict")
 
         if config.parDict.get("forcedPhotometryCatalog"):
             catalog = photometry.makeForcedPhotometryCatalog(
@@ -226,41 +229,60 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
 
     # Opt-in device batching: run every eligible filter over ALL tiles as
     # one sharded call per shape bucket (the TPU replacement for the
-    # reference's one-tile-per-MPI-rank distribution). When the whole
-    # filter bank is eligible, results STREAM through
-    # _processFilteredMap as each chunk completes (detection overlaps
-    # the next chunk's device work and memory stays bounded by a chunk);
-    # otherwise results accumulate and the loop below consumes them.
+    # reference's one-tile-per-MPI-rank distribution). Results STREAM
+    # through _processFilteredMap as each chunk completes (detection
+    # overlaps the next chunk's device work); host-only filters of a
+    # MIXED bank run tile-locally inside the sink, so peak memory stays
+    # bounded by one chunk regardless of bank composition.
     batchedResults = {}
     if config.parDict.get("useDeviceBatching") and not useCachedFilteredMaps:
         from .parallel import engine as batch_engine
         eligible = [f for f in filtersList
                     if batch_engine.eligibleForBatch(f, config.parDict)]
         eligibleLabels = set(f["label"] for f in eligible)
-        streamOK = eligibleLabels == set(f["label"] for f in filtersList)
+        fullStream = eligibleLabels == set(f["label"] for f in filtersList)
         consume = None
-        if streamOK and eligible:
+        if eligible:
             pendingTiles = {}
 
             def consume(label, tileName, res):
                 pendingTiles.setdefault(tileName, {})[label] = res
-                if eligibleLabels <= set(pendingTiles[tileName]):
-                    byLabel = pendingTiles.pop(tileName)
-                    for f in filtersList:
-                        if f["label"] in byLabel:
-                            _processFilteredMap(f, tileName,
-                                                byLabel.pop(f["label"]))
-                    photMaps.pop(tileName, None)
+                if not eligibleLabels <= set(pendingTiles[tileName]):
+                    return True
+                byLabel = pendingTiles.pop(tileName)
+                # filtersList is photFilter-first, so the fixed_ reference
+                # maps exist before any other filter's fluxes are measured
+                for f in filtersList:
+                    if f["label"] in byLabel:
+                        _processFilteredMap(f, tileName,
+                                            byLabel.pop(f["label"]))
+                    elif f["label"] not in eligibleLabels:
+                        # host-only filter of a mixed bank: run it NOW,
+                        # tile-local, instead of deferring to the outer
+                        # loop - this keeps the photometry-filter maps'
+                        # lifetime one tile and lets every result stream
+                        with GLOBAL_TIMER.stage("filterMaps"):
+                            fmd = filters.filterMaps(
+                                config.unfilteredMapsDictList, f, tileName,
+                                diagnosticsDir=diagnosticsDir,
+                                selFnDir=config.selFnDir, verbose=verbose,
+                                undoPixelWindow=undoPixelWindow,
+                                useCachedFilter=useCachedFilters)
+                        _processFilteredMap(f, tileName, fmd)
+                        del fmd
+                photMaps.pop(tileName, None)
                 return True
 
         # Fully device-side detection when the whole pipeline shape
         # allows it (TPU by default - it keeps the full maps off the
-        # slow host link; force with useDeviceDetection: true/false)
+        # slow host link; force with useDeviceDetection: true/false).
+        # Requires the WHOLE bank eligible: the fixed_ cutout gathers ride
+        # the reference filter's device-resident maps.
         detectParams = None
         dd = config.parDict.get("useDeviceDetection", "auto")
         wantDetect = (dd is True) or (dd == "auto"
                                       and jax.default_backend() == "tpu")
-        if wantDetect and streamOK and eligible and measureFluxes \
+        if wantDetect and fullStream and eligible and measureFluxes \
                 and undoPixelWindow \
                 and not config.parDict.get("forcedPhotometryCatalog") \
                 and not invertMap \
