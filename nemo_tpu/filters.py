@@ -601,9 +601,12 @@ class MatchedFilter(MapFilter):
                 RMS = max(RMS, 10.0)
                 beam = BeamProfile(beamFileName=mapDict["beamFileName"])
                 key = jax.random.PRNGKey(3141592654 + i)
-                cmb = grf.sim_cmb_map(key, self.shape, self.pixScalesRad,
-                                      beamBell=beam.Bell, beamEll=beam.ell,
-                                      noiseLevel=RMS)
+                from . import maps as maps_mod
+                cmb = grf.sim_cmb_map(
+                    key, self.shape, self.pixScalesRad,
+                    beamBell=beam.Bell, beamEll=beam.ell, noiseLevel=RMS,
+                    dx_rows=maps_mod.pixScaleXRadPerRow(self.wcs,
+                                                        self.shape))
                 maps_.append(np.asarray(cmb))
             return jnp.asarray(np.stack(maps_))
         raise ValueError("Unknown noiseParams method '%s'" % method)

@@ -40,6 +40,23 @@ def pixScalesRad(wcs, shape=None):
     return (float(np.radians(dy)), float(np.radians(dx)))
 
 
+def pixScaleXRadPerRow(wcs, shape=None):
+    """Per-row x pixel scale in radians - on a CAR grid this varies as
+    cos(dec) across the tile.  Feeds the declination-aware GRF synthesis
+    (``ops.grf.gaussian_field_decaware``), which shrinks the flat-sky
+    multipole distortion of the sims at high |dec|."""
+    if shape is None:
+        shape = (wcs.naxis2, wcs.naxis1)
+    ny = shape[0]
+    cx = float(shape[1] // 2)
+    rows = np.arange(ny, dtype=float)
+    out = wcs.pix2wcs(np.full(ny, cx), rows)
+    ra0, dec0 = np.asarray(out)[:, 0], np.asarray(out)[:, 1]
+    out1 = wcs.pix2wcs(np.full(ny, cx + 1.0), rows)
+    ra1, dec1 = np.asarray(out1)[:, 0], np.asarray(out1)[:, 1]
+    return np.radians(calcAngSepDeg(ra0, dec0, ra1, dec1))
+
+
 # Decompressed-file cache for tile clipping of maps that cannot be
 # memory-mapped (tile-compressed / gzipped).  A tiled survey run clips
 # every tile from the same full-survey files; without this, each tile
@@ -226,7 +243,8 @@ class MapDict(dict):
             beam = BeamProfile(beamFileName=self["beamFileName"])
             randMap = np.array(grf.sim_cmb_map(
                 key, data.shape, pixScalesRad(wcs, data.shape),
-                beamBell=beam.Bell, beamEll=beam.ell))
+                beamBell=beam.Bell, beamEll=beam.ell,
+                dx_rows=pixScaleXRadPerRow(wcs, data.shape)))
             randMap[weights == 0] = 0
             mask = data != 0
             whiteNoiseLevel = np.zeros(weights.shape)
@@ -569,7 +587,9 @@ def simCMBMap(shape, wcs, noiseLevel=None, beam=None, seed=None):
         beamEll, beamBell = beam.ell, beam.Bell
     return np.asarray(grf.sim_cmb_map(key, shape, pixScalesRad(wcs, shape),
                                       beamBell=beamBell, beamEll=beamEll,
-                                      noiseLevel=noiseLevel))
+                                      noiseLevel=noiseLevel,
+                                      dx_rows=pixScaleXRadPerRow(wcs,
+                                                                 shape)))
 
 
 def simNoiseMap(shape, noiseLevel, wcs=None, lKnee=None, alpha=-3,

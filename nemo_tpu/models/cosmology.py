@@ -342,16 +342,20 @@ class FlatLCDM:
 
     def convertMassDef(self, M, z, delta_in, rhoType_in, delta_out,
                        rhoType_out):
-        """NFW-based M_{delta_in} -> M_{delta_out} at fixed z.
+        """NFW-based M_{delta_in} -> M_{delta_out}.
 
-        Uses c200c from Bhattacharya13; masses in MSun. Vectorised over M.
+        Uses c200c from Bhattacharya13; masses in MSun.  Vectorised over
+        BOTH M and z (broadcast together), so a whole catalog's
+        mass-definition conversions run as one numpy computation instead
+        of the reference's per-row loop (``bin/nemoMass:203-213``).
         """
-        M = np.atleast_1d(np.asarray(M, dtype=float))
-        rho_c = self.criticalDensity(z)
-        d_in = self._delta_ratio(z, delta_in, rhoType_in)
-        d_out = self._delta_ratio(z, delta_out, rhoType_out)
-        if d_in == d_out:
-            return M if M.shape[0] > 1 else float(M[0])
+        scalarIn = np.isscalar(M) or np.ndim(M) == 0
+        M, z = np.broadcast_arrays(np.atleast_1d(np.asarray(M, dtype=float)),
+                                   np.asarray(z, dtype=float))
+        d_in = np.asarray(self._delta_ratio(z, delta_in, rhoType_in))
+        d_out = np.asarray(self._delta_ratio(z, delta_out, rhoType_out))
+        if np.all(d_in == d_out):
+            return float(M[0]) if scalarIn else M.copy()
 
         # Get c_in: concentration defined for 200c; convert via iteration.
         # Approximate M200c from M_in first (iterate twice - converges fast).
@@ -372,7 +376,7 @@ class FlatLCDM:
         # d(x) / d(x_in) = [mu(x)/x^3] / [mu(x_in)/x_in^3]
         x_out = self._solve_x_target(rs_ratio_in, d_in, d_out)
         M_out = M * self._nfw_mu(x_out) / self._nfw_mu(rs_ratio_in)
-        return M_out if M_out.shape[0] > 1 else float(M_out[0])
+        return float(M_out[0]) if scalarIn else M_out
 
     def _solve_x(self, c200c, dens_ratio, mass_ratio_guess):
         """Solve mu(x)/x^3 = dens_ratio * mu(c)/c^3 for x (bisection)."""

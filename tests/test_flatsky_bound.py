@@ -104,6 +104,74 @@ def test_flatsky_cl_error_bounds():
     assert 0.5 < s46 * edge55 < 1.1
 
 
+def test_decaware_synthesis_shrinks_distortion():
+    """The declination-aware banded GRF (``grf.gaussian_field_decaware``)
+    must track the EXACT per-row-scale shaping ~two orders of magnitude
+    better than the single-scale draw at a dec -55 tile (VERDICT r2 #7).
+
+    Deterministic check: all three fields share one white field's
+    phases, so the per-row error of each approximation against the
+    exact per-row shaping is noiseless."""
+    import jax
+    import jax.numpy as jnp
+
+    from nemo_tpu.ops import grf
+
+    shape = (256, 512)
+    dy = np.radians(PIX_ARCMIN / 60.0)
+    # dec range of a 7.5-deg-tall tile centred at -55 (rows span the
+    # full tile height even at this reduced pixel count)
+    decs = np.linspace(-58.75, -51.25, shape[0])
+    dx_rows = dy * np.cos(np.radians(decs)) / np.cos(np.radians(-55.0))
+    Cl = np.asarray(grf.lensedClTT())
+    ell = np.arange(len(Cl), dtype=float)
+
+    key = jax.random.PRNGKey(11)
+    white = np.asarray(jax.random.normal(key, shape, dtype=jnp.float64))
+    F = np.fft.rfft2(white)
+    lyf = np.fft.fftfreq(shape[0]) * 2 * np.pi
+    lxf = np.fft.rfftfreq(shape[1]) * 2 * np.pi
+
+    def shaped(dx):
+        lmap = np.sqrt((lyf / dy)[:, None] ** 2 + (lxf / dx)[None, :] ** 2)
+        Cl2d = np.interp(lmap, ell, Cl, right=0.0)
+        amp = np.sqrt(np.maximum(Cl2d, 0.0) / (dy * dx))
+        return np.fft.irfft2(F * amp, s=shape)
+
+    exact = np.empty(shape)
+    for r in range(shape[0]):
+        exact[r] = shaped(dx_rows[r])[r]
+
+    nBands = grf.dec_band_count(dx_rows)
+    assert nBands > 1
+    banded = np.asarray(grf.gaussian_field_decaware(
+        key, shape, dy, jnp.asarray(dx_rows), jnp.asarray(ell),
+        jnp.asarray(Cl), n_bands=nBands))
+    single = shaped(dx_rows[shape[0] // 2])
+
+    norm = float(np.sqrt(np.mean(exact ** 2)))
+    errBanded = float(np.sqrt(np.mean((banded - exact) ** 2))) / norm
+    errSingle = float(np.sqrt(np.mean((single - exact) ** 2))) / norm
+    # single-scale error is order 10% in field RMS at this geometry;
+    # the banded blend must beat it by >= 30x
+    assert errSingle > 0.02, errSingle
+    assert errBanded < errSingle / 30, (errBanded, errSingle)
+
+
+def test_sim_cmb_map_routes_decaware():
+    """``sim_cmb_map(dx_rows=...)`` engages the banded path at high
+    |dec| (band count > 1) and stays single-scale at the equator."""
+    from nemo_tpu.ops import grf
+
+    dy = np.radians(PIX_ARCMIN / 60.0)
+    decsSouth = np.linspace(-58.75, -51.25, 128)
+    dxSouth = dy * np.cos(np.radians(decsSouth)) / np.cos(np.radians(-55.0))
+    assert grf.dec_band_count(dxSouth) > 1
+    decsEq = np.linspace(-0.5, 0.5, 128)
+    dxEq = dy * np.cos(np.radians(decsEq))
+    assert grf.dec_band_count(dxEq) == 1
+
+
 def test_flatsky_sim_power_matches_table_at_centre_scale():
     """Control: measured in its own (centre-scale) geometry, the flat-sky
     realisation's band power matches the input table - the distortion is
