@@ -355,27 +355,37 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         calibPlanes = jnp.fft.irfft2(fCalib * filt, s=(ny, nx))
         filteredCalib = jnp.sum(calibPlanes, axis=0)
         peak = filteredCalib[peakYX[0], peakYX[1]]
-        signalNorm = 1.0 / peak    # integer-pixel estimate (diagnostic)
+        signalNorm = 1.0 / peak    # integer-pixel estimate; ALSO the
+        # host-side tripwire for the crop (engine._calibNormsFromCrops
+        # cross-checks the crop's peak pixel against 1/signalNorm).
+        #
+        # PER-PLANE crops via ONE rank-3 dynamic_slice.  Do NOT replace
+        # this with advanced indexing (calibPlanes[:, py, px]): a vmapped
+        # rank-3 gather with traced scalar indices combined with the
+        # grid-RMS cell reduction in the same program is miscompiled by
+        # XLA (CPU and TPU alike, batch >= 8): every calib read comes
+        # back from a corrupted intermediate, ~25-33 percent low, while
+        # the filtered maps stay correct.  Found as a 4/3 signal-norm
+        # error at DR5 scale; dynamic_slice does not trigger it.  The
+        # per-plane crop also gives the host a sub-pixel fRel-weight
+        # read for free (host engine reads integer pixels,
+        # filters.py:671-674 in the reference).
         crop = jax.lax.dynamic_slice(
-            filteredCalib,
-            (jnp.clip(peakYX[0] - 16, 0, ny - 33),
-             jnp.clip(peakYX[1] - 16, 0, nx - 33)), (33, 33))
+            calibPlanes,
+            (jnp.asarray(0, peakYX.dtype),
+             jnp.clip(peakYX[0] - 16, 0, ny - 33),
+             jnp.clip(peakYX[1] - 16, 0, nx - 33)), (nf, 33, 33))
 
         filtered = jnp.sum(jnp.fft.irfft2(fMaps * filt, s=(ny, nx)),
                            axis=0)
-        # Per-frequency share of the calibration peak = fRel weights
-        # (host engine reads these at the peak pixel, filters.py:671-674)
-        planePeaks = calibPlanes[:, peakYX[0], peakYX[1]]
-        fRelW = planePeaks / peak
-        return filtered, signalNorm, filt, fRelW, crop
+        return filtered, signalNorm, filt, crop
 
     def per_shard(data, noise, template, calib, w, apodM, psMask,
                   surveyMask, fgPower, peakYX):
-        filtered, norms, filts, fRelW, crops = jax.vmap(
+        filtered, norms, filts, crops = jax.vmap(
             lambda d, n, t, c, a, g, p: one_tile(d, n, t, c, w, a, g, p))(
             data, noise, template, calib, apodM, fgPower, peakYX)
-        filterOut = {"filt": filts, "fRelW": fRelW} if return_filter \
-            else {}
+        filterOut = {"filt": filts} if return_filter else {}
         filterOut["calibCrop"] = crops
         filtered = filtered * psMask
 
@@ -479,7 +489,6 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
     out_specs["calibCrop"] = spec_tiles
     if return_filter:
         out_specs["filt"] = spec_tiles
-        out_specs["fRelW"] = spec_tiles
     sharded = shard_map(
         per_shard, mesh=mesh,
         in_specs=(spec_tiles, spec_tiles, spec_tiles, spec_tiles, spec_rep,

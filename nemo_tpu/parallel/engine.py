@@ -629,39 +629,66 @@ def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
 
 def _calibNormsFromCrops(out, st, names, nT, padShape, tPhase):
     """Per-tile signal normalisation (1 / sub-pixel calibration peak)
-    from the step's 33x33 filtered-calibration crops - the same windowed
-    spline read as the host engine (filters.py:660-662).  The step's
-    own integer-pixel read misses the peak for odd tile dimensions
-    (template centres sit between pixels)."""
+    and fRel weights from the step's per-plane 33x33 filtered-calibration
+    crops - the same windowed spline read as the host engine
+    (filters.py:660-662).  The step's own integer-pixel read misses the
+    peak for odd tile dimensions (template centres sit between pixels).
+
+    Tripwire: the crop's integer peak pixel must reproduce the step's
+    own in-graph peak read (1 / out["signalNorm"]).  The two reads go
+    through different XLA lowerings of the same intermediate; a past
+    XLA miscompile (see distribute.py one_tile) silently returned a
+    corrupted crop, which this check now turns into a hard error.
+
+    Returns (norms (nT,), fRelW (nT, nf))."""
     import time as _time
     from scipy import interpolate as sinterp
 
     t0 = _time.time()
     crops = np.asarray(out["calibCrop"], dtype=np.float64)[:nT]
+    stepPeaks = 1.0 / np.asarray(out["signalNorm"], dtype=np.float64)[:nT]
     tPhase["download"] += _time.time() - t0
     py, px = padShape
+    nf = crops.shape[1]
     norms = np.empty(nT)
+    fRelW = np.empty((nT, nf))
     for i, tileName in enumerate(names):
         shape = st[tileName][1]["shape"]
         y0c = int(np.clip(shape[0] // 2 - 16, 0, py - 33))
         x0c = int(np.clip(shape[1] // 2 - 16, 0, px - 33))
-        spl = sinterp.RectBivariateSpline(
-            np.arange(y0c, y0c + 33), np.arange(x0c, x0c + 33), crops[i],
-            kx=3, ky=3)
-        norms[i] = 1.0 / float(spl(shape[0] / 2.0, shape[1] / 2.0)[0][0])
-    return norms
+        summed = crops[i].sum(axis=0)
+        cropPeak = summed[shape[0] // 2 - y0c, shape[1] // 2 - x0c]
+        if not np.isclose(cropPeak, stepPeaks[i], rtol=1e-3):
+            raise RuntimeError(
+                "calibration crop is inconsistent with the step's "
+                "in-graph peak read for tile %s (%.6e vs %.6e): the "
+                "compiled step returned a corrupted intermediate - "
+                "see the XLA-miscompile note in distribute.py one_tile"
+                % (tileName, cropPeak, stepPeaks[i]))
+        ys = np.arange(y0c, y0c + 33)
+        xs = np.arange(x0c, x0c + 33)
+        cy, cx = shape[0] / 2.0, shape[1] / 2.0
+        spl = sinterp.RectBivariateSpline(ys, xs, summed, kx=3, ky=3)
+        peak = float(spl(cy, cx)[0][0])
+        norms[i] = 1.0 / peak
+        for f in range(nf):
+            fspl = sinterp.RectBivariateSpline(ys, xs, crops[i][f],
+                                               kx=3, ky=3)
+            fRelW[i, f] = float(fspl(cy, cx)[0][0]) / peak
+    return norms, fRelW
 
 
-def _saveFilterCaches(st, names, nT, out, tPhase, hostNorms):
+def _saveFilterCaches(st, names, nT, out, tPhase, hostNorms, fRelW):
     """Write the filter cache FITS (host ``MapFilter.saveFilter`` format:
     SIGNORM + RW fRel-weight headers) from the sharded step's
-    ``return_filter`` outputs - fitQ and getFRelWeights read these."""
+    ``return_filter`` outputs - fitQ and getFRelWeights read these.
+    ``fRelW`` comes from the host's sub-pixel per-plane crop reads
+    (:func:`_calibNormsFromCrops`)."""
     import time as _time
     from ..utils import fits as nfits
 
     t0 = _time.time()
     filts = np.asarray(out["filt"])[:nT]
-    fRelW = np.asarray(out["fRelW"])[:nT]
     tPhase["download"] += _time.time() - t0
     for i, tileName in enumerate(names):
         filterObj, stacks = st[tileName]
@@ -1013,10 +1040,11 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
                      apodDev, psDev, surveyDev, fgDev, peakDev)
         tPhase["step"] += _time.time() - t0
         saveRMS = st[names[0]][0].params.get("saveRMSMap")
-        hostNorms = _calibNormsFromCrops(out, st, names, nT, padShape,
-                                         tPhase)
+        hostNorms, fRelW = _calibNormsFromCrops(out, st, names, nT,
+                                                padShape, tPhase)
         if wantFilter:
-            _saveFilterCaches(st, names, nT, out, tPhase, hostNorms)
+            _saveFilterCaches(st, names, nT, out, tPhase, hostNorms,
+                              fRelW)
 
         if useDetect:
             _emit_detect_results(

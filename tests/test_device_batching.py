@@ -420,3 +420,51 @@ def test_batched_filter_cache_feeds_loadFilter(tiled_run, tmp_path):  # noqa: F8
     denom = np.abs(hostFilt).max()
     assert np.abs(hostFilt - loader.filt).max() / denom < 1e-6
     assert abs(host.signalNorm / loader.signalNorm - 1) < 0.01
+
+
+def test_calibration_batch_size_invariance(tiled_run, tmp_path):  # noqa: F811
+    """Cached SIGNORM / RW headers must not depend on how many tiles
+    share the device chunk.  Pins the XLA-miscompile class fixed in
+    distribute.py one_tile (a vmapped rank-3 gather combined with the
+    RMS-cell reduction corrupted every calib read at batch >= 8: the
+    DR5 run cached signal norms 4/3 too large and fitQ's Q[0]/y0 gate
+    tripped).  The step now ships per-plane crops via dynamic_slice and
+    the host cross-checks the crop peak against the in-graph read."""
+    from nemo_tpu import filters as filters_mod
+
+    inputTab, hostCatalog, config, w = tiled_run
+    f = {"label": "BeamBatchInv", "class": "BeamMatchedFilter",
+         "params": {"noiseParams": {"method": "dataMap",
+                                    "noiseGridArcmin": 40.0},
+                    "outputUnits": "uK", "edgeTrimArcmin": 10.0,
+                    "saveFilter": True}}
+    tiles = list(config.tileNames)
+    assert len(tiles) >= 4
+
+    def norms(tag, tileNames, perTile):
+        import copy
+        ff = copy.deepcopy(f)
+        ff["label"] = "BeamBatchInv%s" % tag
+        if perTile:
+            for t in tileNames:
+                engine.batchFilterTilesMulti(config, [ff], tileNames=[t],
+                                             verbose=False)
+        else:
+            engine.batchFilterTilesMulti(config, [ff],
+                                         tileNames=tileNames,
+                                         verbose=False)
+        out = {}
+        for t in tileNames:
+            loader = filters_mod.getFilterClass(ff["class"])(
+                ff["label"], config.unfilteredMapsDictList, ff["params"],
+                tileName=t, diagnosticsDir=config.diagnosticsDir)
+            loader.loadFilter()
+            out[t] = (loader.signalNorm, dict(loader.fRelWeights))
+        return out
+
+    single = norms("S", tiles, perTile=True)
+    batched = norms("B", tiles, perTile=False)
+    for t in tiles:
+        assert abs(batched[t][0] / single[t][0] - 1) < 1e-6, t
+        for k in single[t][1]:
+            assert abs(batched[t][1][k] - single[t][1][k]) < 1e-6, (t, k)
