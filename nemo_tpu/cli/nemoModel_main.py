@@ -25,6 +25,17 @@ def makeParser():
                         help="Cluster profile: A10 or B12.")
     parser.add_argument("-C", "--CMB", dest="addCMB", action="store_true",
                         default=False, help="Add a CMB realisation.")
+    parser.add_argument("--curved-cmb", dest="curvedCMB",
+                        action="store_true", default=False,
+                        help="Synthesise the CMB through the curved-sky "
+                             "SHT (ops/sht.py) instead of the flat-sky "
+                             "GRF - the reference's curvedsky.rand_map "
+                             "parity path; slower, exact at all "
+                             "declinations.")
+    parser.add_argument("--cmb-lmax", dest="cmbLmax", type=int,
+                        default=None,
+                        help="Band limit for --curved-cmb (default: "
+                             "min(spectrum extent, ring Nyquist)).")
     parser.add_argument("-N", "--noise-level", dest="noiseLevel",
                         type=float, default=0.0,
                         help="White noise level (uK per pixel).")
@@ -63,9 +74,10 @@ def main():
         modelMap = modelMap * args.scale
 
     if args.addCMB:
-        modelMap = modelMap + maps.simCMBMap(shape, wcs,
-                                             beam=args.beamFileName,
-                                             seed=args.seed)
+        modelMap = modelMap + maps.simCMBMap(
+            shape, wcs, beam=args.beamFileName, seed=args.seed,
+            method="curved" if args.curvedCMB else "flat",
+            lmax=args.cmbLmax)
     if args.noiseLevel > 0 or args.lKnee is not None:
         noiseSeed = None if args.seed is None else args.seed + 1
         modelMap = modelMap + maps.simNoiseMap(

@@ -575,8 +575,16 @@ def chunkLoadMask(fileName, numChunks=8, dtype=np.uint8):
 # -----------------------------------------------------------------------------
 # Simulation
 
-def simCMBMap(shape, wcs, noiseLevel=None, beam=None, seed=None):
-    """Simulated CMB map (``maps.py:1223-1264``); flat-sky per tile."""
+def simCMBMap(shape, wcs, noiseLevel=None, beam=None, seed=None,
+              method="flat", lmax=None):
+    """Simulated CMB map (``maps.py:1223-1264``).
+
+    ``method="flat"`` draws a dec-aware flat-sky GRF per tile (fast; the
+    curved-sky model error is quantified in PARITY.md /
+    ``tests/test_flatsky_bound.py``).  ``method="curved"`` synthesises
+    the realisation through the real spherical-harmonic transform on the
+    map's iso-latitude rings (``ops/sht.py``) - the exact counterpart of
+    the reference's ``curvedsky.rand_map`` (``maps.py:1257``)."""
     if seed is None:
         seed = np.random.randint(0, 2 ** 31 - 1)
     key = jax.random.PRNGKey(int(seed))
@@ -585,6 +593,13 @@ def simCMBMap(shape, wcs, noiseLevel=None, beam=None, seed=None):
         if isinstance(beam, str):
             beam = BeamProfile(beamFileName=beam)
         beamEll, beamBell = beam.ell, beam.Bell
+    if method == "curved":
+        from .ops import sht
+        return np.asarray(sht.sim_cmb_map_curved(
+            key, shape, wcs, beamBell=beamBell, beamEll=beamEll,
+            noiseLevel=noiseLevel, lmax=lmax))
+    if method != "flat":
+        raise ValueError("simCMBMap method must be 'flat' or 'curved'")
     return np.asarray(grf.sim_cmb_map(key, shape, pixScalesRad(wcs, shape),
                                       beamBell=beamBell, beamEll=beamEll,
                                       noiseLevel=noiseLevel,
