@@ -608,8 +608,13 @@ def simCMBMap(shape, wcs, noiseLevel=None, beam=None, seed=None,
 
 
 def simNoiseMap(shape, noiseLevel, wcs=None, lKnee=None, alpha=-3,
-                noiseMode="perPixel", seed=None):
-    """White or 1/f noise map (``maps.py:1267-1352``)."""
+                noiseMode="perPixel", seed=None, method="flat"):
+    """White or 1/f noise map (``maps.py:1267-1352``).
+
+    ``method="curved"`` (1/f only) shapes the atmosphere through the
+    curved-sky alm round trip exactly as the reference does
+    (``maps.py:1326-1341``); the flat default shapes the same N_l on
+    the tile's Fourier grid."""
     if seed is None:
         seed = np.random.randint(0, 2 ** 31 - 1)
     key = jax.random.PRNGKey(int(seed))
@@ -618,6 +623,12 @@ def simNoiseMap(shape, noiseLevel, wcs=None, lKnee=None, alpha=-3,
             raise ValueError("1/f noise requires noiseMode='perPixel'")
         arcmin2Map = getPixelAreaArcmin2Map(shape, wcs)
         noiseLevel = noiseLevel / arcmin2Map
+    if method == "curved":
+        if lKnee is None:
+            raise ValueError("method='curved' applies to 1/f noise only")
+        from .ops import sht
+        return np.asarray(sht.sim_noise_map_curved(
+            key, shape, wcs, noiseLevel, lKnee, alpha=alpha))
     pix = pixScalesRad(wcs, shape) if wcs is not None else None
     return np.asarray(grf.sim_noise_map(key, shape, noiseLevel,
                                         pix_scales_rad=pix, lKnee=lKnee,

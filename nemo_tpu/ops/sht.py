@@ -39,7 +39,8 @@ import jax
 import numpy as np
 
 __all__ = ["alm2map_car", "map2alm_car", "rand_alm", "sim_cmb_map_curved",
-           "legendre_rings", "ring_weights", "car_ring_geometry"]
+           "sim_noise_map_curved", "legendre_rings", "ring_weights",
+           "car_ring_geometry"]
 
 
 # ---------------------------------------------------------------------------
@@ -282,7 +283,10 @@ def map2alm_car(m, shape, wcs, lmax, dtype=np.float32):
     M1 = lmax + 1
     padded = np.zeros((shape[0], nphi))
     padded[:, :shape[1]] = np.asarray(m)
-    c = np.fft.rfft(padded, axis=1)[:, :M1]            # (R, M1)
+    cb = np.fft.rfft(padded, axis=1)                   # (R, nphi//2+1)
+    c = np.zeros((shape[0], M1), dtype=complex)        # m beyond the ring
+    nm = min(M1, cb.shape[1])                          # Nyquist: unsampled
+    c[:, :nm] = cb[:, :nm]
     if sgn < 0:
         c = np.conj(c)
     phase = np.exp(-1j * np.arange(M1) * phi0)
@@ -361,3 +365,28 @@ def sim_cmb_map_curved(key, shape, wcs, beamBell=None, beamEll=None,
     if noiseLevel is not None:
         m = m + np.asarray(grf.sim_noise_map(k2, shape, noiseLevel))
     return m
+
+
+def sim_noise_map_curved(key, shape, wcs, noiseLevel, lKnee, alpha=-3.0,
+                         lmax=6000, dtype=np.float32):
+    """1/f ('atmospheric') noise through the curved-sky transform - the
+    parity partner of the reference's alm round trip
+    (``nemo/maps.py:1326-1341``: white map -> ``map2alm`` at lmax 6000,
+    multiply by sqrt((lKnee/l)^-alpha + 1), ``alm2map``).  Like the
+    reference, the output is band-limited at ``lmax``."""
+    import jax
+
+    thetas, _, _, _ = car_ring_geometry(shape, wcs)
+    if len(thetas) > 1:
+        lmax = int(min(lmax, np.pi / abs(float(thetas[1] - thetas[0]))))
+    white = np.asarray(jax.random.normal(key, shape), dtype=np.float64)
+    alm = map2alm_car(white, shape, wcs, lmax, dtype=dtype)
+    ls = np.maximum(np.arange(lmax + 1, dtype=np.float64), 1e-9)
+    Nl = (lKnee / ls) ** -alpha + 1.0
+    Nl[0] = 0.0
+    alm = alm * np.sqrt(Nl)[:, None]
+    shaped = alm2map_car(alm, shape, wcs, dtype=dtype)
+    noiseLevel = np.asarray(noiseLevel)
+    if noiseLevel.ndim == 0:
+        return shaped * float(noiseLevel)
+    return np.where(noiseLevel > 0, shaped * noiseLevel, 0.0)

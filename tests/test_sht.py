@@ -129,3 +129,19 @@ def test_maps_simCMBMap_curved_dispatch():
     assert m.shape == shape and np.isfinite(m).all() and m.std() > 0
     with pytest.raises(ValueError):
         maps.simCMBMap(shape, w, seed=1, method="nope")
+
+
+def test_sim_noise_map_curved():
+    """Curved 1/f noise: band-limited, red-tilted vs white at low l, and
+    scaled by the per-pixel level (reference alm round trip,
+    maps.py:1326-1341)."""
+    shape = (40, 720)
+    w = nwcs.makeWCS(shape, 0.5, centreRADeg=0.0, centreDecDeg=-30.0)
+    m = maps.simNoiseMap(shape, 10.0, wcs=w, lKnee=300, alpha=-3,
+                         seed=5, method="curved")
+    assert m.shape == shape and np.isfinite(m).all()
+    # 1/f boosts variance well above the white-map level
+    white = maps.simNoiseMap(shape, 10.0, wcs=w, seed=5)
+    assert m.std() > 2 * white.std()
+    with pytest.raises(ValueError):
+        maps.simNoiseMap(shape, 10.0, wcs=w, seed=5, method="curved")
