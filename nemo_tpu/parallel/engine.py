@@ -430,6 +430,16 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
         for n in names:
             del staged[label][n]
 
+    pendingMF = []      # staged chunks whose uploads are still streaming
+
+    def _drain_mf(depth=0):
+        while len(pendingMF) > depth:
+            ctx, gs, tp = pendingMF.pop(0)
+            _process_bucket_shared(config, ctx, gs, tp, mesh, nDev,
+                                   rms_impl, undoPixelWindow, verbose,
+                                   results, consume=consume,
+                                   detectParams=detectParams)
+
     def _flush_mf(key, bucket):
         padShape, nf, gridSize, trimPix = key
         names = bucket["names"]
@@ -447,13 +457,17 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
             if photLabel in labels:  # phot first: its maps stay resident
                 labels = [photLabel] + [l for l in labels
                                         if l != photLabel]
-            _run_bucket_shared(config, staged, labels, list(sub), padShape,
-                               gridSize, trimPix, mesh, nDev, rms_impl,
-                               undoPixelWindow, verbose, results,
-                               consume=consume, detectParams=detectParams)
+            # Dispatch this chunk's uploads NOW (async), then process
+            # whatever was staged before it: the one-chunk deferral
+            # overlaps each chunk's upload stream with the previous
+            # chunk's compute + downloads on the slow link.
+            ctx = _stage_bucket_uploads(staged, labels, list(sub),
+                                        padShape, mesh, nDev)
             for label in labels:
                 for n in sub:
                     staged[label].pop(n, None)
+            pendingMF.append((ctx, gridSize, trimPix))
+        _drain_mf(depth=1)
 
     import time as _time
     phaseT = {"preprocess": 0.0, "stage": 0.0}
@@ -517,6 +531,7 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
     for key, bucket in mfBuckets.items():
         if bucket["names"]:
             _flush_mf(key, bucket)
+    _drain_mf(depth=0)
     return results
 
 
@@ -896,27 +911,22 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                 results[label].pop(tileName, None)
 
 
-def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
-                       trimPix, mesh, nDev, rms_impl, undoPixelWindow,
-                       verbose, results, consume=None, detectParams=None):
-    """One tile chunk through every filter scale in ``labels``.
+def _stage_bucket_uploads(staged, labels, names, padShape, mesh, nDev):
+    """Snapshot one tile chunk's staged state and DISPATCH its big device
+    uploads (data, masks, apodisation) without blocking on them.
 
-    The big arrays (data, masks, apodisation, and - for the dataMap noise
-    method - the noise stack, which IS the data) are stacked, padded and
-    uploaded once; each filter scale then runs against the resident device
-    copies with only its signal/calibration templates crossing the wire.
-    At DR5 scale (16 scales) this cuts staged upload volume ~5x.
+    ``jax.device_put`` is asynchronous: the transfers stream over the
+    (slow) host-device link while the PREVIOUS chunk is still being
+    processed - the caller defers processing by one chunk
+    (``batchFilterTilesMulti._flush_mf``), hiding most of the per-chunk
+    upload wall-clock behind the previous chunk's compute + downloads.
+    The snapshot owns the chunk's (filterObj, stacks) references, so the
+    caller can drop them from the live staging dict immediately and keep
+    peak host memory at ~two chunks.
     """
     import time as _time
-    if verbose:
-        print("... device batch: %d tile(s) x %d filter(s) at %s"
-              % (len(names), len(labels), str(padShape)), flush=True)
-    tPhase = {"upload": 0.0, "step": 0.0, "download": 0.0}
+
     t0 = _time.time()
-    # Lean outputs: full S/N and RMS maps never cross the (slow) link -
-    # the per-cell RMS grid does, and the host rebuilds both exactly.
-    step = make_sharded_matched_filter_step(
-        mesh, gridSize, trimPix, rms_impl=rms_impl, lean_outputs=True)
     nT = len(names)
     pad = (-nT) % nDev
     rep = ([1] * (nT - 1)) + [1 + pad] if pad else None
@@ -979,29 +989,72 @@ def _run_bucket_shared(config, staged, labels, names, padShape, gridSize,
         full = jnp.take(uniqDev, jnp.asarray(idxA), axis=0)
         return jax.device_put(full, sh)
 
-    tPhase["step"] += _time.time() - t0  # step build/compile
-    t0 = _time.time()
-    common = [staged[labels[0]][n][1]["common"] for n in names]
-    dataDev = _put([c["data"] for c in common])
-    apodDev = _putDedup([c["apodM"] for c in common])
-    psDev = _put([_asBinaryMask(c["psMask"]) for c in common])
-    surveyDev = _put([_asBinaryMask(c["surveyMask"]) for c in common])
+    snapshot = {label: {n: staged[label][n] for n in names
+                        if n in staged[label]} for label in labels}
+    common = [snapshot[labels[0]][n][1]["common"] for n in names]
+    ctx = {"labels": labels, "names": names, "padShape": padShape,
+           "snapshot": snapshot, "rep": rep, "pad": pad, "nT": nT,
+           "put": _put, "putDedup": _putDedup,
+           "dataDev": _put([c["data"] for c in common]),
+           "apodDev": _putDedup([c["apodM"] for c in common]),
+           "psDev": _put([_asBinaryMask(c["psMask"]) for c in common]),
+           "surveyDev": _put([_asBinaryMask(c["surveyMask"])
+                              for c in common])}
     peakYX = np.array([[c["shape"][0] // 2, c["shape"][1] // 2]
                        for c in common], dtype=np.int32)
     if rep:
         peakYX = np.repeat(peakYX, rep, axis=0)
-    peakDev = jax.device_put(jnp.asarray(peakYX), sh)
+    ctx["peakDev"] = jax.device_put(jnp.asarray(peakYX), sh)
+    ctx["sh"] = sh
+    ctx["upDtype"] = upDtype
+    ctx["stageDispatch"] = _time.time() - t0
+    return ctx
+
+
+def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
+                           rms_impl, undoPixelWindow, verbose, results,
+                           consume=None, detectParams=None):
+    """Run one staged tile chunk through every filter scale.
+
+    The big arrays were dispatched by :func:`_stage_bucket_uploads`
+    (possibly a whole chunk ago); each filter scale runs against the
+    resident device copies with only its signal/calibration templates
+    crossing the wire.  At DR5 scale (16 scales) this cuts staged upload
+    volume ~5x, and the one-chunk staging deferral overlaps the upload
+    stream with the previous chunk's compute and downloads.
+    """
+    import time as _time
+
+    labels = ctx["labels"]
+    names = ctx["names"]
+    padShape = ctx["padShape"]
+    snapshot = ctx["snapshot"]
+    nT = ctx["nT"]
+    pad = ctx["pad"]
+    rep = ctx["rep"]
+    _put = ctx["put"]
+    _putDedup = ctx["putDedup"]
+    dataDev = ctx["dataDev"]
+    apodDev = ctx["apodDev"]
+    psDev = ctx["psDev"]
+    surveyDev = ctx["surveyDev"]
+    peakDev = ctx["peakDev"]
+    sh = ctx["sh"]
+    upDtype = ctx["upDtype"]
+    if verbose:
+        print("... device batch: %d tile(s) x %d filter(s) at %s"
+              % (len(names), len(labels), str(padShape)), flush=True)
+    tPhase = {"upload": ctx["stageDispatch"], "step": 0.0,
+              "download": 0.0}
     halfShape = (padShape[0], padShape[1] // 2 + 1)
     fgZerosDev = None
-    jax.block_until_ready(dataDev)
-    tPhase["upload"] += _time.time() - t0
 
     photLabel = config.parDict.get("photFilter")
     photRes = None          # resident phot maps for fixed_ cutout gathers
     seenTiles = set()       # maskSN downloaded once per tile, not per label
 
     for label in labels:
-        st = staged[label]
+        st = snapshot[label]
         stacksList = [st[n][1] for n in names]
         useDetect = detectParams is not None \
             and not st[names[0]][0].params.get("saveFilteredMaps")
