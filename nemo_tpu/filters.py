@@ -683,7 +683,7 @@ class MatchedFilter(MapFilter):
                                               self.padShape))
                  for s in signalMaps])
             filteredSignalDev = fourier.crop_to(
-                _apply_filter_fourier(fSignalMaps, jnp.asarray(self.filt),
+                _apply_filter_fourier(fSignalMaps, self._deviceFilt(),
                                       self.padShape), self.shape)
             cy, cx = self.shape[0] / 2.0, self.shape[1] / 2.0
             # Only a small central window crosses to host for the spline
@@ -699,7 +699,7 @@ class MatchedFilter(MapFilter):
             # fRel weights from the per-frequency filtered-signal cube,
             # evaluated at the peak pixel on device (scalar pulls only)
             cubeDev = fourier.crop_to(fourier.irfft2(
-                fSignalMaps * jnp.asarray(self.filt), self.padShape),
+                fSignalMaps * self._deviceFilt(), self.padShape),
                 self.shape)
             my, mx = np.unravel_index(np.argmax(crop), crop.shape)
             my += y0i
@@ -718,7 +718,7 @@ class MatchedFilter(MapFilter):
                                               self.padShape))
                  for s in signalMaps])
             filteredSignalDev = fourier.crop_to(
-                _apply_filter_fourier(fSignalMaps, jnp.asarray(self.filt),
+                _apply_filter_fourier(fSignalMaps, self._deviceFilt(),
                                       self.padShape), self.shape)
             self.signalNorm = 1.0 / float(
                 np.asarray(jnp.max(filteredSignalDev)))
@@ -754,6 +754,20 @@ class MatchedFilter(MapFilter):
                 interp_i(pts).reshape(shape[-2:]), axes=0)
         return out
 
+    def _deviceFilt(self):
+        """Device-resident copy of ``self.filt``, uploaded once per
+        loaded filter.  Callers like fitQ apply the same filter to many
+        model stacks; re-shipping ~10 MB per call dominates wall-clock
+        on a remote-tunnel TPU runtime.  The host cast to the device
+        compute dtype happens BEFORE the transfer so float64 bytes never
+        cross the link."""
+        if getattr(self, "_filtDevSrc", None) is not self.filt:
+            dt = jnp.zeros((), dtype=float).dtype   # f32 unless x64
+            self._filtDev = jnp.asarray(
+                np.asarray(self.filt, dtype=dt))
+            self._filtDevSrc = self.filt
+        return self._filtDev
+
     def applyFilter(self, mapDataToFilter, returnDevice=False):
         """Apply the filter (``filters.py:824-859``); accepts real map cubes
         (FFT'd with apodisation here) or already-FFT'd complex cubes.  If
@@ -771,13 +785,13 @@ class MatchedFilter(MapFilter):
             fMaps = _fft_apod_stack(mapDataToFilter, apodM,
                                     padShape=padShape)
         if fMaps.shape[-3:] == self.filt.shape:
-            filt = self.filt
+            filt = self._deviceFilt()
             padShape = self.padShape
         else:
-            filt = self.reshapeFilter(fMaps.shape[-3:])
+            filt = jnp.asarray(self.reshapeFilter(fMaps.shape[-3:]))
             padShape = (fMaps.shape[-2], 2 * (fMaps.shape[-1] - 1))
         filteredDev = fourier.crop_to(_apply_filter_fourier(
-            fMaps, jnp.asarray(filt), padShape), outShape)
+            fMaps, filt, padShape), outShape)
         if returnDevice:
             return filteredDev * self.signalNorm
         filteredMap = np.asarray(filteredDev)
