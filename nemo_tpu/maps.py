@@ -1415,3 +1415,28 @@ def estimateContamination(contamSimDict, imageDict, SNRKeys, label,
                 diagnosticsDir, "contaminationEstimate_%s_%s.fits"
                 % (label, SNRKey)))
     return out
+
+
+# ----------------------------------------------------------------------------
+# Reference API-parity aliases (``nemo/maps.py``): unit conversions live in
+# models/sz.py and FITS output in utils/fits.py; these module-level names
+# keep reference call sites working unmodified.
+
+def convertToY(mapData, obsFrequencyGHz=148.0):
+    """deltaT (uK) -> Compton y (``maps.py:652``)."""
+    from .models import sz
+    return sz.convertToY(mapData, obsFrequencyGHz=obsFrequencyGHz)
+
+
+def convertToDeltaT(mapData, obsFrequencyGHz=148.0, TCMBAlpha=0.0, z=None):
+    """Compton y -> deltaT (uK) (``maps.py:668``)."""
+    from .models import sz
+    return sz.convertToDeltaT(mapData, obsFrequencyGHz=obsFrequencyGHz,
+                              TCMBAlpha=TCMBAlpha, z=z)
+
+
+def saveFITS(outputFileName, mapData, wcs, compressionType=None):
+    """Write a map to FITS with NEMOVER provenance (``maps.py:2371``)."""
+    nfits.write_image(outputFileName, mapData,
+                      wcs.header if wcs is not None else None,
+                      compressionType=compressionType)

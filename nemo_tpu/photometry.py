@@ -428,3 +428,53 @@ def makeForcedPhotometryCatalog(filteredMapDict, inputCatalog,
         if DS9RegionsPath is not None:
             catalogs.catalog2DS9(catalog, DS9RegionsPath)
     return catalog
+
+
+# ----------------------------------------------------------------------------
+# Unit conversions and small geometry helpers kept at module level for
+# reference API parity (``nemo/photometry.py:460-553``).  deltaT <-> Jy/sr
+# delegate to the shared SZ spectral module.
+
+def deltaTToJyPerSr(temp, obsFreqGHz):
+    """Convert delta T (uK) to Jy/sr (``photometry.py:460``)."""
+    return sz.deltaTToJyPerSr(temp, obsFreqGHz)
+
+
+def JyPerSrToDeltaT(JySr, obsFreqGHz):
+    """Convert Jy/sr to delta T (uK) (``photometry.py:477``)."""
+    return sz.JyPerSrToDeltaT(JySr, obsFreqGHz)
+
+
+def getRadialDistanceMap(objDict, data, wcs):
+    """Radial distance (degrees on the sky) from the object at
+    ``objDict['x'], objDict['y']`` for every pixel (``photometry.py:496``)."""
+    from .utils.wcs import calcAngSepDeg
+
+    x0, y0 = objDict["x"], objDict["y"]
+    ra1, dec1 = wcs.pix2wcs(x0 + 1, y0 + 1)
+    xPixScale = calcAngSepDeg(objDict["RADeg"], objDict["decDeg"], ra1,
+                              objDict["decDeg"])
+    yPixScale = calcAngSepDeg(objDict["RADeg"], objDict["decDeg"],
+                              objDict["RADeg"], dec1)
+    xR = (np.arange(data.shape[1]) - x0)[None, :] * xPixScale
+    yR = (np.arange(data.shape[0]) - y0)[:, None] * yPixScale
+    return np.sqrt(xR ** 2 + yR ** 2)
+
+
+def getPixelsDistanceMap(objDict, data):
+    """Radial distance (pixels) from the object at ``objDict['x'],
+    objDict['y']`` for every pixel (``photometry.py:516``)."""
+    x0, y0 = objDict["x"], objDict["y"]
+    xR = (np.arange(data.shape[1]) - x0)[None, :]
+    yR = (np.arange(data.shape[0]) - y0)[:, None]
+    return np.sqrt(xR ** 2 + yR ** 2)
+
+
+def makeAnnulus(innerScalePix, outerScalePix):
+    """Annulus footprint for rank filtering (``photometry.py:533``)."""
+    inner = int(round(innerScalePix))
+    outer = int(round(outerScalePix))
+    xR = np.arange(2 * outer)[None, :] - outer
+    yR = np.arange(2 * outer)[:, None] - outer
+    r = np.sqrt(xR ** 2 + yR ** 2)
+    return ((r > inner) & (r < outer)).astype(np.int64)

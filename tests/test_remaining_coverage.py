@@ -170,3 +170,41 @@ def test_halt_on_position_recovery_flag_default():
     parDict = startup.parseConfigFile(path)
     os.remove(path)
     assert parDict.get("haltOnPositionRecoveryProblem") is False
+
+
+def test_photometry_parity_helpers(tmp_path):
+    """Module-level reference-API helpers (photometry.py:460-553,
+    maps.py:652-688,2371)."""
+    import numpy as np
+
+    from nemo_tpu import maps, photometry
+    from nemo_tpu.utils import fits as nfits
+    from nemo_tpu.utils import wcs as nwcs
+
+    ann = photometry.makeAnnulus(3, 6)
+    assert ann.shape == (12, 12) and ann.dtype == np.int64
+    r = np.sqrt((np.arange(12)[None, :] - 6) ** 2
+                + (np.arange(12)[:, None] - 6) ** 2)
+    assert np.array_equal(ann, ((r > 3) & (r < 6)).astype(np.int64))
+
+    d = np.zeros((16, 20))
+    pd = photometry.getPixelsDistanceMap({"x": 10, "y": 8}, d)
+    assert pd[8, 10] == 0 and pd[8, 13] == 3
+
+    w = nwcs.makeWCS((16, 20), 0.5 / 60.0, centreRADeg=30.0,
+                     centreDecDeg=-10.0)
+    ra, dec = w.pix2wcs(10, 8)
+    rd = photometry.getRadialDistanceMap(
+        {"x": 10, "y": 8, "RADeg": ra, "decDeg": dec}, d, w)
+    # x distances carry cos(dec) (calcAngSepDeg), as in the reference
+    assert abs(rd[8, 13] - 3 * (0.5 / 60.0)
+               * np.cos(np.radians(dec))) < 1e-5
+
+    assert abs(photometry.JyPerSrToDeltaT(
+        photometry.deltaTToJyPerSr(100.0, 148.0), 148.0) - 100.0) < 1e-9
+    assert abs(maps.convertToDeltaT(maps.convertToY(50.0)) - 50.0) < 1e-9
+
+    out = str(tmp_path / "m.fits")
+    maps.saveFITS(out, d + 3.0, w)
+    back, hdr = nfits.read_image(out)
+    assert np.allclose(back, 3.0) and "NEMOVER" in hdr
