@@ -99,9 +99,11 @@ def main():
 
     if config.parDict.get("photFilter") and config.parDict.get("fitQ"):
         if not os.path.exists(os.path.join(config.selFnDir, "QFit.fits")):
-            qfit.fitQ(config)
+            with GLOBAL_TIMER.stage("fitQ"):
+                qfit.fitQ(config)
 
-    pipelines.makeRMSTables(config)
+    with GLOBAL_TIMER.stage("makeRMSTables"):
+        pipelines.makeRMSTables(config)
 
     sourceInjTable = None
     sourceInjPath = os.path.join(config.selFnDir,
@@ -129,18 +131,20 @@ def main():
     if config.parDict.get("makeQuickLookMaps"):
         maps.makeQuickLookMaps(config)
 
-    completeness.getFRelWeights(config)
-    completeness.tidyUp(config)
+    with GLOBAL_TIMER.stage("tidyUp"):
+        completeness.getFRelWeights(config)
+        completeness.tidyUp(config)
 
     if config.parDict.get("calcSelFn"):
         import shutil
         selFnConfigPath = os.path.join(config.selFnDir, "config.yml")
         if not os.path.exists(selFnConfigPath):
             shutil.copy(args.configFileName, selFnConfigPath)
-        completeness.completenessByFootprint(config)
-        selFnOptions = config.parDict.get("selFnOptions", {})
-        if selFnOptions.get("massLimitMaps"):
-            completeness.makeMassLimitMapsAndPlots(config)
+        with GLOBAL_TIMER.stage("completeness"):
+            completeness.completenessByFootprint(config)
+            selFnOptions = config.parDict.get("selFnOptions", {})
+            if selFnOptions.get("massLimitMaps"):
+                completeness.makeMassLimitMapsAndPlots(config)
 
     print(GLOBAL_TIMER.report())
     with open(os.path.join(config.diagnosticsDir, "timings.json"),

@@ -662,6 +662,8 @@ def getFRelWeights(config):
     (``signals.py:815-844``)."""
     if config.parDict.get("photFilter") is None:
         return {}
+    from .parallel import filtercache
+    filtercache.flush()     # settle in-flight background cache writes
     fRelWeightsFileName = os.path.join(config.selFnDir, "fRelWeights.fits")
     if not os.path.exists(fRelWeightsFileName):
         rows = {"tileName": []}

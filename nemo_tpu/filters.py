@@ -79,7 +79,13 @@ class MapFilter:
     geometry and beam metadata needed to build filters."""
 
     def __init__(self, label, unfilteredMapsDictList, paramsDict,
-                 tileName="PRIMARY", diagnosticsDir=None, selFnDir=None):
+                 tileName="PRIMARY", diagnosticsDir=None, selFnDir=None,
+                 geometryOnly=False):
+        """``geometryOnly=True`` skips the per-tile map preprocessing and
+        derives (shape, wcs) from the tile coords alone - for consumers
+        that only load + apply a cached filter (fitQ); falls back to the
+        full preprocess when the geometry can't be known without loading
+        (see ``MapDict.loadGeometry``)."""
         self.label = label
         self.params = dict(paramsDict)
         self.tileName = tileName
@@ -95,23 +101,34 @@ class MapFilter:
         # Preprocess per-frequency maps for this tile (lazy: each mapDict is
         # a MapDict that loads + preprocesses its tile on demand).
         self.unfilteredMapsDictList = []
+        geometry = None
         for mapDict in unfilteredMapsDictList:
             if "mapToUse" in self.params and self.params["mapToUse"] is not None:
                 if mapDict.get("label") != self.params["mapToUse"]:
                     continue
             newDict = mapDict.copy() if hasattr(mapDict, "copy") else dict(mapDict)
-            if hasattr(newDict, "preprocess"):
+            if geometryOnly and geometry is None and \
+                    hasattr(newDict, "loadGeometry"):
+                geometry = newDict.loadGeometry(tileName)
+                if geometry is None:
+                    geometryOnly = False
+            if hasattr(newDict, "preprocess") and not geometryOnly:
                 newDict.preprocess(tileName=tileName,
                                    diagnosticsDir=diagnosticsDir)
             self.unfilteredMapsDictList.append(newDict)
-        self.wcs = self.unfilteredMapsDictList[0]["wcs"]
-        self.shape = self.unfilteredMapsDictList[0]["data"].shape
+        self.geometryOnly = geometryOnly and geometry is not None
+        if self.geometryOnly:
+            self.shape, self.wcs = geometry
+        else:
+            self.wcs = self.unfilteredMapsDictList[0]["wcs"]
+            self.shape = self.unfilteredMapsDictList[0]["data"].shape
 
         # Combined flag mask (filters.py:169-171)
         self.flagMask = np.zeros(self.shape, dtype=int)
-        for i, mapDict in enumerate(self.unfilteredMapsDictList):
-            self.flagMask = self.flagMask + (
-                np.asarray(mapDict["flagMask"]) * (i + 1))
+        if not self.geometryOnly:
+            for i, mapDict in enumerate(self.unfilteredMapsDictList):
+                self.flagMask = self.flagMask + (
+                    np.asarray(mapDict["flagMask"]) * (i + 1))
 
         # Beam solid angles for Jy conversions (filters.py:173-192)
         self.beamSolidAnglesDict = {}
@@ -125,10 +142,12 @@ class MapFilter:
 
         self.apodPix = 20
 
-        for mapDict in self.unfilteredMapsDictList:
-            if mapDict["data"].shape != self.shape:
-                raise ValueError(
-                    "Maps at different frequencies have different dimensions")
+        if not self.geometryOnly:
+            for mapDict in self.unfilteredMapsDictList:
+                if mapDict["data"].shape != self.shape:
+                    raise ValueError(
+                        "Maps at different frequencies have different "
+                        "dimensions")
 
         # Pixel scales at the tile centre (radians), as makeRadiansMap
         # (filters.py:214-239) measures them.
@@ -266,7 +285,7 @@ class MapFilter:
     def makeRealSpaceFilterProfile(self):
         """1-d real-space profile of the filter (``filters.py:282-304``)."""
         realSpace = np.fft.fftshift(
-            np.fft.irfft2(np.asarray(self.filt), s=self.padShape),
+            np.fft.irfft2(np.asarray(self._filtHost()), s=self.padShape),
             axes=(-2, -1))
         y0 = realSpace.shape[1] // 2
         x0 = realSpace.shape[2] // 2
@@ -314,6 +333,21 @@ class MapFilter:
                           np.asarray(self.filt, dtype=np.float64), header)
 
     def loadFilter(self):
+        # Device-resident fast path: the batched engine parks the built
+        # reference filters on the devices (parallel/filtercache.py), so
+        # fitQ / forced-photometry reloads skip both the FITS read and
+        # the ~10 MB/tile re-upload over the slow host link.
+        from .parallel import filtercache
+        ent = filtercache.DEVICE_CACHE.get(self.filterFileName)
+        if ent is not None:
+            self.filt = None
+            self._filtDev = ent["filt"]
+            self._filtDevSrc = ent["filt"]
+            self._cachedFiltShape = tuple(ent["filt"].shape)
+            self.signalNorm = ent["signalNorm"]
+            self.fRelWeights = dict(ent["fRelWeights"])
+            return
+        filtercache.ensure_written(self.filterFileName)
         data, header = nfits.read_image(self.filterFileName)
         self.filt = np.asarray(data, dtype=np.float64)
         self.signalNorm = header["SIGNORM"]
@@ -321,6 +355,17 @@ class MapFilter:
         for i in range(1, 10):
             if "RW%d_GHZ" % i in header:
                 self.fRelWeights[header["RW%d_GHZ" % i]] = header["RW%d" % i]
+
+    def _filtShape(self):
+        return self.filt.shape if self.filt is not None \
+            else self._cachedFiltShape
+
+    def _filtHost(self):
+        """Host float64 filter array; downloads the device-cached copy
+        when the host copy was skipped (device-resident loadFilter)."""
+        if self.filt is None:
+            self.filt = np.asarray(self._filtDev, dtype=np.float64)
+        return self.filt
 
 
 def _biweight_scale(values, c=9.0):
@@ -454,6 +499,10 @@ class MatchedFilter(MapFilter):
     """Fourier-space multi-frequency matched filter (``filters.py:519``)."""
 
     def buildAndApply(self, useCachedFilter=False, undoPixelWindow=False):
+        if getattr(self, "geometryOnly", False):
+            raise RuntimeError("filter was constructed geometryOnly - it "
+                               "can load/apply cached filters but not "
+                               "build from map data")
         params = self.params
         self._undoneWindow = False
         nf = len(self.unfilteredMapsDictList)
@@ -469,9 +518,17 @@ class MatchedFilter(MapFilter):
         psMask = np.asarray(self.unfilteredMapsDictList[0]["pointSourceMask"])
 
         # File-based idempotency, as the reference (filters.py:536,691-696):
-        # an existing cached filter is always reused.
-        haveCache = (self.filterFileName is not None
-                     and os.path.exists(self.filterFileName))
+        # an existing cached filter is always reused.  The device-resident
+        # cache counts (its FITS write may still be in flight on the
+        # background writer); loadFilter prefers it.
+        from .parallel import filtercache
+        haveCache = self.filterFileName is not None
+        if haveCache and \
+                filtercache.DEVICE_CACHE.get(self.filterFileName) is None:
+            # not device-resident: settle any in-flight background write
+            # before the existence check
+            filtercache.ensure_written(self.filterFileName)
+            haveCache = os.path.exists(self.filterFileName)
         if haveCache:
             self.loadFilter()
             self.params["saveRMSMap"] = False
@@ -730,12 +787,13 @@ class MatchedFilter(MapFilter):
         (``filters.py:797-821``), via a regular-grid linear interpolation on
         the fftshifted (monotonic) l axes."""
         from scipy.interpolate import RegularGridInterpolator
+        filtShape = self._filtShape()
         if len(shape) == 2:
-            shape = (self.filt.shape[0], shape[0], shape[1])
+            shape = (filtShape[0], shape[0], shape[1])
         # filt lives on the rfft half grid of the padded tile: ly in
         # fftfreq order (shifted for interpolation), lx already ascending.
-        nyIn = self.filt.shape[-2]
-        nxIn_full = 2 * (self.filt.shape[-1] - 1)
+        nyIn = filtShape[-2]
+        nxIn_full = 2 * (filtShape[-1] - 1)
         lyIn, lxIn = fourier.rlaxes((nyIn, nxIn_full), self.pixScalesRad)
         nyOut = shape[-2]
         nxOut_full = 2 * (shape[-1] - 1)
@@ -745,7 +803,7 @@ class MatchedFilter(MapFilter):
         out = np.zeros(shape)
         grid_y, grid_x = np.meshgrid(pts_y, lxOut, indexing="ij")
         pts = np.stack([grid_y.ravel(), grid_x.ravel()], axis=-1)
-        filtHost = np.asarray(self.filt)
+        filtHost = np.asarray(self._filtHost())
         for i in range(filtHost.shape[0]):
             interp_i = RegularGridInterpolator(
                 (lyIn_s, lxIn), np.fft.fftshift(filtHost[i], axes=0),
@@ -761,6 +819,8 @@ class MatchedFilter(MapFilter):
         on a remote-tunnel TPU runtime.  The host cast to the device
         compute dtype happens BEFORE the transfer so float64 bytes never
         cross the link."""
+        if self.filt is None:        # device-resident loadFilter
+            return self._filtDev
         if getattr(self, "_filtDevSrc", None) is not self.filt:
             dt = jnp.zeros((), dtype=float).dtype   # f32 unless x64
             self._filtDev = jnp.asarray(
@@ -784,7 +844,7 @@ class MatchedFilter(MapFilter):
                         fourier.good_fft_size(outShape[1]))
             fMaps = _fft_apod_stack(mapDataToFilter, apodM,
                                     padShape=padShape)
-        if fMaps.shape[-3:] == self.filt.shape:
+        if fMaps.shape[-3:] == self._filtShape():
             filt = self._deviceFilt()
             padShape = self.padShape
         else:

@@ -162,6 +162,26 @@ class MapDict(dict):
             return data, wcs
         return data
 
+    def loadGeometry(self, tileName):
+        """(shape, wcs) the preprocessed tile WOULD have, without reading
+        any pixel data.
+
+        Consumers that only apply cached filters (fitQ, forced-photometry
+        reloads) need the tile geometry, not the maps; skipping the
+        preprocessing chain saves ~1-2 s/tile of survey-map I/O.  Returns
+        None when the geometry cannot be known without loading (no tile
+        coords entry, or a shape-changing preprocess step is configured:
+        RADecSection clipping / TAN reprojection).
+        """
+        if self.get("RADecSection") or self.get("reprojectToTan"):
+            return None
+        if self.tileCoordsDict is None or \
+                tileName not in self.tileCoordsDict:
+            return None
+        entry = self.tileCoordsDict[tileName]
+        minX, maxX, minY, maxY = entry["clippedSection"]
+        return (maxY - minY, maxX - minX), WCS(entry["header"])
+
     def preprocess(self, tileName="PRIMARY", diagnosticsDir=None):
         """The per-tile preprocessing chain (``maps.py:175-475``)."""
         if self.get("_preprocessedTile") == tileName:

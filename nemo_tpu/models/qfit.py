@@ -7,6 +7,7 @@ filter and recording the peak response ratio; it is then interpolated when
 converting between y0~ and mass.
 """
 
+import functools
 import os
 
 import numpy as np
@@ -16,6 +17,28 @@ from ..utils import fits as nfits
 from ..utils.tables import Table
 from . import cosmology as cosmo_mod
 from . import sz
+
+
+_CROP_JIT = None
+
+
+def _crop_stack(a, y0, x0, h, w):
+    """Jitted centre crop of the trailing two axes: compacts the slice on
+    device so only (h, w) windows cross the host link - a plain-slice
+    download of a large jit output can transfer the whole buffer on
+    remote TPU runtimes."""
+    global _CROP_JIT
+    if _CROP_JIT is None:
+        import jax
+
+        @functools.partial(jax.jit, static_argnames=("h", "w"))
+        def crop(a, y0, x0, h, w):
+            starts = (0,) * (a.ndim - 2) + (y0, x0)
+            sizes = a.shape[:-2] + (h, w)
+            return jax.lax.dynamic_slice(a, starts, sizes)
+
+        _CROP_JIT = crop
+    return _CROP_JIT(a, y0, x0, h=h, w=w)
 
 
 class QFit:
@@ -160,8 +183,11 @@ class QFit:
 def fitQ(config):
     """Measure Q(theta500[, z]) per tile using the cached reference filter
     (``signals.py:864-1129``); writes selFn/QFit.fits as a MEF of tables."""
+    import time as time_mod
+
     from .. import filters as filters_mod
     from ..ops import fourier
+    from ..ops import paint as paint_ops
     from ..ops.interp import subpixel_value
     import jax.numpy as jnp
 
@@ -172,10 +198,12 @@ def fitQ(config):
 
     if "Arnaud" in ref["class"]:
         from .profiles import makeArnaudModelSignalMap as makeSignalModelMap
+        from .profiles import makeArnaudModelProfile as makeModelProfile
         zDepQ = 0
     elif "Battaglia" in ref["class"]:
         from .profiles import makeBattagliaModelSignalMap \
             as makeSignalModelMap
+        from .profiles import makeBattagliaModelProfile as makeModelProfile
         zDepQ = 1
     else:
         raise ValueError("Q calculation requires Arnaud or Battaglia model")
@@ -203,35 +231,65 @@ def fitQ(config):
                                                           cosmoModel))
                 zRange.append(z)
 
+    models = list(zip(zRange, MRange))
+
     QTabDict = {}
     # Painted (and pixel-windowed) model stacks are geometry-dependent
     # but FILTER-independent: tiles in the same declination band reuse
     # them, so each band pays the ~55 model paints once instead of per
     # tile.  Only the current geometry stays resident (~0.6 GB HBM).
     paintCache = {}
+    # Beam-convolved model profile TABLES are geometry-independent: one
+    # (gnfw integral + harmonic beam convolution) per (model, freq) for
+    # the whole run, painted per geometry in batched dispatches.
+    modelTables = None
+
+    from .beams import BeamProfile
+    from .profiles import convolveProfileWithBeam
+    beamsDict = {m["obsFreqGHz"]: BeamProfile(
+                     beamFileName=m["beamFileName"])
+                 for m in config.parDict["unfilteredMaps"]}
+    y0 = 2e-4
+
+    def _buildModelTables():
+        """Per (model, freq): radial table of the FINAL painted values -
+        ``paintSignalMap``'s amplitude semantics folded in (painted map =
+        (rconv[0] * amplitude) * |rconv / rconv[0]|, profiles.py:120-133),
+        so the batched painter needs no extra scaling pass."""
+        tabs = []
+        for z, M500MSun in models:
+            d = makeModelProfile(z, M500MSun,
+                                 GNFWParams=config.parDict["GNFWParams"])
+            per = []
+            for obsFreqGHz in beamsDict:
+                amplitude = sz.convertToDeltaT(y0, obsFreqGHz) \
+                    if obsFreqGHz is not None else y0
+                r, rconv = convolveProfileWithBeam(d["rDeg"], d["prof"],
+                                                   beamsDict[obsFreqGHz])
+                per.append((r, (rconv[0] * amplitude)
+                            * np.abs(rconv / rconv[0])))
+            tabs.append(per)
+        return tabs
+
     for tileName in config.tileNames:
         print("... fitting Q in tile %s" % tileName)
+        tTile0 = time_mod.time()
         filt = next(f for f in config.parDict["mapFilters"]
                     if f["label"] == photFilterLabel)
         filterClass = filters_mod.getFilterClass(filt["class"])
         filterObj = filterClass(filt["label"], config.unfilteredMapsDictList,
                                 filt["params"], tileName=tileName,
-                                diagnosticsDir=config.diagnosticsDir)
+                                diagnosticsDir=config.diagnosticsDir,
+                                geometryOnly=True)
         filterObj.loadFilter()
         realSpace = issubclass(filterObj.__class__,
                                filters_mod.RealSpaceMatchedFilter)
-
-        from .beams import BeamProfile
-        beamsDict = {m["obsFreqGHz"]: BeamProfile(
-                         beamFileName=m["beamFileName"])
-                     for m in config.parDict["unfilteredMaps"]}
 
         shape = filterObj.shape
         pix = filterObj.pixScalesRad
         cy, cx = shape[0] / 2.0, shape[1] / 2.0
 
         Q, QTheta500Arcmin, Qz = [], [], []
-        y0 = 2e-4
         # Only the central window is needed for the peak read; pull a
         # small crop instead of the full filtered map (device->host
         # transfers are the bottleneck on remote TPU runtimes)
@@ -270,25 +328,41 @@ def fitQ(config):
                                and jax.default_backend() == "tpu") else 1
         batchSize = 1 if realSpace else max(1, int(batchSize))
 
-        models = list(zip(zRange, MRange))
         peaks = []
+        tPaint = None
         if batchSize > 1:
             geomKey = (tuple(shape), tuple(np.round(pix, 12)), batchSize)
             if geomKey not in paintCache:
+                t0 = time_mod.time()
+                if modelTables is None:
+                    modelTables = _buildModelTables()
+                nF = len(beamsDict)
                 chunks = []
                 for c0 in range(0, len(models), batchSize):
-                    chunk = models[c0:c0 + batchSize]
-                    stack = [_paint(z, M, device=True) for z, M in chunk]
-                    stack += [stack[-1]] * (batchSize - len(chunk))
-                    dev = fourier.apply_pixel_window(jnp.stack(stack),
-                                                     pow=1.0)
-                    chunks.append((dev, len(chunk)))
+                    chunk = modelTables[c0:c0 + batchSize]
+                    nChunk = len(chunk)
+                    chunk = chunk + [chunk[-1]] * (batchSize - nChunk)
+                    # one painting dispatch per chunk (per-template
+                    # dispatches cost ~0.1-0.4 s each on remote runtimes)
+                    dev = paint_ops.paint_templates_centered_batch(
+                        shape, pix, [t for per in chunk for t in per])
+                    dev = fourier.apply_pixel_window(
+                        dev.reshape((batchSize, nF) + tuple(shape)),
+                        pow=1.0)
+                    chunks.append((dev, nChunk))
                 paintCache.clear()      # previous geometry won't recur
                 paintCache[geomKey] = chunks
+                tPaint = time_mod.time() - t0
+            hCrop = int(cy) + half - y0i
+            wCrop = int(cx) + half - x0i
             for dev, nChunk in paintCache[geomKey]:
                 filteredDev = filterObj.applyFilter(dev, returnDevice=True)
-                crops = np.asarray(filteredDev[..., y0i:int(cy) + half,
-                                               x0i:int(cx) + half])
+                # compact the crop in a jitted slice before downloading:
+                # plain-slice downloads of large jit outputs can transfer
+                # the full buffer on remote TPU runtimes
+                crops = np.asarray(_crop_stack(filteredDev, y0i, x0i,
+                                               hCrop, wCrop))
+                del filteredDev
                 for j in range(nChunk):
                     peaks.append(subpixel_value(crops[j], cy - y0i,
                                                 cx - x0i))
@@ -324,6 +398,10 @@ def fitQ(config):
         QTab.meta["ZDEPQ"] = zDepQ
         QTab.meta["TILENAME"] = tileName
         QTabDict[tileName] = QTab
+        print("    [%.1f s%s]" % (time_mod.time() - tTile0,
+                                  "" if tPaint is None
+                                  else ", incl. %.1f s painting the band's"
+                                       " model stack" % tPaint))
 
     outFileName = os.path.join(config.selFnDir, "QFit.fits")
     hdus = [nfits.HDU(data=None, header=None)]

@@ -29,16 +29,15 @@ def _paint_centered_jit(shape, scales, center, rp, vp):
     return jnp.interp(r, rp, vp, left=vp[0], right=0.0)
 
 
-def _pad_table(rp, vp, dtype):
+def _pad_table(rp, vp, dtype, size=None):
     """Pad a radial table to a bucketed length so the jitted painter
     compiles once per (shape, table-bucket), not once per table length.
     Padding appends strictly-increasing radii far beyond any map with
     zero values - jnp.interp then returns 0 there, identical to the
     unpadded right=0 behaviour."""
     n = len(rp)
-    size = 256
-    while size < n + 1:       # always >= 1 pad slot: the zero landing
-        size *= 2
+    if size is None:
+        size = _table_bucket(n)
     rpad = np.empty(size, dtype=dtype)
     vpad = np.zeros(size, dtype=dtype)
     rpad[:n] = rp
@@ -51,6 +50,62 @@ def _pad_table(rp, vp, dtype):
     eps = abs(rp[-1]) * relStep + 1e-30
     rpad[n:] = rp[-1] + eps * np.arange(1, size - n + 1)
     return rpad, vpad
+
+
+def _table_bucket(n):
+    """Power-of-two bucket size with >= 1 pad slot (the zero landing)."""
+    size = 256
+    while size < n + 1:
+        size *= 2
+    return size
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _paint_centered_batch_jit(shape, scales, center, rps, vps):
+    ny, nx = shape
+    dtype = rps.dtype
+    yy = (jnp.arange(ny, dtype=dtype) - center[0]) * scales[0]
+    xx = (jnp.arange(nx, dtype=dtype) - center[1]) * scales[1]
+    r = jnp.sqrt(yy[:, None] ** 2 + xx[None, :] ** 2)
+    return jax.vmap(lambda rp, vp: jnp.interp(r, rp, vp, left=vp[0],
+                                              right=0.0))(rps, vps)
+
+
+def paint_templates_centered_batch(shape, pix_scales_rad, tables,
+                                   center=None, dtype=jnp.float64):
+    """Paint a batch of centred radial profiles in ONE device dispatch.
+
+    fitQ paints ~55 model templates x n_freq per tile geometry
+    (reference ``signals.py:969-1060``); per-template dispatches cost
+    ~0.1-0.4 s each on remote TPU runtimes, dwarfing the compute.  All
+    tables are padded to a common power-of-two bucket, so one compiled
+    program serves every chunk; the shared distance grid is computed
+    once per call.
+
+    Args:
+        shape: (ny, nx).
+        pix_scales_rad: (dy, dx) radians/pixel at tile centre.
+        tables: sequence of (r_prof, v_prof) pairs (radians -> amplitude;
+            zero outside the table, splev ext=1 semantics).
+        center: optional float (cy, cx); default (ny/2, nx/2).
+
+    Returns:
+        (len(tables), ny, nx) device array.
+    """
+    ny, nx = shape
+    if center is None:
+        center = (ny / 2.0, nx / 2.0)
+    npDtype = np.dtype(jnp.zeros((), dtype=dtype).dtype)
+    size = _table_bucket(max(len(r) for r, _ in tables))
+    padded = [_pad_table(np.asarray(r), np.asarray(v), npDtype, size=size)
+              for r, v in tables]
+    rps = np.stack([p[0] for p in padded])
+    vps = np.stack([p[1] for p in padded])
+    return _paint_centered_batch_jit(
+        (int(ny), int(nx)),
+        jnp.asarray(np.asarray(pix_scales_rad, dtype=npDtype)),
+        jnp.asarray(np.asarray(center, dtype=npDtype)),
+        jnp.asarray(rps), jnp.asarray(vps))
 
 
 def paint_template_centered(shape, pix_scales_rad, r_prof, v_prof,

@@ -693,31 +693,46 @@ def _calibNormsFromCrops(out, st, names, nT, padShape, tPhase):
     return norms, fRelW
 
 
-def _saveFilterCaches(st, names, nT, out, tPhase, hostNorms, fRelW):
+def _saveFilterCaches(st, names, nT, out, tPhase, hostNorms, fRelW,
+                      deviceCache=False):
     """Write the filter cache FITS (host ``MapFilter.saveFilter`` format:
     SIGNORM + RW fRel-weight headers) from the sharded step's
     ``return_filter`` outputs - fitQ and getFRelWeights read these.
     ``fRelW`` comes from the host's sub-pixel per-plane crop reads
-    (:func:`_calibNormsFromCrops`)."""
+    (:func:`_calibNormsFromCrops`).
+
+    The FITS writes go through the background writer (the ~10 MB/tile
+    downloads overlap later chunks' compute instead of blocking the
+    link), and with ``deviceCache=True`` (the reference/photometry
+    filter) the device-side filter arrays are parked in the
+    DEVICE_CACHE so fitQ's per-tile reloads never touch the link."""
     import time as _time
+    from . import filtercache
     from ..utils import fits as nfits
 
     t0 = _time.time()
-    filts = np.asarray(out["filt"])[:nT]
-    tPhase["download"] += _time.time() - t0
     for i, tileName in enumerate(names):
         filterObj, stacks = st[tileName]
         header = nfits.Header()
         # host convention: signalNorm includes the output-units scale
-        header["SIGNORM"] = float(hostNorms[i] * stacks["unitsScale"])
+        signalNorm = float(hostNorms[i] * stacks["unitsScale"])
+        header["SIGNORM"] = signalNorm
+        fRelWeights = {}
         for count, m in enumerate(filterObj.unfilteredMapsDictList,
                                   start=1):
             header["RW%d_GHZ" % count] = m["obsFreqGHz"]
             header["RW%d" % count] = float(fRelW[i, count - 1])
-        os.makedirs(os.path.dirname(filterObj.filterFileName),
-                    exist_ok=True)
-        nfits.write_image(filterObj.filterFileName,
-                          np.asarray(filts[i], dtype=np.float64), header)
+            fRelWeights[m["obsFreqGHz"]] = float(fRelW[i, count - 1])
+        # jnp slice: the per-tile filter becomes its own device buffer,
+        # so the chunk's full stacked output can be freed
+        filtDev = out["filt"][i]
+        if deviceCache:
+            filtercache.DEVICE_CACHE.put(filterObj.filterFileName,
+                                         filtDev, signalNorm,
+                                         fRelWeights)
+        filtercache.WRITER.enqueue(filterObj.filterFileName, filtDev,
+                                   header)
+    tPhase["download"] += _time.time() - t0
 
 
 def _emit_overflow_fallback(config, out, i, filterObj, shape, scale,
@@ -772,7 +787,8 @@ def _emit_overflow_fallback(config, out, i, filterObj, shape, scale,
 
 def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                          detectParams, label, photLabel, photRes,
-                         seenTiles, tPhase, results, consume, hostNorms):
+                         seenTiles, tPhase, results, consume, hostNorms,
+                         trimPix=0):
     """Assemble per-tile results in device-detection mode: only O(K)
     statistics, spline-window cutouts and the tiny RMS cell grid cross
     the link; the full maps stay resident on the devices."""
@@ -832,14 +848,26 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
         overflow = nObj > maxObjects
         tileMask = None
         if overflow or tileName not in seenTiles or saveRMS:
-            # One mask download per tile (first label wins, as in the
-            # accumulate path's areaMask writes); also needed to zero the
-            # excluded area in a saved RMS map (getRMSTab reads zeros as
-            # "outside the survey").
-            t0 = _time.time()
-            tileMask = np.asarray(
-                out["surveyMask"][i])[:shape[0], :shape[1]].astype(float)
-            tPhase["download"] += _time.time() - t0
+            # One mask per tile (first label wins, as in the accumulate
+            # path's areaMask writes); also needed to zero the excluded
+            # area in a saved RMS map (getRMSTab reads zeros as "outside
+            # the survey").  With no edge trim the step's output mask is
+            # surveyMask * psMask * (apodM == 1) of arrays the host
+            # already staged - rebuild it for free instead of pulling
+            # ~10 MB/tile over the slow link (distribute.py: edgeCheck
+            # is all-ones when trimPix == 0).
+            if trimPix == 0:
+                common = stacks["common"]
+                tileMask = (np.asarray(common["surveyMask"])
+                            * np.asarray(common["psMask"])
+                            * (np.asarray(common["apodM"]) == 1)
+                            ).astype(float)
+            else:
+                t0 = _time.time()
+                tileMask = np.asarray(
+                    out["surveyMask"][i])[:shape[0],
+                                          :shape[1]].astype(float)
+                tPhase["download"] += _time.time() - t0
             seenTiles.add(tileName)
         if overflow:
             # Crowded tile: more segments than the device object budget.
@@ -1097,13 +1125,13 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
                                                 padShape, tPhase)
         if wantFilter:
             _saveFilterCaches(st, names, nT, out, tPhase, hostNorms,
-                              fRelW)
+                              fRelW, deviceCache=(label == photLabel))
 
         if useDetect:
             _emit_detect_results(
                 config, st, names, nT, out, padShape, gridSize,
                 detectParams, label, photLabel, photRes, seenTiles,
-                tPhase, results, consume, hostNorms)
+                tPhase, results, consume, hostNorms, trimPix=trimPix)
             if label == photLabel:
                 photRes = {"SNMap": out["SNMap"],
                            "filtered": out["filtered"],

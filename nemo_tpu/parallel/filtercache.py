@@ -1,0 +1,165 @@
+"""Device-resident filter cache + background cache-file writer.
+
+The reference caches each built filter to
+``diagnostics/<tile>/filter_<label>#<tile>.fits`` and reloads it for fitQ,
+injection sims and forced photometry (``filters.py:154,536,691-696``).  On a
+remote TPU runtime that disk round trip is two trips over the slow host
+link: the batched engine downloads every built filter (~10 MB/tile) to
+write the FITS, and fitQ re-uploads the same bytes one tile later.  At DR5
+scale (214 tiles x 2 freq) that is ~2.3 GB each way - tens of minutes of
+pure link time.
+
+This module keeps the reference-filter (photFilter) arrays RESIDENT on the
+devices between the filtering and Q-fit phases, and moves the FITS cache
+write off the critical path into a daemon writer thread (the link is idle
+while the main thread paints/filters, so the downloads overlap real work).
+Readers that miss the device cache call :func:`ensure_written` first, so
+the file-based idempotency contract of the reference is preserved.
+"""
+
+import atexit
+import os
+import queue
+import threading
+
+import numpy as np
+
+_GiB = 1024 ** 3
+
+
+class DeviceFilterCache:
+    """Byte-budgeted map of filterFileName -> device filter + metadata.
+
+    Entries hold the engine's device-resident Fourier filter (float32,
+    padded half-grid layout - exactly what ``MapFilter._deviceFilt``
+    would upload) plus the host-side scalars ``loadFilter`` reads from
+    the FITS header (signalNorm, fRelWeights).
+    """
+
+    def __init__(self, maxBytes=None):
+        self._entries = {}
+        self._bytes = 0
+        self._maxBytes = maxBytes
+        self._lock = threading.Lock()
+
+    def _budget(self):
+        if self._maxBytes is not None:
+            return self._maxBytes
+        import jax
+        limit = None
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats:
+                limit = stats.get("bytes_limit")
+        except Exception:
+            limit = None
+        # A quarter of HBM, capped at 4 GiB; generous fallback on hosts
+        # that don't report a limit (CPU tests - entries there are small).
+        self._maxBytes = min(limit // 4, 4 * _GiB) if limit else 4 * _GiB
+        return self._maxBytes
+
+    def put(self, fileName, filtDev, signalNorm, fRelWeights):
+        nbytes = int(np.prod(filtDev.shape)) * filtDev.dtype.itemsize
+        with self._lock:
+            if fileName in self._entries:
+                self._bytes -= self._entries.pop(fileName)["nbytes"]
+            if self._bytes + nbytes > self._budget():
+                return False
+            self._entries[fileName] = {
+                "filt": filtDev, "signalNorm": float(signalNorm),
+                "fRelWeights": dict(fRelWeights), "nbytes": nbytes}
+            self._bytes += nbytes
+            return True
+
+    def get(self, fileName):
+        with self._lock:
+            return self._entries.get(fileName)
+
+    def clear(self):
+        with self._lock:
+            self._entries.clear()
+            self._bytes = 0
+
+
+class BackgroundFITSWriter:
+    """Daemon thread draining (fileName, array, header) FITS writes.
+
+    ``np.asarray`` on a device array blocks on the device->host transfer;
+    doing it here overlaps that transfer (and the disk write) with the
+    main thread's staging/compute.  ``ensure_written`` lets a reader
+    block until a specific file has landed; ``flush`` drains everything.
+    Write errors are re-raised on the next flush/ensure call rather than
+    lost in the thread.
+    """
+
+    def __init__(self):
+        self._q = queue.Queue()
+        self._pending = set()
+        self._done = threading.Condition()
+        self._error = None
+        self._thread = None
+
+    def _ensure_thread(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def _run(self):
+        from ..utils import fits as nfits
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            fileName, data, header = item
+            try:
+                data = np.asarray(data)
+                os.makedirs(os.path.dirname(fileName), exist_ok=True)
+                nfits.write_image(fileName, data, header)
+            except BaseException as exc:      # surfaced on flush()
+                self._error = exc
+            finally:
+                with self._done:
+                    self._pending.discard(fileName)
+                    self._done.notify_all()
+                self._q.task_done()
+
+    def enqueue(self, fileName, data, header):
+        with self._done:
+            self._pending.add(fileName)
+        self._ensure_thread()
+        self._q.put((fileName, data, header))
+
+    def ensure_written(self, fileName):
+        """Block until fileName's pending write (if any) completes."""
+        with self._done:
+            while fileName in self._pending:
+                self._done.wait(timeout=60)
+        self._raise_pending_error()
+
+    def flush(self):
+        if self._thread is None:
+            return
+        self._q.join()
+        self._raise_pending_error()
+
+    def _raise_pending_error(self):
+        if self._error is not None:
+            exc, self._error = self._error, None
+            raise RuntimeError("background filter-cache write failed") \
+                from exc
+
+
+DEVICE_CACHE = DeviceFilterCache()
+WRITER = BackgroundFITSWriter()
+
+
+def ensure_written(fileName):
+    WRITER.ensure_written(fileName)
+
+
+def flush():
+    WRITER.flush()
+
+
+atexit.register(flush)

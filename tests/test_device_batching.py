@@ -468,3 +468,65 @@ def test_calibration_batch_size_invariance(tiled_run, tmp_path):  # noqa: F811
         assert abs(batched[t][0] / single[t][0] - 1) < 1e-6, t
         for k in single[t][1]:
             assert abs(batched[t][1][k] - single[t][1][k]) < 1e-6, (t, k)
+
+
+def test_device_filter_cache_and_background_writer(tiled_run):  # noqa: F811
+    """The photometry filter's built filters stay device-resident between
+    filtering and fitQ-style reloads (no link round trip), while the FITS
+    cache lands via the background writer with identical contents."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from nemo_tpu import filters as filters_mod
+    from nemo_tpu.parallel import filtercache
+    from nemo_tpu.utils import fits as nfits
+
+    inputTab, hostCatalog, config, w = tiled_run
+    f = copy.deepcopy(config.parDict["mapFilters"][0])
+    f["label"] = "BeamDevCache"
+    f["params"]["saveFilter"] = True
+    f["params"]["saveRMSMap"] = False
+    oldPhot = config.parDict.get("photFilter")
+    config.parDict["photFilter"] = f["label"]
+    try:
+        engine.batchFilterTiles(config, f, verbose=False)
+    finally:
+        config.parDict["photFilter"] = oldPhot
+
+    tile = config.tileNames[0]
+    fileName = os.path.join(config.diagnosticsDir, tile,
+                            "filter_%s#%s.fits" % (f["label"], tile))
+    ent = filtercache.DEVICE_CACHE.get(fileName)
+    assert ent is not None, "photFilter filter not device-cached"
+
+    # Device-resident reload: no host filt array, applyFilter works
+    loader = filters_mod.getFilterClass(f["class"])(
+        f["label"], config.unfilteredMapsDictList, f["params"],
+        tileName=tile, diagnosticsDir=config.diagnosticsDir,
+        geometryOnly=True)
+    loader.loadFilter()
+    assert loader.filt is None
+    rng = np.random.default_rng(3)
+    stack = rng.normal(size=(1,) + tuple(loader.shape))
+    outDev = np.asarray(loader.applyFilter(jnp.asarray(stack)))
+
+    # Background write landed with identical contents + headers
+    filtercache.flush()
+    assert os.path.exists(fileName)
+    data, header = nfits.read_image(fileName)
+    np.testing.assert_allclose(np.asarray(data, dtype=np.float64),
+                               np.asarray(ent["filt"], dtype=np.float64),
+                               rtol=0, atol=0)
+    assert abs(header["SIGNORM"] - ent["signalNorm"]) < 1e-12
+
+    # Disk-based reload produces the same filtered map
+    filtercache.DEVICE_CACHE.clear()
+    loader2 = filters_mod.getFilterClass(f["class"])(
+        f["label"], config.unfilteredMapsDictList, f["params"],
+        tileName=tile, diagnosticsDir=config.diagnosticsDir,
+        geometryOnly=True)
+    loader2.loadFilter()
+    assert loader2.filt is not None
+    outDisk = np.asarray(loader2.applyFilter(jnp.asarray(stack)))
+    np.testing.assert_allclose(outDev, outDisk, rtol=1e-10, atol=1e-12)
