@@ -674,7 +674,9 @@ def getFRelWeights(config):
                                        tileName))
             if not os.path.exists(filterFileName):
                 continue
-            _, header = nfits.read_image(filterFileName)
+            # header-only: the filter data itself (~10 MB/tile) is not
+            # needed for the RW weight columns
+            header = nfits.read_image_header(filterFileName)
             rows["tileName"].append(tileName)
             for i in range(1, 10):
                 if "RW%d_GHZ" % i in header:

@@ -419,9 +419,8 @@ class NemoConfig:
         for mapDict in self.parDict["unfilteredMaps"]:
             for key in mapKeys:
                 if mapDict.get(key):
-                    hdus = nfits.read(mapDict[key])
-                    hdu = next(h for h in hdus if h.data is not None)
-                    wcs = WCS(hdu.header)
+                    # header-only: survey maps are ~GB, the check needs WCS
+                    wcs = WCS(nfits.read_image_header(mapDict[key]))
                     if ref is None:
                         ref = wcs
                     else:

@@ -380,7 +380,18 @@ def _read_compressed_image(fileobj, header):
     shape = tuple(dims[::-1])
     tshape = tuple(tiles[::-1])
     isfloat = zbitpix < 0
-    out = np.zeros(shape, dtype=np.float64 if isfloat else np.int64)
+    # Allocate in the FINAL dtype: per-tile assignments cast on the fly,
+    # avoiding a whole-map astype pass (and 2x peak memory) at the end.
+    bscale = header.get("BSCALE", 1)
+    bzero = header.get("BZERO", 0)
+    if isfloat:
+        outDtype = np.float64 if zbitpix == -64 else np.float32
+    elif bscale != 1 or bzero != 0:
+        outDtype = np.float64
+    else:
+        outDtype = {8: np.uint8, 16: np.int16, 32: np.int32,
+                    64: np.int64}[zbitpix]
+    out = np.zeros(shape, dtype=outDtype)
 
     # tile iteration, FITS order: axis1 fastest
     ntile_per_axis = [(d + t - 1) // t for d, t in zip(dims, tiles)]
@@ -410,30 +421,30 @@ def _read_compressed_image(fileobj, header):
         for ln in lens:
             npix *= ln
 
+        # No per-tile astype anywhere below: upcasts ride the arithmetic
+        # or the assignment into ``out`` (tens of thousands of tiles per
+        # survey map make explicit casts a measurable second pass).
         buf = comp[t] if t < len(comp) else b""
         gbuf = gz[t] if t < len(gz) else b""
         if len(buf) == 0 and len(gbuf) > 0:
             rawb = _gzip_decompress(gbuf)
             # gzip fallback tiles store the raw big-endian pixels
             dt = _BITPIX_TO_DTYPE[zbitpix]
-            vals = np.frombuffer(rawb[:npix * dt.itemsize], dtype=dt).astype(
-                np.float64 if isfloat else np.int64)
+            vals = np.frombuffer(rawb[:npix * dt.itemsize], dtype=dt)
             quantized = False
         elif cmptype in ("RICE_1", "RICE_ONE"):
-            vals = native.rice_decode(buf, npix, bytepix).astype(np.int64)
+            vals = native.rice_decode(buf, npix, bytepix)
             quantized = True
         elif cmptype in ("GZIP_1", "GZIP_2"):
             rawb = _gzip_decompress(buf)
             dt = _BITPIX_TO_DTYPE[zbitpix]
             if cmptype == "GZIP_2":
                 rawb = _unshuffle(rawb, dt.itemsize)
-            vals = np.frombuffer(rawb[:npix * dt.itemsize], dtype=dt).astype(
-                np.float64 if isfloat else np.int64)
+            vals = np.frombuffer(rawb[:npix * dt.itemsize], dtype=dt)
             quantized = False
         elif cmptype == "NOCOMPRESS":
             dt = _BITPIX_TO_DTYPE[zbitpix]
-            vals = np.frombuffer(buf[:npix * dt.itemsize], dtype=dt).astype(
-                np.float64 if isfloat else np.int64)
+            vals = np.frombuffer(buf[:npix * dt.itemsize], dtype=dt)
             quantized = False
         else:
             raise IOError("Unsupported ZCMPTYPE %r" % cmptype)
@@ -446,29 +457,23 @@ def _read_compressed_image(fileobj, header):
                 # (tiled-image convention; cfitsio unquantize with
                 # SUBTRACTIVE_DITHER_1/_2)
                 rvals = _dither_stream(t, zdither0, npix)
-                q = vals.astype(np.float64)
-                out_t = (q - rvals + 0.5) * sc + zz
+                out_t = (vals - rvals + 0.5) * sc + zz
                 out_t[vals == _DITHER_NULL] = np.nan
                 if dither2:
                     out_t[vals == _DITHER_ZERO] = 0.0
                 vals = out_t
             else:
-                vals = vals.astype(np.float64) * sc + zz
+                vals = vals * sc + zz
 
         # place the tile (numpy index order reversed)
         sl = tuple(slice(s, s + ln)
                    for s, ln in zip(starts[::-1], lens[::-1]))
         out[sl] = vals.reshape(lens[::-1])
 
-    if isfloat:
-        return out if zbitpix == -64 else out.astype(np.float32)
-    bscale = header.get("BSCALE", 1)
-    bzero = header.get("BZERO", 0)
-    if bscale != 1 or bzero != 0:
-        return out.astype(np.float64) * bscale + bzero
-    if zbitpix == 8:
-        return out.astype(np.uint8)
-    return out.astype({16: np.int16, 32: np.int32, 64: np.int64}[zbitpix])
+    if not isfloat and (bscale != 1 or bzero != 0):
+        out *= bscale
+        out += bzero
+    return out
 
 
 _N_RANDOM = 10000
@@ -729,6 +734,37 @@ def scan_hdus(path):
             out.append((header, offset, nbytes))
             f.seek(offset + _padded(nbytes))
     return out
+
+
+def read_image_header(path, ext=None):
+    """Header of the first (or named) image HDU WITHOUT reading data.
+
+    Survey maps run to ~GBs; WCS-consistency checks only need headers,
+    so this seeks over the data (compressed-image BINTABLEs are
+    translated to their effective image headers).  Falls back to a full
+    read for .gz files, which :func:`scan_hdus` cannot seek."""
+    try:
+        scanned = scan_hdus(path)
+    except (IOError, OSError):
+        for hdu in read(path):
+            if hdu.data is not None and not getattr(hdu, "is_table",
+                                                    False):
+                if ext is None or hdu.name == ext:
+                    return hdu.header
+        raise IOError("No matching image HDU in %s" % path)
+    for header, offset, nbytes in scanned:
+        name = str(header.get("EXTNAME", "")).strip()
+        if header.get("ZIMAGE"):
+            h = _zimage_header(header)
+        elif str(header.get("XTENSION", "")).strip() == "BINTABLE":
+            continue
+        elif int(header.get("NAXIS", 0)) >= 1 and nbytes > 0:
+            h = header
+        else:
+            continue
+        if ext is None or name == ext:
+            return h
+    raise IOError("No matching image HDU in %s" % path)
 
 
 _MMAP_CACHE = {}
