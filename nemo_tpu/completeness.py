@@ -40,19 +40,14 @@ def _loadTile(tileName, baseDir, baseFileName, extension="fits"):
     else:
         raise FileNotFoundError("No %s found for tile %s under %s"
                                 % (baseFileName, tileName, baseDir))
-    hdus = nfits.read(fileName)
-    # Prefer the extension named after the tile; else first with data
-    data = None
-    header = None
-    for h in hdus:
-        if h.name.upper() == tileName.upper() and h.data is not None:
-            data, header = h.data, h.header
-            break
-    if data is None:
-        for h in hdus:
-            if h.data is not None and not h.is_table:
-                data, header = h.data, h.header
-                break
+    # Prefer the extension named after the tile; else first with data.
+    # read_image seeks to (and decodes) only the wanted extension - a
+    # fused survey MEF holds one extension per tile, and loading them
+    # all per call made the per-tile loaders O(N^2) across a run.
+    try:
+        data, header = nfits.read_image(fileName, ext=tileName)
+    except KeyError:
+        data, header = nfits.read_image(fileName)
     return np.asarray(data), WCS(header)
 
 

@@ -813,18 +813,58 @@ def read_image_mmap(path, ext=None):
 def read_image(path, ext=None):
     """Read the first image HDU with data (or the named/indexed extension).
 
-    Returns (data, header).
+    Returns (data, header).  Seeks directly to the target HDU and decodes
+    ONLY it - a survey-sized MEF holds hundreds of tile extensions, and
+    per-tile loaders (``completeness._loadTile``) call this once per
+    tile, so decoding the whole file each time is O(N^2) across a run.
+    Falls back to a full read for .gz files, which ``scan_hdus`` cannot
+    seek.
     """
-    hdus = read(path)
-    if ext is not None:
-        for i, h in enumerate(hdus):
-            if (isinstance(ext, int) and i == ext) or \
-               (isinstance(ext, str) and h.name.upper() == ext.upper()):
+    try:
+        scanned = scan_hdus(path)
+    except (IOError, OSError):
+        scanned = None
+    if scanned is None:             # .gz fallback
+        hdus = read(path)
+        if ext is not None:
+            for i, h in enumerate(hdus):
+                if (isinstance(ext, int) and i == ext) or \
+                   (isinstance(ext, str) and h.name.upper() == ext.upper()):
+                    return h.data, h.header
+            raise KeyError("Extension %r not found in %s" % (ext, path))
+        for h in hdus:
+            if h.data is not None and not h.is_table:
                 return h.data, h.header
+        raise IOError("No image data found in %s" % path)
+
+    for i, (header, offset, nbytes) in enumerate(scanned):
+        zimage = bool(header.get("ZIMAGE"))
+        isPlainTable = (str(header.get("XTENSION", "")).strip()
+                        == "BINTABLE" and not zimage)
+        name = str(header.get("EXTNAME", "")).strip()
+        if ext is not None:
+            if isinstance(ext, int):
+                if i != ext:
+                    continue
+            elif name.upper() != str(ext).upper():
+                continue
+            if not zimage and int(header.get("NAXIS", 0)) == 0:
+                return None, header     # matched an empty/primary HDU
+        else:
+            if isPlainTable or (not zimage
+                                and (int(header.get("NAXIS", 0)) == 0
+                                     or nbytes == 0)):
+                continue
+        with open(path, "rb") as f:
+            f.seek(offset)
+            if zimage:
+                return _read_compressed_image(f, header), \
+                    _zimage_header(header)
+            if isPlainTable:    # explicit ext naming a table HDU
+                return _read_table_data(f, header), header
+            return _read_image_data(f, header), header
+    if ext is not None:
         raise KeyError("Extension %r not found in %s" % (ext, path))
-    for h in hdus:
-        if h.data is not None and not h.is_table:
-            return h.data, h.header
     raise IOError("No image data found in %s" % path)
 
 
