@@ -100,7 +100,7 @@ def eligibleForBatch(f, parDict):
     return True
 
 
-def _preprocessTileOnce(config, tileName):
+def _preprocessTileOnce(config, tileName, diagnosticsDir=None):
     """Preprocess each frequency's maps for one tile ONCE, returning
     MapDict copies carrying the preprocessed state.  MapFilter copies
     inherit it (MapDict.preprocess is a no-op when ``_preprocessedTile``
@@ -115,7 +115,8 @@ def _preprocessTileOnce(config, tileName):
             else dict(mapDict)
         if hasattr(newDict, "preprocess"):
             newDict.preprocess(tileName=tileName,
-                               diagnosticsDir=config.diagnosticsDir)
+                               diagnosticsDir=diagnosticsDir
+                               or config.diagnosticsDir)
         out.append(newDict)
     return out
 
@@ -150,6 +151,7 @@ def _stage_tile_common(filterObj):
 
 
 def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
+                  diagnosticsDir=None,
                   common=None):
     """Host-side staging for one tile: preprocessing, templates, masks.
     Returns (filterObj, stacks dict) - everything still at tile shape.
@@ -166,7 +168,8 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
     filterObj = filterClass(f["label"],
                             mapsList or config.unfilteredMapsDictList,
                             f["params"], tileName=tileName,
-                            diagnosticsDir=config.diagnosticsDir,
+                            diagnosticsDir=diagnosticsDir
+                            or config.diagnosticsDir,
                             selFnDir=config.selFnDir)
     params = filterObj.params
     if common is None or params.get("mapToUse"):
@@ -274,7 +277,8 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
                        "shape": filterObj.shape}
 
 
-def _prepare_tile_realspace(config, f, tileName, mapsList=None):
+def _prepare_tile_realspace(config, f, tileName, mapsList=None,
+                            diagnosticsDir=None):
     """Host-side staging for one real-space-filter tile: preprocessing,
     kernel build (sub-region Fourier MF + truncation + signal-norm
     calibration, ``RealSpaceMatchedFilter.buildKernel``), background
@@ -283,7 +287,8 @@ def _prepare_tile_realspace(config, f, tileName, mapsList=None):
     filterObj = filterClass(f["label"],
                             mapsList or config.unfilteredMapsDictList,
                             f["params"], tileName=tileName,
-                            diagnosticsDir=config.diagnosticsDir,
+                            diagnosticsDir=diagnosticsDir
+                            or config.diagnosticsDir,
                             selFnDir=config.selFnDir)
     params = filterObj.params
     filterObj.buildKernel(filterObj._resolveRADecSection())
@@ -381,7 +386,8 @@ def batchFilterTiles(config, f, tileNames=None, mesh=None, rms_impl="auto",
 def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                           rms_impl="auto", undoPixelWindow=True,
                           verbose=True, deviceBatchSize=None,
-                          consume=None, detectParams=None):
+                          consume=None, detectParams=None,
+                          diagnosticsDir=None):
     """Batched filtering of every (tile, filter) combination.
 
     ``consume(label, tileName, filteredMapDict) -> bool``: optional
@@ -474,7 +480,8 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
 
     for tileName in tileNames:
         t0 = _time.time()
-        mapsList = _preprocessTileOnce(config, tileName)
+        mapsList = _preprocessTileOnce(config, tileName,
+                                       diagnosticsDir=diagnosticsDir)
         common = _stage_tile_common_from_maps(mapsList)
         phaseT["preprocess"] += _time.time() - t0
         t0 = _time.time()
@@ -482,7 +489,8 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
             label = f["label"]
             if f["class"] in _REALSPACE_CLASSES:
                 filterObj, stacks = _prepare_tile_realspace(
-                    config, f, tileName, mapsList=mapsList)
+                    config, f, tileName, mapsList=mapsList,
+                    diagnosticsDir=diagnosticsDir)
                 # true tile shape: the conv boundary must reflect at the
                 # genuine tile edge, so no zero padding of the maps
                 key = (stacks["shape"], stacks["data"].shape[0],
@@ -493,7 +501,8 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
             else:
                 filterObj, stacks = _prepare_tile(
                     config, f, tileName, templateCache=templateCache,
-                    mapsList=mapsList, common=common)
+                    mapsList=mapsList, common=common,
+                    diagnosticsDir=diagnosticsDir)
                 key = (stacks["padShape"], stacks["data"].shape[0],
                        stacks["gridSize"], stacks["trimPix"])
                 staged[label][tileName] = (filterObj, stacks)

@@ -237,8 +237,17 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
     batchedResults = {}
     if config.parDict.get("useDeviceBatching") and not useCachedFilteredMaps:
         from .parallel import engine as batch_engine
+        # Cached-filter reruns (injection/contamination tests): labels
+        # with a saved filter must RELOAD it, as the reference does
+        # (filters.py:536) - the batched engine rebuilds from the
+        # (injected) data, which is both a parity deviation and wasted
+        # work.  Those labels take the host path, which honours the
+        # cache (device-resident for the photometry filter, so no
+        # per-tile upload); the rest stay batched.
         eligible = [f for f in filtersList
-                    if batch_engine.eligibleForBatch(f, config.parDict)]
+                    if batch_engine.eligibleForBatch(f, config.parDict)
+                    and not (useCachedFilters
+                             and f["params"].get("saveFilter"))]
         eligibleLabels = set(f["label"] for f in eligible)
         fullStream = eligibleLabels == set(f["label"] for f in filtersList)
         consume = None
@@ -302,7 +311,8 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
                 batchedResults = batch_engine.batchFilterTilesMulti(
                     config, eligible, undoPixelWindow=undoPixelWindow,
                     verbose=verbose, consume=consume,
-                    detectParams=detectParams)
+                    detectParams=detectParams,
+                    diagnosticsDir=diagnosticsDir)
     for tileName in config.tileNames:
         if verbose:
             print(">>> Making filtered maps - tileName = %s" % tileName)

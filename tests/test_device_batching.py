@@ -530,3 +530,59 @@ def test_device_filter_cache_and_background_writer(tiled_run):  # noqa: F811
     assert loader2.filt is not None
     outDisk = np.asarray(loader2.applyFilter(jnp.asarray(stack)))
     np.testing.assert_allclose(outDev, outDisk, rtol=1e-10, atol=1e-12)
+
+
+def test_cached_filter_rerun_reloads_not_rebuilds(tiled_run,  # noqa: F811
+                                                  tmp_path, monkeypatch):
+    """useCachedFilters reruns (injection/contamination tests) must RELOAD
+    the saved photometry filter, as the reference does (filters.py:536) -
+    not let the batched engine rebuild it from the (possibly injected)
+    data.  The cached label takes the host path, which hits the
+    device-resident cache; building for that label in the rerun is an
+    error."""
+    import copy
+
+    from nemo_tpu import filters as filters_mod
+
+    inputTab, hostCatalog, config, w = tiled_run
+    f = copy.deepcopy(config.parDict["mapFilters"][0])
+    f["label"] = "BeamCachedRerun"
+    f["params"]["saveFilter"] = True
+    f["params"]["saveRMSMap"] = True
+    oldFilters = config.parDict["mapFilters"]
+    oldPhot = config.parDict.get("photFilter")
+    config.parDict["mapFilters"] = [f]
+    config.parDict["photFilter"] = f["label"]
+    config.parDict["useDeviceBatching"] = True
+    try:
+        first = pipelines._filterMapsAndMakeCatalogs(
+            config, rootOutDir=str(tmp_path / "run"), verbose=False)
+
+        calls = []
+        origBuild = filters_mod.MatchedFilter._buildFilter
+
+        def guard(self, dataStack, apodM):
+            calls.append(self.label)
+            return origBuild(self, dataStack, apodM)
+
+        monkeypatch.setattr(filters_mod.MatchedFilter, "_buildFilter",
+                            guard)
+        second = pipelines._filterMapsAndMakeCatalogs(
+            config, rootOutDir=str(tmp_path / "run"),
+            useCachedFilters=True, useCachedRMSMap=True, verbose=False)
+    finally:
+        config.parDict["mapFilters"] = oldFilters
+        config.parDict["photFilter"] = oldPhot
+        config.parDict["useDeviceBatching"] = False
+
+    assert calls == [], "cached-filter rerun rebuilt: %s" % calls
+    # The rerun recovers every first-run object at matching S/N.  (It
+    # may ALSO contain spurious apod-border entries: the cached-RMS S/N
+    # recompute leaves raw map values where RMS == 0, exactly as the
+    # reference's "messy" insertion-sim mode does on a borderless mask,
+    # reference pipelines.py:216-232 - its consumers cross-match.)
+    m1, m2, _ = catalogs.crossMatch(first, second, radiusArcmin=0.5)
+    assert len(m1) == len(first)
+    snrRatio = np.asarray(m2["SNR"]) / np.asarray(m1["SNR"])
+    assert abs(np.median(snrRatio) - 1) < 0.01, snrRatio
+    assert np.percentile(np.abs(snrRatio - 1), 90) < 0.05, snrRatio
