@@ -116,7 +116,14 @@ def writeConfig(workDir, mapEntries, maskPath):
         "photFilter": "Arnaud_M2e14_z0p4",
         "fitQ": True,
         "calcSelFn": True,
-        "selFnOptions": {"fixedSNRCut": 5.0, "method": "fast"},
+        # massLimitMaps + numIterations match the reference DR5 config
+        # (DR5ClusterSearch.yml selFnOptions); its stitchTiles: True is a
+        # no-op there because saveFilteredMaps is False for every filter
+        # (reference maps.py stitchTiles loops only saveFilteredMaps
+        # filters), so stitchTiles: False here is workload-equivalent.
+        "selFnOptions": {"fixedSNRCut": 5.0, "method": "fast",
+                         "numIterations": 1000,
+                         "massLimitMaps": [{"z": 0.5}]},
         "massOptions": {"tenToA0": 4.95e-05, "B0": 0.08,
                         "Mpivot": 3.0e+14, "sigma_int": 0.2,
                         "H0": 70.0, "Om0": 0.30, "Ob0": 0.05,

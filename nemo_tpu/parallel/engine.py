@@ -478,58 +478,83 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
     import time as _time
     phaseT = {"preprocess": 0.0, "stage": 0.0}
 
-    for tileName in tileNames:
-        t0 = _time.time()
-        mapsList = _preprocessTileOnce(config, tileName,
-                                       diagnosticsDir=diagnosticsDir)
-        common = _stage_tile_common_from_maps(mapsList)
-        phaseT["preprocess"] += _time.time() - t0
-        t0 = _time.time()
-        for f in fList:
-            label = f["label"]
-            if f["class"] in _REALSPACE_CLASSES:
-                filterObj, stacks = _prepare_tile_realspace(
-                    config, f, tileName, mapsList=mapsList,
-                    diagnosticsDir=diagnosticsDir)
-                # true tile shape: the conv boundary must reflect at the
-                # genuine tile edge, so no zero padding of the maps
-                key = (stacks["shape"], stacks["data"].shape[0],
-                       stacks["gridSize"], stacks["trimPix"])
-                staged[label][tileName] = (filterObj, stacks)
-                names = rsBuckets.setdefault((label, key), [])
-                names.append(tileName)
-            else:
-                filterObj, stacks = _prepare_tile(
-                    config, f, tileName, templateCache=templateCache,
-                    mapsList=mapsList, common=common,
-                    diagnosticsDir=diagnosticsDir)
-                key = (stacks["padShape"], stacks["data"].shape[0],
-                       stacks["gridSize"], stacks["trimPix"])
-                staged[label][tileName] = (filterObj, stacks)
-                bucket = mfBuckets.setdefault(key, {"names": [],
-                                                    "labels": set()})
-                bucket["labels"].add(label)
-                if tileName not in bucket["names"]:
-                    bucket["names"].append(tileName)
-        phaseT["stage"] += _time.time() - t0
-        # Flush only at tile boundaries so every filter of the bank is
-        # staged for every tile in the chunk - a mid-tile flush would
-        # split the bank into a 1-filter call plus a stragglers call,
-        # re-uploading the shared data stack for each group.
-        for (label, key), names in list(rsBuckets.items()):
-            if len(names) >= deviceBatchSize:
-                fdict = next(f for f in fList if f["label"] == label)
-                _flush_rs(fdict, key, names)
-                rsBuckets[(label, key)] = []
-        for key, bucket in list(mfBuckets.items()):
-            if len(bucket["names"]) >= deviceBatchSize:
-                _flush_mf(key, bucket)
-                mfBuckets[key] = {"names": [], "labels": set()}
-                if verbose:
-                    print("    [staging so far: preprocess %.1fs, "
-                          "templates+stage %.1fs]"
-                          % (phaseT["preprocess"], phaseT["stage"]),
-                          flush=True)
+    # Prefetch tile preprocessing on a worker thread: the staging loop
+    # otherwise alternates (serial preprocess I/O) with (blocking on the
+    # previous chunk's device downloads), so ~1-2 s/tile of survey-map
+    # reads lands on the critical path - a few hundred seconds at DR5
+    # scale.  One worker + a bounded look-ahead keeps peak host memory
+    # at ~one extra chunk of preprocessed tiles.
+    from concurrent.futures import ThreadPoolExecutor
+    tileNames = list(tileNames)
+    prefetcher = ThreadPoolExecutor(max_workers=1)
+    lookahead = max(2, min(int(deviceBatchSize), 16))
+    prefetched = {}
+
+    def _submitPrefetch(i):
+        if 0 <= i < len(tileNames) and i not in prefetched:
+            prefetched[i] = prefetcher.submit(
+                _preprocessTileOnce, config, tileNames[i],
+                diagnosticsDir)
+
+    for i in range(min(lookahead, len(tileNames))):
+        _submitPrefetch(i)
+
+    try:
+        for tileIdx, tileName in enumerate(tileNames):
+            t0 = _time.time()
+            mapsList = prefetched.pop(tileIdx).result()
+            _submitPrefetch(tileIdx + lookahead)
+            common = _stage_tile_common_from_maps(mapsList)
+            phaseT["preprocess"] += _time.time() - t0
+            t0 = _time.time()
+            for f in fList:
+                label = f["label"]
+                if f["class"] in _REALSPACE_CLASSES:
+                    filterObj, stacks = _prepare_tile_realspace(
+                        config, f, tileName, mapsList=mapsList,
+                        diagnosticsDir=diagnosticsDir)
+                    # true tile shape: the conv boundary must reflect at
+                    # the genuine tile edge, so no zero padding of maps
+                    key = (stacks["shape"], stacks["data"].shape[0],
+                           stacks["gridSize"], stacks["trimPix"])
+                    staged[label][tileName] = (filterObj, stacks)
+                    names = rsBuckets.setdefault((label, key), [])
+                    names.append(tileName)
+                else:
+                    filterObj, stacks = _prepare_tile(
+                        config, f, tileName, templateCache=templateCache,
+                        mapsList=mapsList, common=common,
+                        diagnosticsDir=diagnosticsDir)
+                    key = (stacks["padShape"], stacks["data"].shape[0],
+                           stacks["gridSize"], stacks["trimPix"])
+                    staged[label][tileName] = (filterObj, stacks)
+                    bucket = mfBuckets.setdefault(key, {"names": [],
+                                                        "labels": set()})
+                    bucket["labels"].add(label)
+                    if tileName not in bucket["names"]:
+                        bucket["names"].append(tileName)
+            phaseT["stage"] += _time.time() - t0
+            # Flush only at tile boundaries so every filter of the bank
+            # is staged for every tile in the chunk - a mid-tile flush
+            # would split the bank into a 1-filter call plus a
+            # stragglers call, re-uploading the shared data stack for
+            # each group.
+            for (label, key), names in list(rsBuckets.items()):
+                if len(names) >= deviceBatchSize:
+                    fdict = next(f for f in fList if f["label"] == label)
+                    _flush_rs(fdict, key, names)
+                    rsBuckets[(label, key)] = []
+            for key, bucket in list(mfBuckets.items()):
+                if len(bucket["names"]) >= deviceBatchSize:
+                    _flush_mf(key, bucket)
+                    mfBuckets[key] = {"names": [], "labels": set()}
+                    if verbose:
+                        print("    [staging so far: preprocess %.1fs, "
+                              "templates+stage %.1fs]"
+                              % (phaseT["preprocess"], phaseT["stage"]),
+                              flush=True)
+    finally:
+        prefetcher.shutdown(wait=False, cancel_futures=True)
 
     for f in fList:
         if f["class"] in _REALSPACE_CLASSES:
