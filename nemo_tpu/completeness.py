@@ -46,7 +46,11 @@ def _loadTile(tileName, baseDir, baseFileName, extension="fits"):
     # all per call made the per-tile loaders O(N^2) across a run.
     try:
         data, header = nfits.read_image(fileName, ext=tileName)
-    except KeyError:
+    except nfits.ExtensionNotFound:
+        # per-tile files carry no EXTNAME: take the first image HDU.
+        # (Only this exact miss falls through - a KeyError raised while
+        # DECODING a malformed tile-named extension must propagate, not
+        # silently return the wrong tile's data.)
         data, header = nfits.read_image(fileName)
     return np.asarray(data), WCS(header)
 

@@ -7,6 +7,7 @@ dispatches to the JAX ops layer.
 """
 
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -66,18 +67,24 @@ def pixScaleXRadPerRow(wcs, shape=None):
 # mutating (loadTile does np.array(data)).
 _FULL_READ_CACHE = {}
 _FULL_READ_CACHE_MAX = 3
+_FULL_READ_LOCK = threading.Lock()
 
 
 def _readFullCached(path):
+    """Whole-file read with a tiny keep-warm cache.  Locked: the batched
+    engine's preprocessing prefetch thread can race a main-thread
+    preprocess here (duplicated multi-GB reads; dict-mutation-during-
+    iteration in the eviction loop)."""
     key = (str(path), os.path.getmtime(path))
-    if key in _FULL_READ_CACHE:
+    with _FULL_READ_LOCK:      # held across the read: a concurrent miss
+        if key in _FULL_READ_CACHE:     # would duplicate a multi-GB read
+            return _FULL_READ_CACHE[key]
+        hdus = nfits.read(path)
+        hdu = next(h for h in hdus if h.data is not None)
+        while len(_FULL_READ_CACHE) >= _FULL_READ_CACHE_MAX:
+            _FULL_READ_CACHE.pop(next(iter(_FULL_READ_CACHE)))
+        _FULL_READ_CACHE[key] = (hdu.data, hdu.header)
         return _FULL_READ_CACHE[key]
-    hdus = nfits.read(path)
-    hdu = next(h for h in hdus if h.data is not None)
-    while len(_FULL_READ_CACHE) >= _FULL_READ_CACHE_MAX:
-        _FULL_READ_CACHE.pop(next(iter(_FULL_READ_CACHE)))
-    _FULL_READ_CACHE[key] = (hdu.data, hdu.header)
-    return _FULL_READ_CACHE[key]
 
 
 # -----------------------------------------------------------------------------

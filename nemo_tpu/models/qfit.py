@@ -353,8 +353,11 @@ def fitQ(config):
                 paintCache.clear()      # previous geometry won't recur
                 paintCache[geomKey] = chunks
                 tPaint = time_mod.time() - t0
-            hCrop = int(cy) + half - y0i
-            wCrop = int(cx) + half - x0i
+            # clamp to the tile: dynamic_slice (unlike a plain slice)
+            # requires sizes <= operand dims, and irregular masks can
+            # produce boundary tiles smaller than the crop window
+            hCrop = min(int(cy) + half, shape[0]) - y0i
+            wCrop = min(int(cx) + half, shape[1]) - x0i
             for dev, nChunk in paintCache[geomKey]:
                 filteredDev = filterObj.applyFilter(dev, returnDevice=True)
                 # compact the crop in a jitted slice before downloading:

@@ -291,7 +291,8 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                                      undo_pixel_window=False,
                                      lean_outputs=False,
                                      detect_params=None,
-                                     return_filter=False):
+                                     return_filter=False,
+                                     given_filter=False):
     """Production batched matched filter: the host engine's math
     (``nemo_tpu/filters.py:MatchedFilter.buildAndApply``) for a tile batch
     sharded over the device mesh.
@@ -380,13 +381,7 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                            axis=0)
         return filtered, signalNorm, filt, crop
 
-    def per_shard(data, noise, template, calib, w, apodM, psMask,
-                  surveyMask, fgPower, peakYX):
-        filtered, norms, filts, crops = jax.vmap(
-            lambda d, n, t, c, a, g, p: one_tile(d, n, t, c, w, a, g, p))(
-            data, noise, template, calib, apodM, fgPower, peakYX)
-        filterOut = {"filt": filts} if return_filter else {}
-        filterOut["calibCrop"] = crops
+    def _tail(filtered, norms, filterOut, apodM, psMask, surveyMask):
         filtered = filtered * psMask
 
         if trimPix > 0:
@@ -470,6 +465,33 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                      "surveyMask": maskSN.astype(jnp.uint8),
                      "signalNorm": norms}, **filterOut)
 
+    def per_shard(data, noise, template, calib, w, apodM, psMask,
+                  surveyMask, fgPower, peakYX):
+        filtered, norms, filts, crops = jax.vmap(
+            lambda d, n, t, c, a, g, p: one_tile(d, n, t, c, w, a, g, p))(
+            data, noise, template, calib, apodM, fgPower, peakYX)
+        filterOut = {"filt": filts} if return_filter else {}
+        filterOut["calibCrop"] = crops
+        return _tail(filtered, norms, filterOut, apodM, psMask,
+                     surveyMask)
+
+    def per_shard_given(data, filt, apodM, psMask, surveyMask):
+        """Apply a PRE-BUILT filter (cached-filter reruns: injection /
+        contamination tests reload the saved reference filter rather
+        than rebuilding from the injected data, as the host engine and
+        the reference do, filters.py:536).  The caller supplies the
+        host-known signalNorm, so no calibration runs here."""
+
+        def one_given(d, flt, apod):
+            nf, ny, nx = d.shape
+            fMaps = jnp.fft.rfft2(d * apod[None])
+            return jnp.sum(jnp.fft.irfft2(fMaps * flt, s=(ny, nx)),
+                           axis=0)
+
+        filtered = jax.vmap(one_given)(data, filt, apodM)
+        norms = jnp.ones(filtered.shape[0], dtype=filtered.dtype)
+        return _tail(filtered, norms, {}, apodM, psMask, surveyMask)
+
     if detect_params is not None:
         out_specs = {"filtered": spec_tiles, "SNMap": spec_tiles,
                      "RMSCells": spec_tiles, "surveyMask": spec_tiles,
@@ -486,6 +508,13 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         out_specs = {"filtered": spec_tiles, "SNMap": spec_tiles,
                      "RMSMap": spec_tiles, "surveyMask": spec_tiles,
                      "signalNorm": spec_tiles}
+    if given_filter:
+        sharded = shard_map(
+            per_shard_given, mesh=mesh,
+            in_specs=(spec_tiles,) * 5,
+            out_specs=out_specs,
+            check_vma=False)
+        return jax.jit(sharded)
     out_specs["calibCrop"] = spec_tiles
     if return_filter:
         out_specs["filt"] = spec_tiles

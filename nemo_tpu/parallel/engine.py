@@ -152,7 +152,7 @@ def _stage_tile_common(filterObj):
 
 def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
                   diagnosticsDir=None,
-                  common=None):
+                  common=None, useCachedFilter=False):
     """Host-side staging for one tile: preprocessing, templates, masks.
     Returns (filterObj, stacks dict) - everything still at tile shape.
 
@@ -255,6 +255,33 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
         calibStack = templates
         unitsScale = 1.0
     w = filters_mod._freq_weights(filterObj.unfilteredMapsDictList, params)
+
+    # Cached-filter reruns (injection/contamination tests) must RELOAD
+    # the saved filter and only apply it, as the reference does
+    # (filters.py:536).  The device cache serves the reference filter
+    # with no link traffic; other labels read their cache FITS if one
+    # exists.  Falls back to a fresh build when no (shape-compatible)
+    # cache is found.
+    cachedFilt = cachedNorm = None
+    if useCachedFilter and filterObj.filterFileName is not None:
+        from . import filtercache
+        nf = len(filterObj.unfilteredMapsDictList)
+        halfShape = (nf, filterObj.padShape[0],
+                     filterObj.padShape[1] // 2 + 1)
+        ent = filtercache.DEVICE_CACHE.get(filterObj.filterFileName)
+        if ent is not None and tuple(ent["filt"].shape) == halfShape:
+            cachedFilt = ent["filt"]
+            cachedNorm = float(ent["signalNorm"])
+        else:
+            filtercache.ensure_written(filterObj.filterFileName)
+            if os.path.exists(filterObj.filterFileName):
+                from ..utils import fits as nfits
+                fdata, fheader = nfits.read_image(filterObj.filterFileName)
+                fdata = np.asarray(fdata, dtype=np.float64)
+                if tuple(fdata.shape) == halfShape:
+                    cachedFilt = fdata
+                    cachedNorm = float(fheader["SIGNORM"])
+
     gridSize = int(round(
         (params["noiseParams"]["noiseGridArcmin"] / 60.0)
         / filterObj.wcs.getPixelSizeDeg()))
@@ -265,6 +292,7 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
         fgPower = None
     return filterObj, {"common": common, "data": dataStack,
                        "noise": noiseStack,
+                       "cachedFilt": cachedFilt, "cachedNorm": cachedNorm,
                        "fgPower": fgPower, "template": templates,
                        "calib": calibStack, "w": w,
                        "apodM": common["apodM"],
@@ -387,7 +415,7 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                           rms_impl="auto", undoPixelWindow=True,
                           verbose=True, deviceBatchSize=None,
                           consume=None, detectParams=None,
-                          diagnosticsDir=None):
+                          diagnosticsDir=None, useCachedFilters=False):
     """Batched filtering of every (tile, filter) combination.
 
     ``consume(label, tileName, filteredMapDict) -> bool``: optional
@@ -524,7 +552,8 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                     filterObj, stacks = _prepare_tile(
                         config, f, tileName, templateCache=templateCache,
                         mapsList=mapsList, common=common,
-                        diagnosticsDir=diagnosticsDir)
+                        diagnosticsDir=diagnosticsDir,
+                        useCachedFilter=useCachedFilters)
                     key = (stacks["padShape"], stacks["data"].shape[0],
                            stacks["gridSize"], stacks["trimPix"])
                     staged[label][tileName] = (filterObj, stacks)
@@ -1051,12 +1080,34 @@ def _stage_bucket_uploads(staged, labels, names, padShape, mesh, nDev):
         full = jnp.take(uniqDev, jnp.asarray(idxA), axis=0)
         return jax.device_put(full, sh)
 
+    def _putRaw(arrs):
+        """Stack same-shape per-tile arrays (no padding - e.g. cached
+        half-grid filters already live at the bucket padShape) with
+        identity dedup, cast to the device compute dtype, and shard."""
+        computeDtype = jnp.zeros((), dtype=float).dtype
+        seen, idx = {}, []
+        for a in arrs:
+            k = id(a)
+            if k not in seen:
+                seen[k] = len(seen)
+            idx.append(seen[k])
+        uniq = [None] * len(seen)
+        for a in arrs:
+            uniq[seen[id(a)]] = a
+        uniqDev = jnp.stack([jnp.asarray(a, dtype=computeDtype)
+                             for a in uniq])
+        idxA = np.asarray(idx, dtype=np.int32)
+        if rep:
+            idxA = np.repeat(idxA, rep, axis=0)
+        return jax.device_put(jnp.take(uniqDev, jnp.asarray(idxA),
+                                       axis=0), sh)
+
     snapshot = {label: {n: staged[label][n] for n in names
                         if n in staged[label]} for label in labels}
     common = [snapshot[labels[0]][n][1]["common"] for n in names]
     ctx = {"labels": labels, "names": names, "padShape": padShape,
            "snapshot": snapshot, "rep": rep, "pad": pad, "nT": nT,
-           "put": _put, "putDedup": _putDedup,
+           "put": _put, "putDedup": _putDedup, "putRaw": _putRaw,
            "dataDev": _put([c["data"] for c in common]),
            "apodDev": _putDedup([c["apodM"] for c in common]),
            "psDev": _put([_asBinaryMask(c["psMask"]) for c in common]),
@@ -1071,6 +1122,54 @@ def _stage_bucket_uploads(staged, labels, names, padShape, mesh, nDev):
     ctx["upDtype"] = upDtype
     ctx["stageDispatch"] = _time.time() - t0
     return ctx
+
+
+def _finish_label(config, st, names, nT, out, padShape, gridSize,
+                  trimPix, detectParams, label, photLabel, photRes,
+                  seenTiles, tPhase, results, consume, hostNorms,
+                  useDetect, saveRMS, undoPixelWindow):
+    """Post-step per-label emission, shared by the build and
+    cached-filter (given_filter) paths: device detection results or the
+    lean filtered/cells/mask downloads + host SN assembly."""
+    import time as _time
+
+    if useDetect:
+        _emit_detect_results(
+            config, st, names, nT, out, padShape, gridSize,
+            detectParams, label, photLabel, photRes, seenTiles,
+            tPhase, results, consume, hostNorms, trimPix=trimPix)
+        return
+
+    t0 = _time.time()
+    filtered = np.asarray(out["filtered"])[:nT]
+    cells = np.asarray(out["RMSCells"])[:nT]
+    outMask = np.asarray(out["surveyMask"])[:nT]
+    tPhase["download"] += _time.time() - t0
+
+    for i, tileName in enumerate(names):
+        filterObj, stacks = st[tileName]
+        shape = stacks["shape"]
+        scale = stacks["unitsScale"] * hostNorms[i]
+        # Expand the cell grid at the PADDED shape (where the device
+        # estimated it), then crop - matching the non-lean path.
+        rmsPad = noise_ops.assemble_rms_host(
+            cells[i], padShape[0], padShape[1], gridSize)
+        tileMask = outMask[i][:shape[0], :shape[1]].astype(float)
+        filtPad = filtered[i]
+        rms = rmsPad[:shape[0], :shape[1]]
+        filt = filtPad[:shape[0], :shape[1]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            SNMap = np.where(rms > 0,
+                             filt / np.maximum(rms, 1e-30), 0.0) \
+                * tileMask
+        dataMap = filt * scale
+        RMSMap = rms * tileMask * scale if saveRMS else None
+        _emit_result(config, filterObj, tileName, dataMap, SNMap,
+                     RMSMap, tileMask, undoPixelWindow,
+                     results[label])
+        if consume is not None:
+            if consume(label, tileName, results[label][tileName]):
+                results[label].pop(tileName, None)
 
 
 def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
@@ -1121,6 +1220,38 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
         useDetect = detectParams is not None \
             and not st[names[0]][0].params.get("saveFilteredMaps")
         wantFilter = bool(st[names[0]][0].params.get("saveFilter"))
+        cachedAll = all(sk.get("cachedFilt") is not None
+                        for sk in stacksList)
+        if cachedAll:
+            # Cached-filter rerun: APPLY the staged (device-resident or
+            # disk-loaded) filters with the given-filter step - no
+            # rebuild from (possibly injected) data, no calibration;
+            # signalNorm comes from the cache headers.
+            stepFn = make_sharded_matched_filter_step(
+                mesh, gridSize, trimPix, rms_impl=rms_impl,
+                lean_outputs=not useDetect,
+                detect_params=detectParams if useDetect else None,
+                given_filter=True)
+            t0 = _time.time()
+            out = stepFn(dataDev,
+                         ctx["putRaw"]([sk["cachedFilt"]
+                                        for sk in stacksList]),
+                         apodDev, psDev, surveyDev)
+            tPhase["step"] += _time.time() - t0
+            saveRMS = st[names[0]][0].params.get("saveRMSMap")
+            hostNorms = np.array([sk["cachedNorm"] / sk["unitsScale"]
+                                  for sk in stacksList])
+            _finish_label(config, st, names, nT, out, padShape, gridSize,
+                          trimPix, detectParams, label, photLabel,
+                          photRes, seenTiles, tPhase, results, consume,
+                          hostNorms, useDetect, saveRMS,
+                          undoPixelWindow)
+            if useDetect and label == photLabel:
+                photRes = {"SNMap": out["SNMap"],
+                           "filtered": out["filtered"],
+                           "scale": stacksList[0]["unitsScale"]
+                           * hostNorms}
+            continue
         stepFn = make_sharded_matched_filter_step(
             mesh, gridSize, trimPix, rms_impl=rms_impl,
             lean_outputs=not useDetect,
@@ -1161,50 +1292,16 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
             _saveFilterCaches(st, names, nT, out, tPhase, hostNorms,
                               fRelW, deviceCache=(label == photLabel))
 
-        if useDetect:
-            _emit_detect_results(
-                config, st, names, nT, out, padShape, gridSize,
-                detectParams, label, photLabel, photRes, seenTiles,
-                tPhase, results, consume, hostNorms, trimPix=trimPix)
-            if label == photLabel:
-                photRes = {"SNMap": out["SNMap"],
-                           "filtered": out["filtered"],
-                           "scale": stacksList[0]["unitsScale"]
-                           * hostNorms}
-            del out     # free the rest of this label's device outputs
-            continue
-
-        t0 = _time.time()
-        filtered = np.asarray(out["filtered"])[:nT]
-        cells = np.asarray(out["RMSCells"])[:nT]
-        outMask = np.asarray(out["surveyMask"])[:nT]
-        tPhase["download"] += _time.time() - t0
-        del out     # free this label's device outputs before host work
-
-        for i, tileName in enumerate(names):
-            filterObj, stacks = st[tileName]
-            shape = stacks["shape"]
-            scale = stacks["unitsScale"] * hostNorms[i]
-            # Expand the cell grid at the PADDED shape (where the device
-            # estimated it), then crop - matching the non-lean path.
-            rmsPad = noise_ops.assemble_rms_host(
-                cells[i], padShape[0], padShape[1], gridSize)
-            tileMask = outMask[i][:shape[0], :shape[1]].astype(float)
-            filtPad = filtered[i]
-            rms = rmsPad[:shape[0], :shape[1]]
-            filt = filtPad[:shape[0], :shape[1]]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                SNMap = np.where(rms > 0,
-                                 filt / np.maximum(rms, 1e-30), 0.0) \
-                    * tileMask
-            dataMap = filt * scale
-            RMSMap = rms * tileMask * scale if saveRMS else None
-            _emit_result(config, filterObj, tileName, dataMap, SNMap,
-                         RMSMap, tileMask, undoPixelWindow,
-                         results[label])
-            if consume is not None:
-                if consume(label, tileName, results[label][tileName]):
-                    results[label].pop(tileName, None)
+        _finish_label(config, st, names, nT, out, padShape, gridSize,
+                      trimPix, detectParams, label, photLabel, photRes,
+                      seenTiles, tPhase, results, consume, hostNorms,
+                      useDetect, saveRMS, undoPixelWindow)
+        if useDetect and label == photLabel:
+            photRes = {"SNMap": out["SNMap"],
+                       "filtered": out["filtered"],
+                       "scale": stacksList[0]["unitsScale"]
+                       * hostNorms}
+        del out     # free this label's device outputs
     if verbose:
         print("    [chunk: upload %.1fs, step(+compile) %.1fs, "
               "download %.1fs]" % (tPhase["upload"], tPhase["step"],

@@ -92,11 +92,16 @@ class BackgroundFITSWriter:
     lost in the thread.
     """
 
-    def __init__(self):
-        self._q = queue.Queue()
+    def __init__(self, maxQueued=16):
+        # Bounded: each queued item pins a ~10 MB device (HBM) buffer
+        # until its download+write completes; with saveFilter on every
+        # scale of a DR5-sized bank an unbounded backlog could pin tens
+        # of GB.  enqueue blocks when the writer falls behind - that is
+        # the old synchronous behaviour, just rate-limited.
+        self._q = queue.Queue(maxsize=maxQueued)
         self._pending = set()
         self._done = threading.Condition()
-        self._error = None
+        self._errors = {}           # fileName -> exception
         self._thread = None
 
     def _ensure_thread(self):
@@ -116,8 +121,8 @@ class BackgroundFITSWriter:
                 data = np.asarray(data)
                 os.makedirs(os.path.dirname(fileName), exist_ok=True)
                 nfits.write_image(fileName, data, header)
-            except BaseException as exc:      # surfaced on flush()
-                self._error = exc
+            except BaseException as exc:      # surfaced per file
+                self._errors[fileName] = exc
             finally:
                 with self._done:
                     self._pending.discard(fileName)
@@ -131,22 +136,28 @@ class BackgroundFITSWriter:
         self._q.put((fileName, data, header))
 
     def ensure_written(self, fileName):
-        """Block until fileName's pending write (if any) completes."""
+        """Block until fileName's pending write (if any) completes.
+        Raises only for THIS file's write failure: a reader must never
+        fall back to a silent rebuild because some other file's write
+        failed (nor see another file's error charged to this one)."""
         with self._done:
             while fileName in self._pending:
                 self._done.wait(timeout=60)
-        self._raise_pending_error()
+        exc = self._errors.pop(fileName, None)
+        if exc is not None:
+            raise RuntimeError("background filter-cache write of %s "
+                               "failed" % fileName) from exc
 
     def flush(self):
         if self._thread is None:
             return
         self._q.join()
-        self._raise_pending_error()
-
-    def _raise_pending_error(self):
-        if self._error is not None:
-            exc, self._error = self._error, None
-            raise RuntimeError("background filter-cache write failed") \
+        if self._errors:
+            fileName, exc = next(iter(self._errors.items()))
+            self._errors.pop(fileName)
+            raise RuntimeError(
+                "background filter-cache write of %s failed (%d write "
+                "error(s) total)" % (fileName, 1 + len(self._errors))) \
                 from exc
 
 

@@ -239,15 +239,16 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
         from .parallel import engine as batch_engine
         # Cached-filter reruns (injection/contamination tests): labels
         # with a saved filter must RELOAD it, as the reference does
-        # (filters.py:536) - the batched engine rebuilds from the
-        # (injected) data, which is both a parity deviation and wasted
-        # work.  Those labels take the host path, which honours the
-        # cache (device-resident for the photometry filter, so no
-        # per-tile upload); the rest stay batched.
+        # (filters.py:536).  Fourier MF labels stay batched - the engine
+        # applies the cached filters (device-resident for the photometry
+        # filter) with its given-filter step.  Real-space labels fall to
+        # the host path, whose loadFilter honours the kernel cache.
         eligible = [f for f in filtersList
                     if batch_engine.eligibleForBatch(f, config.parDict)
                     and not (useCachedFilters
-                             and f["params"].get("saveFilter"))]
+                             and f["params"].get("saveFilter")
+                             and f["class"]
+                             in batch_engine._REALSPACE_CLASSES)]
         eligibleLabels = set(f["label"] for f in eligible)
         fullStream = eligibleLabels == set(f["label"] for f in filtersList)
         consume = None
@@ -312,7 +313,8 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
                     config, eligible, undoPixelWindow=undoPixelWindow,
                     verbose=verbose, consume=consume,
                     detectParams=detectParams,
-                    diagnosticsDir=diagnosticsDir)
+                    diagnosticsDir=diagnosticsDir,
+                    useCachedFilters=useCachedFilters)
     for tileName in config.tileNames:
         if verbose:
             print(">>> Making filtered maps - tileName = %s" % tileName)

@@ -32,10 +32,18 @@ All I/O is host-side numpy; device code never touches this module.
 
 import gzip
 import os
+import threading
 
 import numpy as np
 
 BLOCK = 2880
+
+
+class ExtensionNotFound(KeyError):
+    """A requested extension does not exist in the file.  Distinct from
+    the KeyErrors a malformed HDU can raise during decode, so callers
+    with a first-image fallback (``completeness._loadTile``) cannot
+    mistake a decode failure for a missing extension."""
 
 
 def _package_version():
@@ -762,12 +770,13 @@ def read_image_header(path, ext=None):
             h = header
         else:
             continue
-        if ext is None or name == ext:
+        if ext is None or name.upper() == str(ext).upper():
             return h
     raise IOError("No matching image HDU in %s" % path)
 
 
 _MMAP_CACHE = {}
+_MMAP_LOCK = threading.Lock()
 
 
 def read_image_mmap(path, ext=None):
@@ -783,8 +792,9 @@ def read_image_mmap(path, ext=None):
     if path.endswith(".gz"):
         raise IOError("Cannot memory-map a gzip FITS file")
     key = (path, os.path.getmtime(path), ext)
-    if key in _MMAP_CACHE:
-        return _MMAP_CACHE[key]
+    with _MMAP_LOCK:        # engine prefetch thread races main here
+        if key in _MMAP_CACHE:
+            return _MMAP_CACHE[key]
     for i, (header, offset, nbytes) in enumerate(scan_hdus(path)):
         if header.get("ZIMAGE"):
             raise IOError("Cannot memory-map a tile-compressed HDU")
@@ -805,7 +815,8 @@ def read_image_mmap(path, ext=None):
                         shape=shape)
         if header.get("BSCALE", 1) != 1 or header.get("BZERO", 0) != 0:
             raise IOError("Cannot memory-map a BSCALE/BZERO-scaled image")
-        _MMAP_CACHE[key] = (arr, header)
+        with _MMAP_LOCK:
+            _MMAP_CACHE[key] = (arr, header)
         return arr, header
     raise IOError("No matching image HDU to map in %s" % path)
 
@@ -831,7 +842,8 @@ def read_image(path, ext=None):
                 if (isinstance(ext, int) and i == ext) or \
                    (isinstance(ext, str) and h.name.upper() == ext.upper()):
                     return h.data, h.header
-            raise KeyError("Extension %r not found in %s" % (ext, path))
+            raise ExtensionNotFound("Extension %r not found in %s"
+                                % (ext, path))
         for h in hdus:
             if h.data is not None and not h.is_table:
                 return h.data, h.header
@@ -864,7 +876,8 @@ def read_image(path, ext=None):
                 return _read_table_data(f, header), header
             return _read_image_data(f, header), header
     if ext is not None:
-        raise KeyError("Extension %r not found in %s" % (ext, path))
+        raise ExtensionNotFound("Extension %r not found in %s"
+                        % (ext, path))
     raise IOError("No image data found in %s" % path)
 
 

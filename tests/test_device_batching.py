@@ -536,10 +536,10 @@ def test_cached_filter_rerun_reloads_not_rebuilds(tiled_run,  # noqa: F811
                                                   tmp_path, monkeypatch):
     """useCachedFilters reruns (injection/contamination tests) must RELOAD
     the saved photometry filter, as the reference does (filters.py:536) -
-    not let the batched engine rebuild it from the (possibly injected)
-    data.  The cached label takes the host path, which hits the
-    device-resident cache; building for that label in the rerun is an
-    error."""
+    not rebuild it from the (possibly injected) data.  The batched
+    engine applies the device-resident cached filter via its
+    given-filter step; building a filter for that label in the rerun is
+    an error."""
     import copy
 
     from nemo_tpu import filters as filters_mod

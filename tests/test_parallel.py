@@ -77,3 +77,29 @@ def test_sharded_matches_single_device():
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(out8["surveyRMSHist"]),
                                np.asarray(out1["surveyRMSHist"]))
+
+
+def test_background_writer_per_file_errors(tmp_path):
+    """A failed background cache write is charged to ITS file only:
+    readers of other files see no error, and the failing file's reader
+    gets a hard error instead of a silent fallback/rebuild."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from nemo_tpu.parallel.filtercache import BackgroundFITSWriter
+    from nemo_tpu.utils import fits as nfits
+
+    w = BackgroundFITSWriter()
+    good = str(tmp_path / "sub" / "good.fits")
+    blocker = str(tmp_path / "blocker")
+    open(blocker, "w").write("x")          # a FILE where a dir is needed
+    bad = os.path.join(blocker, "sub", "bad.fits")
+    w.enqueue(good, np.ones((4, 4)), nfits.Header())
+    w.enqueue(bad, np.ones((4, 4)), nfits.Header())
+    w.ensure_written(good)                 # must NOT raise
+    assert os.path.exists(good)
+    with pytest.raises(RuntimeError, match="bad.fits"):
+        w.ensure_written(bad)
+    w.flush()                              # bad's error already consumed
