@@ -118,6 +118,14 @@ def main():
           % (time.time() - config._timeStarted))
     if sourceInjTable is not None:
         sourceInjTable.write(sourceInjPath)
+    if sourceInjTable is not None and len(sourceInjTable) == 0:
+        # e.g. a cluster config run with -I but without
+        # sourceInjectionModels: nothing recovered.  Don't crash the
+        # epilogue of a long run on an empty table.
+        print("... WARNING: source injection test recovered no objects "
+              "(cluster configs need sourceInjectionModels) - skipping "
+              "position recovery analysis")
+    elif sourceInjTable is not None:
         maps.positionRecoveryAnalysis(
             sourceInjTable,
             os.path.join(config.diagnosticsDir, "positionRecovery.pdf"),
