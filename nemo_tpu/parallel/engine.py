@@ -1102,6 +1102,25 @@ def _stage_bucket_uploads(staged, labels, names, padShape, mesh, nDev):
         return jax.device_put(jnp.take(uniqDev, jnp.asarray(idxA),
                                        axis=0), sh)
 
+    def _putMask(arrs, shapes):
+        """Binary-mask upload; an all-ones mask (no point-source mask is
+        configured in many runs) is SYNTHESISED on device - ones over
+        the true tile shape, zeros in the bucket padding - instead of
+        shipping ~10 MB/chunk of ones over the slow link."""
+        arrs = [_asBinaryMask(a) for a in arrs]
+        if not all(a.dtype == np.uint8 and a.min() == 1 for a in arrs):
+            return _put(arrs)
+        sy = np.array([sh_[0] for sh_ in shapes], dtype=np.int32)
+        sx = np.array([sh_[1] for sh_ in shapes], dtype=np.int32)
+        if rep:
+            sy = np.repeat(sy, rep, axis=0)
+            sx = np.repeat(sx, rep, axis=0)
+        yy = jnp.arange(padShape[0], dtype=jnp.int32)
+        xx = jnp.arange(padShape[1], dtype=jnp.int32)
+        m = ((yy[None, :, None] < jnp.asarray(sy)[:, None, None])
+             & (xx[None, None, :] < jnp.asarray(sx)[:, None, None]))
+        return jax.device_put(m.astype(jnp.uint8), sh)
+
     snapshot = {label: {n: staged[label][n] for n in names
                         if n in staged[label]} for label in labels}
     common = [snapshot[labels[0]][n][1]["common"] for n in names]
@@ -1110,9 +1129,10 @@ def _stage_bucket_uploads(staged, labels, names, padShape, mesh, nDev):
            "put": _put, "putDedup": _putDedup, "putRaw": _putRaw,
            "dataDev": _put([c["data"] for c in common]),
            "apodDev": _putDedup([c["apodM"] for c in common]),
-           "psDev": _put([_asBinaryMask(c["psMask"]) for c in common]),
-           "surveyDev": _put([_asBinaryMask(c["surveyMask"])
-                              for c in common])}
+           "psDev": _putMask([c["psMask"] for c in common],
+                             [c["shape"] for c in common]),
+           "surveyDev": _putMask([c["surveyMask"] for c in common],
+                                 [c["shape"] for c in common])}
     peakYX = np.array([[c["shape"][0] // 2, c["shape"][1] // 2]
                        for c in common], dtype=np.int32)
     if rep:
