@@ -103,3 +103,50 @@ def test_background_writer_per_file_errors(tmp_path):
     with pytest.raises(RuntimeError, match="bad.fits"):
         w.ensure_written(bad)
     w.flush()                              # bad's error already consumed
+
+
+def test_given_filter_step_matches_build_step():
+    """The given-filter step (cached-filter reruns) applied with the
+    build step's own returned filter reproduces the build step's
+    filtered map exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _example_inputs
+    from nemo_tpu.parallel import distribute
+    from nemo_tpu.parallel.mesh import get_mesh, tile_sharding
+
+    mesh = get_mesh(n_devices=2)
+    sh = tile_sharding(mesh)
+    nT, nf, ny, nx = 2, 2, 128, 128
+    gridSize, trimPix = 32, 0
+    data, noise, tmpl, w, apodM, psMask, surveyMask = _example_inputs(
+        nT, nf, ny, nx, np.float64, seed=7)
+    apodT = jnp.broadcast_to(apodM, (nT, ny, nx))
+    fg = jnp.zeros((nT, ny, nx // 2 + 1))
+    peakYX = jnp.full((nT, 2), ny // 2, dtype=jnp.int32)
+
+    build = distribute.make_sharded_matched_filter_step(
+        mesh, gridSize, trimPix, lean_outputs=True, return_filter=True)
+    outB = build(jax.device_put(data, sh), jax.device_put(noise, sh),
+                 jax.device_put(tmpl, sh), jax.device_put(tmpl, sh), w,
+                 jax.device_put(apodT, sh), jax.device_put(psMask, sh),
+                 jax.device_put(surveyMask, sh),
+                 jax.device_put(fg, sh), jax.device_put(peakYX, sh))
+
+    given = distribute.make_sharded_matched_filter_step(
+        mesh, gridSize, trimPix, lean_outputs=True, given_filter=True)
+    outG = given(jax.device_put(data, sh),
+                 jax.device_put(outB["filt"], sh),
+                 jax.device_put(apodT, sh), jax.device_put(psMask, sh),
+                 jax.device_put(surveyMask, sh))
+
+    np.testing.assert_allclose(np.asarray(outG["filtered"]),
+                               np.asarray(outB["filtered"]),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(outG["RMSCells"]),
+                               np.asarray(outB["RMSCells"]),
+                               rtol=1e-12, atol=1e-16)
+    assert np.array_equal(np.asarray(outG["surveyMask"]),
+                          np.asarray(outB["surveyMask"]))
