@@ -14,13 +14,13 @@ implement the subset of FITS that the pipeline needs natively:
 
 * tile-compressed image HDUs per the FITS tiled-image convention
   (``ZIMAGE`` binary tables): RICE_1 (via the native C++ codec in
-  :mod:`nemo_tpu.native`), GZIP_1/GZIP_2 and NOCOMPRESS on read; RICE_1
+  :mod:`nemo_tpu.native`), PLIO_1 (IRAF line-list, the reference's mask
+  format - validated both ways against libcfitsio's ``pl_p2li`` /
+  ``pl_l2pi``), GZIP_1/GZIP_2 and NOCOMPRESS on read; RICE_1, PLIO_1
   and GZIP_1 on write, with per-tile linear quantisation (``ZSCALE`` /
   ``ZZERO``, ``NO_DITHER``) for float images.  This covers the
   reference's ``CompImageHDU`` usage (``nemo/maps.py:2371`` ``saveFITS``)
-  and reading RICE-compressed ACT/SO survey maps.  ``PLIO_1`` write
-  requests are honoured with RICE_1 (masks are small ints; PLIO's IRAF
-  line-list format has no advantage here; a warning is emitted).
+  and reading RICE- or PLIO-compressed ACT/SO survey products.
   SUBTRACTIVE_DITHER_1/_2 quantisation is fully supported on read (the
   deterministic random sequence from ``ZDITHER0`` per the tiled-image
   convention / cfitsio ``fits_init_randoms``, including the integer NULL
@@ -317,17 +317,24 @@ def _tile_grid(header):
 
 
 def _read_var_column(rows, heap, header, colIdx, offset):
-    """Read a P/Q variable-length descriptor column; returns list of bytes."""
-    tform = str(header["TFORM%d" % colIdx]).strip()
-    if "P" in tform.upper():
+    """Read a P/Q variable-length descriptor column; returns list of bytes.
+
+    The descriptor count is in ELEMENTS of the column type (FITS
+    standard 7.3.5), not bytes - e.g. cfitsio stores PLIO_1 tiles in a
+    '1PI' column of 16-bit words."""
+    tform = str(header["TFORM%d" % colIdx]).strip().upper()
+    if "P" in tform:
         desc = rows[:, offset:offset + 8].copy().view(">i4")
         width = 8
+        code = tform.split("P", 1)[1][:1]
     else:
         desc = rows[:, offset:offset + 16].copy().view(">i8")
         width = 16
+        code = tform.split("Q", 1)[1][:1]
+    isize = _TFORM_TO_DTYPE.get(code, np.dtype(np.uint8)).itemsize
     out = []
     for n, off in desc:
-        out.append(bytes(heap[int(off):int(off) + int(n)]))
+        out.append(bytes(heap[int(off):int(off) + int(n) * isize]))
     return out, width
 
 
@@ -344,6 +351,106 @@ def _unshuffle(raw, itemsize):
     arr = np.frombuffer(raw, dtype=np.uint8)
     n = arr.size // itemsize
     return arr.reshape(itemsize, n).T.reshape(-1).tobytes()
+
+
+def _plio_decode(buf, npix):
+    """Decode an IRAF PLIO line list (cfitsio ``pl_l2pi`` semantics).
+
+    Format (new/"-100" variant, the only one cfitsio writes): a header
+    of ``ll[1]`` 16-bit words - ``ll[2] == -100`` magic, total length
+    ``(ll[3] & 0x7FFF) | (ll[4] << 15)`` - followed by opcode words with
+    the operation in bits 14-12 and 12-bit data: 0 skip-N-zeros, 1 set
+    high value from two words, 2/3 increment/decrement high value,
+    4 write-high-N-times, 5 skip-(N-1)-then-write, 6/7 increment/
+    decrement-then-write-one.  Validated against libcfitsio's
+    ``pl_p2li``/``pl_l2pi`` in tests/test_plio.py.
+    """
+    ll = np.frombuffer(buf, dtype=">i2").astype(np.int64)
+    out = np.zeros(npix, dtype=np.int32)
+    if ll.size < 7:
+        return out
+    if ll[2] != -100:
+        raise IOError("Unsupported PLIO line-list format (ll[2]=%d; "
+                      "only the cfitsio/new format is implemented)"
+                      % ll[2])
+    hdrLen = int(ll[1])
+    nWords = (int(ll[3]) & 0x7FFF) | (int(ll[4]) << 15)
+    nWords = min(nWords, ll.size)
+    x = 0
+    hi = 1
+    i = hdrLen
+    while i < nWords:
+        w = int(ll[i]) & 0xFFFF
+        i += 1
+        op = (w >> 12) & 0x7
+        d = w & 0xFFF
+        if op == 0:
+            x += d
+        elif op == 4:
+            out[x:x + d] = hi
+            x += d
+        elif op == 5:
+            x += d - 1
+            out[x] = hi
+            x += 1
+        elif op == 1:
+            hi = ((int(ll[i]) & 0xFFFF) << 12) | d
+            i += 1
+        elif op == 2:
+            hi += d
+        elif op == 3:
+            hi -= d
+        elif op == 6:
+            hi += d
+            out[x] = hi
+            x += 1
+        else:           # op == 7
+            hi -= d
+            out[x] = hi
+            x += 1
+    return out
+
+
+def _plio_encode(ints):
+    """Encode non-negative ints as an IRAF PLIO line list (int16 words,
+    decodable by cfitsio ``pl_l2pi`` - round-trip tested against it).
+    Raises ValueError for negative values or values needing > 27 bits
+    (callers fall back to the gzip column)."""
+    a = np.asarray(ints, dtype=np.int64).ravel()
+    if a.size and (a.min() < 0 or a.max() >= (1 << 27)):
+        raise ValueError("PLIO requires 0 <= value < 2^27")
+    change = np.flatnonzero(np.diff(a)) + 1
+    starts = np.concatenate([[0], change])
+    lens = np.diff(np.concatenate([starts, [a.size]]))
+    vals = a[starts]
+    ops = []
+    hi = 1
+    for v, n in zip(vals.tolist(), lens.tolist()):
+        if v == 0:
+            while n > 4095:
+                ops.append(4095)
+                n -= 4095
+            if n:
+                ops.append(n)
+            continue
+        if v != hi:
+            d = v - hi
+            if 0 < d <= 4095:
+                ops.append((2 << 12) | d)
+            elif -4095 <= d < 0:
+                ops.append((3 << 12) | (-d))
+            else:
+                ops.append((1 << 12) | (v & 0xFFF))
+                ops.append(v >> 12)
+            hi = v
+        while n > 4095:
+            ops.append((4 << 12) | 4095)
+            n -= 4095
+        if n:
+            ops.append((4 << 12) | n)
+    lllen = len(ops) + 7
+    words = [0, 7, -100, lllen & 0x7FFF, lllen >> 15, 0, 0] + ops
+    return np.array(words, dtype=np.int32).astype(np.int16)
 
 
 def _read_compressed_image(fileobj, header):
@@ -443,6 +550,9 @@ def _read_compressed_image(fileobj, header):
         elif cmptype in ("RICE_1", "RICE_ONE"):
             vals = native.rice_decode(buf, npix, bytepix)
             quantized = True
+        elif cmptype in ("PLIO_1", "PLIO_ONE"):
+            vals = _plio_decode(buf, npix)
+            quantized = True
         elif cmptype in ("GZIP_1", "GZIP_2"):
             rawb = _gzip_decompress(buf)
             dt = _BITPIX_TO_DTYPE[zbitpix]
@@ -540,13 +650,14 @@ def _compressed_image_hdu_bytes(data, header, compressionType,
     data = np.asarray(data)
     if data.dtype == np.bool_:
         data = data.astype(np.uint8)
-    if compressionType == "PLIO_1":
+    if compressionType == "PLIO_1" and data.dtype.kind == "f":
+        # PLIO is an integer (mask) format; quantised-float PLIO is not
+        # supported - fall back to lossless-for-masks RICE
         import warnings
-        warnings.warn("PLIO_1 write requested; substituting RICE_1 "
-                      "(lossless for mask-type integer data)")
+        warnings.warn("PLIO_1 write requested for float data; "
+                      "substituting RICE_1 on the uint8 cast")
         compressionType = "RICE_1"
-        if data.dtype.kind == "f":
-            data = data.astype(np.uint8)
+        data = data.astype(np.uint8)
     isfloat = data.dtype.kind == "f"
     if isfloat:
         zbitpix = -32 if data.dtype == np.float32 else -64
@@ -594,6 +705,14 @@ def _compressed_image_hdu_bytes(data, header, compressionType,
                 continue
             except ValueError:
                 pass  # pathological tile: fall through to the gzip column
+        if compressionType == "PLIO_1":
+            try:
+                compTiles.append(
+                    _plio_encode(ints).astype(">i2").tobytes())
+                gzipTiles.append(b"")
+                continue
+            except ValueError:
+                pass  # negative/out-of-range values: gzip column
         # GZIP_1 (also the RICE overflow fallback)
         dt = _BITPIX_TO_DTYPE[zbitpix]
         if isfloat and compressionType != "RICE_1":
@@ -614,19 +733,22 @@ def _compressed_image_hdu_bytes(data, header, compressionType,
     useQuant = isfloat and compressionType == "RICE_1"
     haveGzipCol = any(len(g) for g in gzipTiles)
 
-    # Build heap + descriptors
+    # Build heap + descriptors (P-descriptor counts are in ELEMENTS of
+    # the column type; PLIO tiles are 16-bit words in a '1PI' column)
+    elemSize = 2 if compressionType == "PLIO_1" else 1
     heap = bytearray()
     desc1 = np.zeros((ntiles, 2), dtype=">i4")
     desc2 = np.zeros((ntiles, 2), dtype=">i4")
     for t in range(ntiles):
-        desc1[t] = (len(compTiles[t]), len(heap))
+        desc1[t] = (len(compTiles[t]) // elemSize, len(heap))
         heap += compTiles[t]
         if haveGzipCol:
             desc2[t] = (len(gzipTiles[t]), len(heap))
             heap += gzipTiles[t]
 
-    cols = [("COMPRESSED_DATA", "1PB(%d)" % max(
-        (len(c) for c in compTiles), default=0), desc1.view(np.uint8))]
+    compTform = "1P%s(%d)" % ("I" if elemSize == 2 else "B", max(
+        (len(c) // elemSize for c in compTiles), default=0))
+    cols = [("COMPRESSED_DATA", compTform, desc1.view(np.uint8))]
     if haveGzipCol:
         cols.append(("GZIP_COMPRESSED_DATA", "1PB(%d)" % max(
             (len(g) for g in gzipTiles), default=0), desc2.view(np.uint8)))
@@ -651,6 +773,10 @@ def _compressed_image_hdu_bytes(data, header, compressionType,
         cards.append(_format_card("TTYPE%d" % (i + 1), cname))
         cards.append(_format_card("TFORM%d" % (i + 1), tform))
     cards.append(_format_card("ZIMAGE", True))
+    # ZSIMPLE marks the compressed HDU as the logical primary image -
+    # cfitsio's open-time auto-navigation skips an empty primary only
+    # when this is set (interop: funpack/astropy readers of our files)
+    cards.append(_format_card("ZSIMPLE", True))
     cards.append(_format_card("ZCMPTYPE", compressionType))
     cards.append(_format_card("ZBITPIX", zbitpix))
     cards.append(_format_card("ZNAXIS", data.ndim))

@@ -48,6 +48,7 @@ def test_rice_compresses_smooth_data():
 
 def test_mask_roundtrip_rice():
     rng = np.random.default_rng(7)
+    # pixel-noise mask: PLIO's worst case, still lossless
     mask = (rng.random((311, 457)) > 0.5).astype(np.uint8)
     path = "/tmp/_nemo_test_mask.fits"
     nfits.write_image(path, mask, nfits.Header({"MASKED": True}),
@@ -56,7 +57,15 @@ def test_mask_roundtrip_rice():
     assert d.dtype == np.uint8
     assert np.array_equal(d, mask)
     assert h["MASKED"] is True
-    assert os.path.getsize(path) < mask.nbytes
+    os.remove(path)
+    # survey-like blocky mask: the line-list format compresses hugely
+    blocky = np.zeros((311, 457), dtype=np.uint8)
+    blocky[40:280, 30:430] = 1
+    blocky[100:150, 200:260] = 0
+    nfits.write_image(path, blocky, compressionType="PLIO_1")
+    d2, _ = nfits.read_image(path)
+    assert np.array_equal(d2, blocky)
+    assert os.path.getsize(path) < blocky.nbytes / 4
     os.remove(path)
 
 
@@ -183,13 +192,26 @@ def test_subtractive_dither_roundtrip(tmp_path):
     assert np.abs(err3).max() < 1.2 * step
 
 
-def test_plio_write_warns(tmp_path):
+def test_plio_write_roundtrip_and_float_fallback(tmp_path):
+    # Integer masks: REAL PLIO_1 now (no substitution, no warning) -
+    # round-trip + cfitsio interop covered in tests/test_plio.py
+    import warnings
+
     mask = (np.arange(100).reshape(10, 10) % 2).astype(np.uint8)
     path = str(tmp_path / "plio.fits")
-    with pytest.warns(UserWarning, match="PLIO_1"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         nfits.write_image(path, mask, compressionType="PLIO_1")
-    back, _ = nfits.read_image(path)
+    back, header = nfits.read_image(path)
     assert np.array_equal(back, mask)
+
+    # Float data: PLIO is an integer format - warn + RICE on uint8 cast
+    path2 = str(tmp_path / "plio_float.fits")
+    with pytest.warns(UserWarning, match="PLIO_1"):
+        nfits.write_image(path2, mask.astype(np.float64),
+                          compressionType="PLIO_1")
+    back2, _ = nfits.read_image(path2)
+    assert np.array_equal(back2, mask)
 
 
 def test_dither_sequence_matches_convention():
