@@ -86,7 +86,7 @@ def test_plio_encode_decodes_with_oracle():
         np.testing.assert_array_equal(got2, px)
 
 
-def _cfitsio_write_plio(lib, path, data, tile=None):
+def _cfitsio_write_plio(lib, path, data, tile=None, wcs=False):
     data = np.ascontiguousarray(data, dtype=np.int32)
     fptr = C.c_void_p()
     status = C.c_int(0)
@@ -101,6 +101,8 @@ def _cfitsio_write_plio(lib, path, data, tile=None):
     naxes = (C.c_long * 2)(data.shape[1], data.shape[0])
     lib.ffcrim(fptr, C.c_int(32), C.c_int(2), naxes, C.byref(status))
     assert status.value == 0, status.value
+    if wcs:
+        _cf_add_wcs(lib, fptr, status)
     lib.ffppr(fptr, C.c_int(31), C.c_longlong(1),
               C.c_longlong(data.size),
               data.ctypes.data_as(C.c_void_p), C.byref(status))
@@ -159,3 +161,70 @@ def test_write_plio_file_reads_back_everywhere(tmp_path):
     np.testing.assert_array_equal(np.asarray(data), mask)
     theirs = _cfitsio_read_image(lib, path, mask.shape)
     np.testing.assert_array_equal(theirs, mask)
+
+
+def _cf_add_extname(lib, fptr, name, status):
+    lib.ffukys(fptr, b"EXTNAME", name.encode(), b"", C.byref(status))
+    assert status.value == 0
+
+
+def _cf_add_wcs(lib, fptr, status):
+    for key, val in (("CTYPE1", "RA---CAR"), ("CTYPE2", "DEC--CAR")):
+        lib.ffukys(fptr, key.encode(), val.encode(), b"",
+                   C.byref(status))
+    for key, val in (("CRVAL1", 30.0), ("CRVAL2", 0.0), ("CRPIX1", 25.0),
+                     ("CRPIX2", 20.0), ("CDELT1", -0.01),
+                     ("CDELT2", 0.01)):
+        lib.ffukyd(fptr, key.encode(), C.c_double(val), C.c_int(10),
+                   b"", C.byref(status))
+    assert status.value == 0
+
+
+def test_loadTile_reads_reference_style_masks(tmp_path):
+    """The migration surface: completeness._loadTile reading a selFn
+    layout as the reference writes it - PLIO_1-compressed masks, both as
+    per-tile files and as a MEF with one EXTNAME'd extension per tile
+    (reference completeness.py:696-828 handles both layouts)."""
+    lib = _cfitsio()
+    from nemo_tpu import completeness
+
+    rng = np.random.default_rng(21)
+    tiles = {"1_0_0": (rng.random((40, 50)) > 0.3).astype(np.int32),
+             "1_0_1": (rng.random((40, 50)) > 0.6).astype(np.int32)}
+
+    # per-tile layout: selFnDir/<tile>/areaMask#<tile>.fits
+    selFn1 = tmp_path / "selFn_pertile"
+    for t, m in tiles.items():
+        d = selFn1 / t
+        d.mkdir(parents=True)
+        _cfitsio_write_plio(lib, str(d / ("areaMask#%s.fits" % t)), m,
+                            wcs=True)
+    for t, m in tiles.items():
+        data, wcs = completeness._loadTile(t, str(selFn1), "areaMask")
+        np.testing.assert_array_equal(np.asarray(data), m)
+
+    # MEF layout: selFnDir/areaMask.fits with EXTNAME per tile
+    selFn2 = tmp_path / "selFn_mef"
+    selFn2.mkdir()
+    path = str(selFn2 / "areaMask.fits")
+    fptr = C.c_void_p()
+    status = C.c_int(0)
+    lib.ffinit(C.byref(fptr), ("!" + path).encode(), C.byref(status))
+    assert status.value == 0
+    for t, m in tiles.items():
+        m = np.ascontiguousarray(m, dtype=np.int32)
+        lib.fits_set_compression_type(fptr, C.c_int(31), C.byref(status))
+        naxes = (C.c_long * 2)(m.shape[1], m.shape[0])
+        lib.ffcrim(fptr, C.c_int(32), C.c_int(2), naxes, C.byref(status))
+        assert status.value == 0
+        _cf_add_extname(lib, fptr, t, status)
+        _cf_add_wcs(lib, fptr, status)
+        lib.ffppr(fptr, C.c_int(31), C.c_longlong(1),
+                  C.c_longlong(m.size), m.ctypes.data_as(C.c_void_p),
+                  C.byref(status))
+        assert status.value == 0
+    lib.ffclos(fptr, C.byref(status))
+    assert status.value == 0
+    for t, m in tiles.items():
+        data, wcs = completeness._loadTile(t, str(selFn2), "areaMask")
+        np.testing.assert_array_equal(np.asarray(data), m)
