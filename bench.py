@@ -42,7 +42,33 @@ def _run(step, args, jax):
     return out
 
 
+def _probe_device(timeoutSec=240):
+    """Fail fast if the device runtime is unreachable.
+
+    The remote TPU tunnel can go down for hours; ``jax.devices()`` then
+    blocks indefinitely inside PJRT client init.  Probing in a
+    subprocess with a timeout turns a hung benchmark into a diagnostic
+    JSON line."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeoutSec, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "production_tile_filter_steps_per_sec_per_chip",
+            "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+            "error": "device runtime unreachable (tunnel down); "
+                     "see BENCH history for the last good measurement"}))
+        return
+
     import jax
     import jax.numpy as jnp
 
