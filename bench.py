@@ -152,9 +152,12 @@ def main():
         "value": round(tile_scale_steps_per_sec, 4),
         "unit": "tile_scale_steps/sec/chip",
         "vs_baseline": round(end_to_end_ratio, 2),
-        "vs_baseline_basis": "measured end-to-end DR5-scale wall-clock,"
-                             " 1 chip vs ~300 CPU ranks"
-                             " (docs/benchmarks/dr5_r3)",
+        "vs_baseline_basis": "COMMITTED end-to-end DR5-scale record"
+                             " (docs/benchmarks/dr5_r3), 1 chip vs ~300"
+                             " CPU ranks - a prior measurement, NOT"
+                             " derived from this run's kernel rate"
+                             " (that ratio is"
+                             " kernel_rate_vs_cluster_rate)",
         "kernel_rate_vs_cluster_rate": round(tile_scale_steps_per_sec
                                              / baseline_cluster_rate, 2),
     }))

@@ -33,27 +33,25 @@ def main():
     with open(os.path.join(diagDir, "timings.json")) as f:
         timings = json.load(f)
 
-    cat, _ = nfits.read_table(os.path.join(
-        outDir, "out_optimalCatalog.fits"))
+    cat = Table.read(os.path.join(outDir, "out_optimalCatalog.fits"))
     inp = Table.read(os.path.join(workDir, "inputCatalog.fits"))
 
     # cross-match recovered vs injected (1.4 arcmin, the optimal-catalog
-    # match radius)
+    # match radius) - the pipeline's unique nearest-neighbour spherical
+    # matcher (proper RA wraparound; no many-to-one double counting)
+    from nemo_tpu import catalogs
+
     ra_i = np.asarray(inp["RADeg"])
-    dec_i = np.asarray(inp["decDeg"])
     ra_c = np.asarray(cat["RADeg"])
-    dec_c = np.asarray(cat["decDeg"])
     sn_c = np.asarray(cat["SNR"])
-    matched = 0
-    seps = []
-    for i in range(len(ra_i)):
-        d = np.hypot((ra_i[i] - ra_c) * np.cos(np.radians(dec_i[i])),
-                     dec_i[i] - dec_c)
-        j = int(np.argmin(d))
-        if d[j] < 1.4 / 60.0:
-            matched += 1
-            seps.append(d[j] * 3600.0)
-    seps = np.array(seps)
+    if len(cat) > 0:
+        mI, mC, sepArcmin = catalogs.crossMatch(inp, cat,
+                                                radiusArcmin=1.4)
+        matched = len(mI)
+        seps = np.asarray(sepArcmin, dtype=float) * 60.0
+    else:
+        matched = 0
+        seps = np.array([])
 
     total = None
     if logFile and os.path.exists(logFile):
@@ -74,7 +72,7 @@ def main():
         "n_matched": int(matched),
         "recovery_pct": 100.0 * matched / len(ra_i),
         "median_sep_arcsec": float(np.median(seps)) if len(seps) else None,
-        "snr_median": float(np.median(sn_c)),
+        "snr_median": float(np.median(sn_c)) if len(sn_c) else None,
         "reference_wallclock_s": refSeconds,
         "reference_ranks": 300,
         "speedup_wallclock": refSeconds / total,

@@ -627,9 +627,17 @@ def simCMBMap(shape, wcs, noiseLevel=None, beam=None, seed=None,
             noiseLevel=noiseLevel, lmax=lmax))
     if method != "flat":
         raise ValueError("simCMBMap method must be 'flat' or 'curved'")
+    ClTT = None
+    if lmax is not None:
+        # honour the band limit on the flat path too (the curved path
+        # synthesises at lmax directly): zero C_l above lmax, as the
+        # reference's alm-space synthesis would
+        from .ops.grf import lensedClTT
+        ClTT = lensedClTT()
+        ClTT[int(lmax) + 1:] = 0.0
     return np.asarray(grf.sim_cmb_map(key, shape, pixScalesRad(wcs, shape),
                                       beamBell=beamBell, beamEll=beamEll,
-                                      noiseLevel=noiseLevel,
+                                      noiseLevel=noiseLevel, ClTT=ClTT,
                                       dx_rows=pixScaleXRadPerRow(wcs,
                                                                  shape)))
 

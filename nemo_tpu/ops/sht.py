@@ -13,8 +13,9 @@ libsharp's does:
 an FFT over m per ring plus an associated-Legendre contraction over l.
 The Legendre part is evaluated by the standard three-term recurrence in l,
 vectorised over (m, ring) - elementwise work that maps straight onto the
-TPU VPU (`ops/sht_pallas.py` holds the blocked kernel; this module's
-`lax.scan` path is the reference implementation and the CPU/test path).
+TPU VPU.  The `lax.scan` path below is the implementation; an optional
+`ops/sht_pallas.py` (not currently present) can drop in a blocked Pallas
+kernel via `_contract`'s dispatch.
 
 Normalisation: orthonormal (healpy default) spherical harmonics with the
 Condon-Shortley phase,
@@ -227,16 +228,20 @@ def _backend():
 
 def _contract(thetas, alm_re, alm_im, lmax, mmax, adjoint=False,
               weights=None, dtype=np.float32):
-    """Dispatch the Legendre contraction: Pallas kernel on TPU, the
-    lax.scan path elsewhere."""
+    """Dispatch the Legendre contraction: a Pallas kernel on TPU when
+    one is provided (``ops/sht_pallas.py``, an optional drop-in), the
+    lax.scan path otherwise.  Only a MISSING module falls through - a
+    kernel that exists but fails must surface, not silently degrade to
+    the slow path."""
     if _backend() == "tpu":
         try:
             from . import sht_pallas
+        except ImportError:
+            sht_pallas = None
+        if sht_pallas is not None:
             return sht_pallas.legendre_contract(
                 thetas, alm_re, alm_im, lmax, mmax, adjoint=adjoint,
                 weights=weights, dtype=dtype)
-        except Exception:                        # pragma: no cover
-            pass
     return _legendre_contract(thetas, alm_re, alm_im, lmax, mmax,
                               adjoint=adjoint, weights=weights,
                               dtype=dtype)
@@ -372,8 +377,13 @@ def sim_noise_map_curved(key, shape, wcs, noiseLevel, lKnee, alpha=-3.0,
     """1/f ('atmospheric') noise through the curved-sky transform - the
     parity partner of the reference's alm round trip
     (``nemo/maps.py:1326-1341``: white map -> ``map2alm`` at lmax 6000,
-    multiply by sqrt((lKnee/l)^-alpha + 1), ``alm2map``).  Like the
-    reference, the output is band-limited at ``lmax``."""
+    shape the alm by sqrt((lKnee/l)^-alpha + 1), ``alm2map``, and ADD
+    BACK the above-band-limit residual of the white map: the reference
+    does ``map1 -= alm2map(map2alm(map1)); map1 += alm2map(shaped
+    alm)``, so white power above lmax is preserved - at production
+    0.5-arcmin pixels the Nyquist l is ~21,600, far above lmax 6000,
+    and dropping the residual would zero essentially all small-scale
+    noise)."""
     import jax
 
     thetas, _, _, _ = car_ring_geometry(shape, wcs)
@@ -381,11 +391,14 @@ def sim_noise_map_curved(key, shape, wcs, noiseLevel, lKnee, alpha=-3.0,
         lmax = int(min(lmax, np.pi / abs(float(thetas[1] - thetas[0]))))
     white = np.asarray(jax.random.normal(key, shape), dtype=np.float64)
     alm = map2alm_car(white, shape, wcs, lmax, dtype=dtype)
+    band = np.asarray(alm2map_car(alm, shape, wcs, dtype=dtype),
+                      dtype=np.float64)
     ls = np.maximum(np.arange(lmax + 1, dtype=np.float64), 1e-9)
     Nl = (lKnee / ls) ** -alpha + 1.0
     Nl[0] = 0.0
     alm = alm * np.sqrt(Nl)[:, None]
-    shaped = alm2map_car(alm, shape, wcs, dtype=dtype)
+    shaped = (white - band) + np.asarray(
+        alm2map_car(alm, shape, wcs, dtype=dtype), dtype=np.float64)
     noiseLevel = np.asarray(noiseLevel)
     if noiseLevel.ndim == 0:
         return shaped * float(noiseLevel)

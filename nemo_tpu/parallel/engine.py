@@ -501,7 +501,12 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                 for n in sub:
                     staged[label].pop(n, None)
             pendingMF.append((ctx, gridSize, trimPix))
-        _drain_mf(depth=1)
+            # Drain INSIDE the group loop: with several label groups per
+            # bucket (labels hopping buckets across dec bands) draining
+            # only afterwards would leave group-count + 1 chunks of
+            # device buffers resident, breaking the ~two-chunk memory
+            # bound.
+            _drain_mf(depth=1)
 
     import time as _time
     phaseT = {"preprocess": 0.0, "stage": 0.0}
@@ -838,6 +843,18 @@ def _emit_overflow_fallback(config, out, i, filterObj, shape, scale,
             * photRes["scale"][i]
         tPhase["download"] += _time.time() - t0
         res["photMapsDict"] = {"SNMap": pSN, "data": pD}
+    elif photRes is None and photLabel is not None \
+            and label != photLabel:
+        # The reference filter landed in a DIFFERENT shape bucket (its
+        # noiseGridArcmin/edgeTrimArcmin differ), so its device maps are
+        # not resident here.  Without them the fixed_ photometry columns
+        # for this tile's objects cannot be measured from this result -
+        # downstream fills them with the sentinel.  Shout: silent -99
+        # fixed_y_c rows get dropped by nemoMass.
+        print("... WARNING: overflow tile %s#%s has no reference-filter "
+              "maps in its device bucket (photFilter uses different "
+              "noise-grid/trim parameters); fixed_ columns for its "
+              "objects will be missing" % (label, filterObj.tileName))
     if saveRMS:
         RMSFileName = os.path.join(
             config.selFnDir, filterObj.tileName,

@@ -145,3 +145,28 @@ def test_sim_noise_map_curved():
     assert m.std() > 2 * white.std()
     with pytest.raises(ValueError):
         maps.simNoiseMap(shape, 10.0, wcs=w, seed=5, method="curved")
+
+
+def test_curved_noise_preserves_white_above_band_limit():
+    """The 1/f alm round trip must ADD BACK the above-lmax residual of
+    the white map (reference maps.py:1326-1341: map1 -= alm2map(alm);
+    map1 += alm2map(shaped alm)).  At survey pixel scales the Nyquist
+    multipole is far above lmax, so dropping the residual would delete
+    essentially all small-scale noise power - the output would have
+    std << noiseLevel."""
+    import jax
+
+    from nemo_tpu.ops import sht
+    from nemo_tpu.utils import wcs as nwcs
+
+    shape = (128, 128)
+    w = nwcs.makeWCS(shape, 0.5 / 60.0, centreRADeg=30.0,
+                     centreDecDeg=-10.0)     # 0.5': Nyquist l ~ 21600
+    noiseLevel = 10.0
+    out = np.asarray(sht.sim_noise_map_curved(
+        jax.random.PRNGKey(3), shape, w, noiseLevel, lKnee=300.0,
+        lmax=200))
+    ratio = np.std(out) / noiseLevel
+    # white floor preserved (≈1, slightly above from the shaped low-l
+    # part); a band-limited-only map at lmax 200 would give ~0.01
+    assert 0.9 < ratio < 1.5, ratio
