@@ -358,14 +358,22 @@ def fitQ(config):
             # produce boundary tiles smaller than the crop window
             hCrop = min(int(cy) + half, shape[0]) - y0i
             wCrop = min(int(cx) + half, shape[1]) - x0i
+            # Dispatch every chunk's apply + jitted crop FIRST (async),
+            # then download: the device works through the queue while
+            # the first crops cross the link, hiding per-request latency.
+            # Only the small crops stay referenced; each chunk's full
+            # filtered stack is released as soon as its crop is queued.
+            pendingCrops = []
             for dev, nChunk in paintCache[geomKey]:
                 filteredDev = filterObj.applyFilter(dev, returnDevice=True)
                 # compact the crop in a jitted slice before downloading:
                 # plain-slice downloads of large jit outputs can transfer
                 # the full buffer on remote TPU runtimes
-                crops = np.asarray(_crop_stack(filteredDev, y0i, x0i,
-                                               hCrop, wCrop))
+                pendingCrops.append((_crop_stack(filteredDev, y0i, x0i,
+                                                 hCrop, wCrop), nChunk))
                 del filteredDev
+            for cropDev, nChunk in pendingCrops:
+                crops = np.asarray(cropDev)
                 for j in range(nChunk):
                     peaks.append(subpixel_value(crops[j], cy - y0i,
                                                 cx - x0i))
