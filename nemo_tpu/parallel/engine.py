@@ -905,6 +905,18 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
     # ships every tile's actual objects without the K-slot padding.
     kUse = detNp["valid"].sum(axis=1).astype(int)
     kMax = int(kUse.max()) if nT else 0
+    # With edge trim active the output mask is data-dependent; download
+    # every needed tile's mask in ONE request instead of per tile
+    maskAll = None
+    if trimPix != 0:
+        needMask = [i for i, n in enumerate(names)
+                    if int(detNp["nObjects"][i]) > maxObjects
+                    or n not in seenTiles
+                    or st[names[0]][0].params.get("saveRMSMap")]
+        if needMask:
+            t1 = _time.time()
+            maskAll = np.asarray(out["surveyMask"][:nT])
+            tPhase["download"] += _time.time() - t1
     P2 = out["cut"].shape[-2:]
     if kMax:
         cutAll = np.asarray(out["cut"][:nT, :kMax])
@@ -943,11 +955,8 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                             * (np.asarray(common["apodM"]) == 1)
                             ).astype(float)
             else:
-                t0 = _time.time()
-                tileMask = np.asarray(
-                    out["surveyMask"][i])[:shape[0],
-                                          :shape[1]].astype(float)
-                tPhase["download"] += _time.time() - t0
+                tileMask = maskAll[i][:shape[0],
+                                      :shape[1]].astype(float)
             seenTiles.add(tileName)
         if overflow:
             # Crowded tile: more segments than the device object budget.
