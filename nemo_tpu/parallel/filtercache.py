@@ -148,10 +148,27 @@ class BackgroundFITSWriter:
             raise RuntimeError("background filter-cache write of %s "
                                "failed" % fileName) from exc
 
-    def flush(self):
+    def flush(self, timeout=None):
+        """Drain all pending writes.  ``timeout`` (seconds) bounds the
+        wait - the atexit hook uses it so a dead device link (downloads
+        hang) cannot stop the interpreter from exiting; unpersisted
+        files are reported instead."""
         if self._thread is None:
             return
-        self._q.join()
+        if timeout is not None:
+            import time
+            end = time.time() + timeout
+            with self._done:
+                while self._pending and time.time() < end:
+                    self._done.wait(timeout=5)
+                if self._pending:
+                    print("... WARNING: %d filter-cache write(s) still "
+                          "pending at exit (device link stalled?): %s"
+                          % (len(self._pending),
+                             sorted(self._pending)[:3]))
+                    return
+        else:
+            self._q.join()
         if self._errors:
             fileName, exc = next(iter(self._errors.items()))
             self._errors.pop(fileName)
@@ -169,8 +186,8 @@ def ensure_written(fileName):
     WRITER.ensure_written(fileName)
 
 
-def flush():
-    WRITER.flush()
+def flush(timeout=None):
+    WRITER.flush(timeout=timeout)
 
 
-atexit.register(flush)
+atexit.register(lambda: flush(timeout=120))
