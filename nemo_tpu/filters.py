@@ -1042,9 +1042,24 @@ class RealSpaceMatchedFilter(MapFilter):
         plt.close(fig)
 
     def _resolveRADecSection(self):
-        """Kernel sub-region: the configured RADecSection, or an auto
-        4 x 4 deg box about the tile centre."""
+        """Kernel sub-region: the configured RADecSection, a per-tile
+        box from the config's ``tileNoiseRegions`` (read back from the
+        NRAMIN/NRAMAX/NDEMIN/NDEMAX tile headers, as the reference does
+        at filters.py:1084-1086), or an auto 4 x 4 deg box about the
+        tile centre."""
         noiseParams = self.params["noiseParams"]
+        if noiseParams["RADecSection"] == "tileNoiseRegions":
+            h = self.wcs.header
+            try:
+                return [h["NRAMIN"], h["NRAMAX"], h["NDEMIN"], h["NDEMAX"]]
+            except KeyError:
+                raise ValueError(
+                    "noiseParams RADecSection is 'tileNoiseRegions' but "
+                    "tile %s carries no NRAMIN/NRAMAX/NDEMIN/NDEMAX "
+                    "headers - add a top-level tileNoiseRegions section "
+                    "to the config (see the reference's "
+                    "examples/sources/PS_f220_nightOnly.yml)"
+                    % self.tileName)
         if noiseParams["RADecSection"] == "auto":
             cRA, cDec = self.wcs.getCentreWCSCoords()
             half = 2.0

@@ -375,9 +375,33 @@ class NemoConfig:
             ra1i, dec1i = wcs.pix2wcs(xMax, yMax)
             cx0, cy0 = clip["wcs"].wcs2pix(ra0i, dec0i)
             cx1, cy1 = clip["wcs"].wcs2pix(ra1i, dec1i)
+            header = dict(clip["wcs"].header)
+            # Per-tile noise-region boxes for the real-space matched
+            # filter: stamped into the tile header as NRAMIN/NRAMAX/
+            # NDEMIN/NDEMAX (the reference's tileDeck convention, read
+            # back at filters.py:1084-1086 when noiseParams
+            # RADecSection == 'tileNoiseRegions').  Tiles without an
+            # explicit entry use their own definition region shrunk by
+            # autoBorderDeg (docs/config.rst: "the area of the tile
+            # minus autoBorderDeg").
+            tnr = self.parDict.get("tileNoiseRegions")
+            if tnr:
+                if name in tnr:
+                    nra0, nra1, nde0, nde1 = tnr[name]
+                else:
+                    border = float(tnr.get("autoBorderDeg", 0.5))
+                    tra0, tra1, tde0, tde1 = tileDict["RADecSection"]
+                    sRA = 1.0 if tra1 >= tra0 else -1.0
+                    sDec = 1.0 if tde1 >= tde0 else -1.0
+                    nra0, nra1 = tra0 + sRA * border, tra1 - sRA * border
+                    nde0, nde1 = tde0 + sDec * border, tde1 - sDec * border
+                header["NRAMIN"] = float(nra0)
+                header["NRAMAX"] = float(nra1)
+                header["NDEMIN"] = float(nde0)
+                header["NDEMAX"] = float(nde1)
             clipCoordsDict[name] = {
                 "clippedSection": clip["clippedSection"],
-                "header": dict(clip["wcs"].header),
+                "header": header,
                 "areaMaskInClipSection": [int(round(cx0)), int(round(cx1)),
                                           int(round(cy0)), int(round(cy1))],
                 "reprojectToTan": self.parDict["reprojectToTan"]}
