@@ -62,6 +62,15 @@ def calcMassTable(tab, massOptions, Q, fRelWeightsDict, mockSurvey,
 
     otherMassEstimates = otherMassEstimates or [
         {"delta": 200, "rhoType": "matter"}]
+    for d in otherMassEstimates:
+        # cosmology.convertMassDef implements Bhattacharya13 (the
+        # reference's default, bin/nemoMass:331); never silently swap a
+        # requested concentration-mass relation for a different one
+        if d.get("concMassRelation") not in (None, "Bhattacharya13"):
+            raise ValueError(
+                "otherMassEstimates: unsupported concMassRelation %r "
+                "(only Bhattacharya13 is implemented)"
+                % d["concMassRelation"])
     massOptions.setdefault("relativisticCorrection", True)
     massOptions.setdefault("Ez_gamma", 2)
     massOptions.setdefault("onePlusRedshift_power", 0.0)
@@ -217,7 +226,14 @@ def main():
                             massOptions["sigma8"], massOptions["ns"],
                             delta=massOptions["delta"],
                             rhoType=massOptions["rhoType"])
-    tab = calcMassTable(tab, massOptions, Q, fRelWeightsDict, mockSurvey)
+    # Extra mass definitions from the config (reference
+    # bin/nemoMass:327-331; defaults to M200m inside calcMassTable)
+    otherMassEstimates = None
+    if config.parDict.get("otherMassEstimates") and \
+            config.parDict.get("massOptions") is not None:
+        otherMassEstimates = config.parDict["otherMassEstimates"]
+    tab = calcMassTable(tab, massOptions, Q, fRelWeightsDict, mockSurvey,
+                        otherMassEstimates=otherMassEstimates)
 
     # Mock-recovery report when the input catalog carries truth columns
     # (reference bin/nemoMass:400-427)

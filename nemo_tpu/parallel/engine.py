@@ -460,7 +460,8 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
         _run_bucket_realspace(config, staged[label], names, gridSize,
                               trimPix, mesh, nDev, rms_impl,
                               undoPixelWindow, verbose, results[label],
-                              label=label, consume=consume)
+                              label=label, consume=consume,
+                              padTo=deviceBatchSize)
         for n in names:
             del staged[label][n]
 
@@ -496,7 +497,8 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
             # overlaps each chunk's upload stream with the previous
             # chunk's compute + downloads on the slow link.
             ctx = _stage_bucket_uploads(staged, labels, list(sub),
-                                        padShape, mesh, nDev)
+                                        padShape, mesh, nDev,
+                                        padTo=deviceBatchSize)
             for label in labels:
                 for n in sub:
                     staged[label].pop(n, None)
@@ -661,7 +663,7 @@ def _emit_result(config, filterObj, tileName, dataMap, SNMap, RMSMap,
 
 def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
                           nDev, rms_impl, undoPixelWindow, verbose,
-                          results, label=None, consume=None):
+                          results, label=None, consume=None, padTo=None):
     """One device call for a chunk of same-shaped real-space-filter tiles."""
     if verbose:
         print("... device batch (real-space): %d tile(s) at %s"
@@ -680,7 +682,9 @@ def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
     psMask = np.stack([staged[n][1]["psMask"] for n in names])
 
     nT = len(names)
-    pad = (-nT) % nDev
+    # pad partial chunks to the full chunk size so the tail chunk reuses
+    # the compiled step (see _stage_bucket_uploads)
+    pad = padTo - nT if padTo and padTo > nT else (-nT) % nDev
     if pad:
         rep = ([1] * (nT - 1)) + [1 + pad]
         (data, kern, signalNorm, apodM, surveyMask, psMask) = [
@@ -694,11 +698,11 @@ def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
                jax.device_put(jnp.asarray(apodM), sh),
                jax.device_put(jnp.asarray(psMask), sh),
                jax.device_put(jnp.asarray(surveyMask), sh))
-    filtered = np.asarray(out["filtered"])[:nT]
-    SNMaps = np.asarray(out["SNMap"])[:nT]
+    filtered = np.asarray(out["filtered"][:nT])
+    SNMaps = np.asarray(out["SNMap"][:nT])
     saveRMS = staged[names[0]][0].params.get("saveRMSMap")
-    RMSMaps = np.asarray(out["RMSMap"])[:nT] if saveRMS else None
-    outMask = np.asarray(out["surveyMask"])[:nT].astype(float)
+    RMSMaps = np.asarray(out["RMSMap"][:nT]) if saveRMS else None
+    outMask = np.asarray(out["surveyMask"][:nT]).astype(float)
 
     for i, tileName in enumerate(names):
         filterObj, stacks = staged[tileName]
@@ -728,8 +732,9 @@ def _calibNormsFromCrops(out, st, names, nT, padShape, tPhase):
     from scipy import interpolate as sinterp
 
     t0 = _time.time()
-    crops = np.asarray(out["calibCrop"], dtype=np.float64)[:nT]
-    stepPeaks = 1.0 / np.asarray(out["signalNorm"], dtype=np.float64)[:nT]
+    crops = np.asarray(out["calibCrop"][:nT], dtype=np.float64)
+    stepPeaks = 1.0 / np.asarray(out["signalNorm"][:nT],
+                                 dtype=np.float64)
     tPhase["download"] += _time.time() - t0
     py, px = padShape
     nf = crops.shape[1]
@@ -894,12 +899,12 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
     packed = np.asarray(jnp.stack(
         [det[k].astype(jnp.float32) for k in detKeys]
         + [out["cutY0"].astype(jnp.float32),
-           out["cutX0"].astype(jnp.float32)], axis=-1))[:nT]
+           out["cutX0"].astype(jnp.float32)], axis=-1)[:nT])
     detNp = {k: packed[..., j] for j, k in enumerate(detKeys)}
-    detNp["nObjects"] = np.asarray(det["nObjects"])[:nT]
+    detNp["nObjects"] = np.asarray(det["nObjects"][:nT])
     cutY0 = packed[..., len(detKeys)].astype(np.int32)
     cutX0 = packed[..., len(detKeys) + 1].astype(np.int32)
-    cells = np.asarray(out["RMSCells"])[:nT]
+    cells = np.asarray(out["RMSCells"][:nT])
     # Valid detections occupy a PREFIX of the K object slots (roots are
     # sorted with the invalid sentinel at the end): one sliced request
     # ships every tile's actual objects without the K-slot padding.
@@ -1028,7 +1033,8 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                 results[label].pop(tileName, None)
 
 
-def _stage_bucket_uploads(staged, labels, names, padShape, mesh, nDev):
+def _stage_bucket_uploads(staged, labels, names, padShape, mesh, nDev,
+                          padTo=None):
     """Snapshot one tile chunk's staged state and DISPATCH its big device
     uploads (data, masks, apodisation) without blocking on them.
 
@@ -1040,12 +1046,18 @@ def _stage_bucket_uploads(staged, labels, names, padShape, mesh, nDev):
     The snapshot owns the chunk's (filterObj, stacks) references, so the
     caller can drop them from the live staging dict immediately and keep
     peak host memory at ~two chunks.
+
+    ``padTo`` pads partial chunks up to the full chunk size by
+    replicating the last tile (every step output is sliced back to the
+    true tile count): the tail chunk of each shape bucket then reuses
+    the step already compiled for the full chunks instead of paying a
+    fresh 30-90 s XLA compile for its one-off batch size.
     """
     import time as _time
 
     t0 = _time.time()
     nT = len(names)
-    pad = (-nT) % nDev
+    pad = padTo - nT if padTo and padTo > nT else (-nT) % nDev
     rep = ([1] * (nT - 1)) + [1 + pad] if pad else None
 
     # On TPU the compute dtype is float32 regardless (no x64), so ship
@@ -1187,9 +1199,11 @@ def _finish_label(config, st, names, nT, out, padShape, gridSize,
         return
 
     t0 = _time.time()
-    filtered = np.asarray(out["filtered"])[:nT]
-    cells = np.asarray(out["RMSCells"])[:nT]
-    outMask = np.asarray(out["surveyMask"])[:nT]
+    # slice on device first: chunk padding (padTo) must not inflate the
+    # full-map downloads over the slow link
+    filtered = np.asarray(out["filtered"][:nT])
+    cells = np.asarray(out["RMSCells"][:nT])
+    outMask = np.asarray(out["surveyMask"][:nT])
     tPhase["download"] += _time.time() - t0
 
     for i, tileName in enumerate(names):

@@ -70,6 +70,22 @@ def test_calc_mass_table(mass_setup):
     assert np.all(recCorr > 0.7 * M500s)
     # Other mass definitions present and ordered sensibly
     assert np.all(np.asarray(tab["M200m"]) > np.asarray(tab["M500c"]))
+    # Config-driven otherMassEstimates (reference bin/nemoMass:327-331):
+    # a custom definition produces its columns, and an unsupported
+    # concentration-mass relation raises instead of being swapped
+    tab2 = calcMassTable(
+        Table({k: np.array(v) for k, v in rows.items()}), mo, Q, fRel,
+        mockSurvey,
+        otherMassEstimates=[{"delta": 200, "rhoType": "critical",
+                             "concMassRelation": "Bhattacharya13"}])
+    assert "M200c" in tab2.keys() and "M200m" not in tab2.keys()
+    assert np.all(np.asarray(tab2["M200c"]) > np.asarray(tab2["M500c"]))
+    with pytest.raises(ValueError):
+        calcMassTable(Table({k: np.array(v) for k, v in rows.items()}),
+                      mo, Q, fRel, mockSurvey,
+                      otherMassEstimates=[{"delta": 200,
+                                           "rhoType": "matter",
+                                           "concMassRelation": "Duffy08"}])
     # Calibrated masses (rescaleFactor) scale correctly
     if "M500cCal" in tab.keys():
         np.testing.assert_allclose(
