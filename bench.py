@@ -88,12 +88,18 @@ def main():
     sh = tile_sharding(mesh)
 
     def _place():
+        from nemo_tpu.ops import noise as noise_ops
         data, noise, fsignal, w, apodM, psMask, surveyMask = hostArgs
         apodB = np.broadcast_to(np.asarray(apodM), (nTiles, ny, nx))
         calib = np.asarray(fsignal) * 2e-4   # known-amplitude templates
         peakYX = np.full((nTiles, 2), ny // 2, dtype=np.int32)
         peakYX[:, 1] = nx // 2
-        fgPower = np.zeros((nTiles, ny, nx // 2 + 1), dtype=np.float32)
+        fgPower = np.full((nTiles, ny, nx // 2 + 1), -np.inf,
+                          dtype=np.float32)  # no CMB covariance floor
+        meta = noise_ops.cell_meta_batch([(ny, nx)] * nTiles, (ny, nx),
+                                         gridSize)
+        metaDev = {k: jax.device_put(jnp.asarray(v), sh)
+                   for k, v in meta.items()}
         return (jax.device_put(data, sh), jax.device_put(noise, sh),
                 jax.device_put(fsignal, sh),
                 jax.device_put(jnp.asarray(calib), sh), w,
@@ -101,7 +107,8 @@ def main():
                 jax.device_put(psMask, sh),
                 jax.device_put(surveyMask, sh),
                 jax.device_put(jnp.asarray(fgPower), sh),
-                jax.device_put(jnp.asarray(peakYX), sh))
+                jax.device_put(jnp.asarray(peakYX), sh),
+                metaDev)
 
     # Warm-up / compile.  The TPU tunnel used here is flaky (transient
     # UNIMPLEMENTED errors, sometimes at device_put); retry placement AND

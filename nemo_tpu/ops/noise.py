@@ -219,11 +219,12 @@ def _rms_cell_kernel(starts_y, starts_x, offs_y, offs_x, lens_y, lens_x,
     c = pl.program_id(1)
     Wy, Wx = scratch.shape
 
-    # starts are pre-aligned to the (8, 128) DMA tiling on the host; the
-    # true window begins offs into the slab and spans lens pixels.
+    # starts are pre-aligned to the (8, 128) DMA tiling (per tile: cell
+    # geometry follows each tile's TRUE shape); the true window begins
+    # offs into the slab and spans lens pixels.
     dma = pltpu.make_async_copy(
-        padded_hbm.at[t, pl.ds(pl.multiple_of(starts_y[c], 8), Wy),
-                      pl.ds(pl.multiple_of(starts_x[c], 128), Wx)],
+        padded_hbm.at[t, pl.ds(pl.multiple_of(starts_y[t, c], 8), Wy),
+                      pl.ds(pl.multiple_of(starts_x[t, c], 128), Wx)],
         scratch, sem)
     dma.start()
     dma.wait()
@@ -231,8 +232,10 @@ def _rms_cell_kernel(starts_y, starts_x, offs_y, offs_x, lens_y, lens_x,
     v = scratch[:]
     iy = jax.lax.broadcasted_iota(jnp.int32, (Wy, Wx), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (Wy, Wx), 1)
-    in_y = jnp.logical_and(iy >= offs_y[c], iy < offs_y[c] + lens_y[c])
-    in_x = jnp.logical_and(ix >= offs_x[c], ix < offs_x[c] + lens_x[c])
+    in_y = jnp.logical_and(iy >= offs_y[t, c],
+                           iy < offs_y[t, c] + lens_y[t, c])
+    in_x = jnp.logical_and(ix >= offs_x[t, c],
+                           ix < offs_x[t, c] + lens_x[t, c])
     good = jnp.logical_and(v != 0, jnp.logical_and(in_y, in_x))
     goodf = good.astype(v.dtype)
     n0 = jnp.sum(goodf)
@@ -264,8 +267,9 @@ def _grid_rms_cells_pallas(paddedBatch, starts_y, starts_x, offs_y, offs_x,
 
     Args:
         paddedBatch: (nT, PY, PX) zero-padded maps.
-        starts_y/x, lens_y/x: int32 (nCells,) window anchors and true
-            extents (static per shape, data for the kernel).
+        starts_y/x, lens_y/x: int32 (nT, nCells) per-tile window anchors
+            and true extents (kernel data; a zero length marks an unused
+            cell slot, whose RMS comes back 0).
         window: (Wy, Wx) static window size.
     Returns:
         (nT, nCells) cell RMS values.
@@ -274,7 +278,7 @@ def _grid_rms_cells_pallas(paddedBatch, starts_y, starts_x, offs_y, offs_x,
     from jax.experimental.pallas import tpu as pltpu
 
     nT = paddedBatch.shape[0]
-    nCells = len(starts_y)
+    nCells = starts_y.shape[-1]
     Wy, Wx = window
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -332,24 +336,186 @@ def assemble_rms_host(cellRMS, ny, nx, gridSize_pix, overlap_pix=None):
     return out
 
 
+def n_cells(n, gridSize):
+    """Cell count along one axis of an n-pixel tile (cell_edges' chunking;
+    a tile smaller than one grid cell degenerates to a single cell)."""
+    return max(len(cell_edges(int(n), int(gridSize))) - 1, 1)
+
+
+def meta_window(gridSize_pix, padShape, overlap_pix=None):
+    """Static (Wy, Wx, ov) window bounds for the per-tile (meta)
+    estimator.
+
+    linspace integer cell edges over any n <= padN give max cell size
+    <= min(padN, 2g) (for n >= 2g the bound is n*g/(n-g) <= 2g,
+    decreasing in n; below 2g the single cell spans n itself), so one
+    compiled window size covers every true tile shape a padShape bucket
+    can hold."""
+    g = int(gridSize_pix)
+    ov = g // 2 if overlap_pix is None else int(overlap_pix)
+    wy = min(int(padShape[0]), 2 * g) + 2 * ov
+    wx = min(int(padShape[1]), 2 * g) + 2 * ov
+    return wy, wx, ov
+
+
+def cell_meta(shape, padShape, gridSize_pix, overlap_pix=None):
+    """Per-tile noise-cell geometry at the tile's TRUE shape, padded to
+    the static bounds implied by ``padShape``.
+
+    The batched engine estimates noise inside a step compiled once per
+    padded shape, but the reference (and the host engine) lay the grid
+    out on the true tile shape - cell edges are linspace fractions of the
+    tile dims (``filters.py:417-422``), so padded-shape edges disagree
+    with host edges by ~1% in RMS everywhere.  Shipping each tile's
+    true-shape geometry as DATA keeps one compile per padShape while
+    making the batched noise maps EXACTLY the host engine's.
+
+    Returns a dict of numpy arrays (stack over tiles, pass as ``meta`` to
+    :func:`grid_rms_map_batch` / feed :func:`_assemble_rms_meta`):
+      startsY/startsX/lensY/lensX: (nCellMax,) int32 flattened write-order
+          cell anchors/extents (0-length = unused slot);
+      c0y/c1y: (padNy,) int32 per-pixel highest/runner-up candidate cell
+          row (-1 = none, incl. all padding rows); c0x/c1x likewise.
+    """
+    g = int(gridSize_pix)
+    Wy, Wx, ov = meta_window(g, padShape, overlap_pix)
+    ny, nx = int(shape[0]), int(shape[1])
+    pNy, pNx = int(padShape[0]), int(padShape[1])
+    nCyM, nCxM = n_cells(pNy, g), n_cells(pNx, g)
+
+    def axis(n, npad, nCM, W):
+        e = cell_edges(n, g)
+        if len(e) < 2:
+            e = np.array([0, n], dtype=int)
+        nC = len(e) - 1
+        if nC > nCM or (np.diff(e).max() + 2 * ov) > W:
+            raise ValueError(
+                "tile shape %r incompatible with the cell bounds of "
+                "padShape %r (gridSize %d)" % (tuple(shape),
+                                               tuple(padShape), g))
+        starts = np.zeros(nCM, np.int32)
+        lens = np.zeros(nCM, np.int32)
+        starts[:nC] = e[:-1]
+        lens[:nC] = np.diff(e)
+        pix = np.arange(n)
+        c0 = np.full(n, -1)
+        c1 = np.full(n, -1)
+        for i in range(nC):
+            cover = (pix >= e[i] - ov) & (pix < e[i + 1] + ov)
+            c1[cover] = c0[cover]
+            c0[cover] = i
+        c0p = np.full(npad, -1, np.int32)
+        c1p = np.full(npad, -1, np.int32)
+        c0p[:n] = c0
+        c1p[:n] = c1
+        return starts, lens, c0p, c1p
+
+    sy, ly, c0y, c1y = axis(ny, pNy, nCyM, Wy)
+    sx, lx, c0x, c1x = axis(nx, pNx, nCxM, Wx)
+    startsY = np.repeat(sy, nCxM)
+    startsX = np.tile(sx, nCyM)
+    lensY = np.repeat(ly, nCxM)
+    lensX = np.tile(lx, nCyM)
+    unused = (lensY == 0) | (lensX == 0)
+    lensY[unused] = 0
+    lensX[unused] = 0
+    return {"startsY": startsY.astype(np.int32),
+            "startsX": startsX.astype(np.int32),
+            "lensY": lensY.astype(np.int32),
+            "lensX": lensX.astype(np.int32),
+            "c0y": c0y, "c1y": c1y, "c0x": c0x, "c1x": c1x}
+
+
+def cell_meta_batch(shapes, padShape, gridSize_pix, overlap_pix=None):
+    """Stacked :func:`cell_meta` for a tile batch.
+
+    Args:
+        shapes: sequence of per-tile TRUE (ny, nx) shapes.
+        padShape: the common padded shape of the device batch.
+    Returns:
+        dict of (nT, ...) numpy arrays, ready to pass as ``meta``.
+    """
+    cache = {}
+    metas = []
+    for s in shapes:
+        key = (int(s[0]), int(s[1]))
+        if key not in cache:
+            cache[key] = cell_meta(key, padShape, gridSize_pix,
+                                   overlap_pix)
+        metas.append(cache[key])
+    return {k: np.stack([m[k] for m in metas]) for k in metas[0]}
+
+
+def _assemble_rms_meta(cells, c0y, c1y, c0x, c1x):
+    """Expand one tile's (nCy, nCx) cell grid to the padded pixel grid
+    with traced per-pixel candidate indices, reproducing _assemble_rms'
+    overwrite priority ((r0,c0) > (r0,c1) > (r1,c0) > (r1,c1); a zero
+    cell exposes the next candidate).  One-hot matmuls instead of
+    gathers: MXU-friendly, and exact (each row sums one product v*1)."""
+    nCy, nCx = cells.shape
+
+    def onehot(c, nC):
+        # -1 (no candidate / padding pixel) gives an all-zero row
+        return (c[:, None] == jnp.arange(nC, dtype=c.dtype)[None, :]
+                ).astype(cells.dtype)
+
+    Ry0, Ry1 = onehot(c0y, nCy), onehot(c1y, nCy)
+    Cx0, Cx1 = onehot(c0x, nCx), onehot(c1x, nCx)
+    out = jnp.zeros((c0y.shape[0], c0x.shape[0]), cells.dtype)
+    for Ry, Cx in ((Ry1, Cx1), (Ry1, Cx0), (Ry0, Cx1), (Ry0, Cx0)):
+        v = Ry @ cells @ Cx.T
+        ok = (v > 0)
+        out = jnp.where(ok, v, out)
+    return out
+
+
+def _grid_rms_cells_xla_meta(mapBatch, meta, window, ov, n_iter=10,
+                             estimator="default"):
+    """XLA (CPU) path of the per-tile-geometry estimator: vmapped
+    dynamic_slice window gathers with traced per-tile anchors."""
+    Wy, Wx = window
+
+    def one(m, sy, sx, ly, lx):
+        padded = jnp.pad(m, ((ov, Wy), (ov, Wx)))
+
+        def gather(s_y, s_x):
+            return jax.lax.dynamic_slice(padded, (s_y, s_x), (Wy, Wx))
+
+        windows = jax.vmap(gather)(sy, sx)
+        iy = jnp.arange(Wy)[None, :, None]
+        ix = jnp.arange(Wx)[None, None, :]
+        # unused cell slots (len 0) must mask out entirely, not keep the
+        # 2*ov overlap margin
+        eff_y = jnp.where(ly > 0, ly + 2 * ov, 0)
+        eff_x = jnp.where(lx > 0, lx + 2 * ov, 0)
+        in_cell = (iy < eff_y[:, None, None]) & (ix < eff_x[:, None, None])
+        flat = windows.reshape(windows.shape[0], -1)
+        valid = jnp.logical_and(windows != 0, in_cell).reshape(
+            windows.shape[0], -1)
+        return _cell_stats(flat, valid, (Wy, Wx), n_iter, estimator)
+
+    return jax.vmap(one)(mapBatch, meta["startsY"], meta["startsX"],
+                         meta["lensY"], meta["lensX"])
+
+
 def grid_rms_map_batch(mapBatch, gridSize_pix, overlap_pix=None,
-                       impl="auto", interpret=False, return_cells=False):
+                       impl="auto", interpret=False, return_cells=False,
+                       meta=None):
     """Batched noise-map estimation (nT, ny, nx) -> (nT, ny, nx), with the
     fused Pallas kernel on TPU ('pallas') or the XLA gather path ('xla').
     With ``return_cells`` the (nT, nCy, nCx) per-cell grid is returned
-    instead (expand with :func:`assemble_rms_host`)."""
+    instead (expand with :func:`assemble_rms_host`).
+
+    ``meta`` (dict of stacked (nT, ...) arrays from :func:`cell_meta`)
+    switches the cell geometry to each tile's TRUE shape (host-engine
+    exact) while the compiled program stays a function of the padded
+    shape only; without it the grid is laid out on ``mapBatch``'s own
+    (padded) shape."""
     mapBatch = jnp.asarray(mapBatch)
     if mapBatch.ndim == 2:
         mapBatch = mapBatch[None]
     nT, ny, nx = mapBatch.shape
     gridSize = int(gridSize_pix)
-    ov = int(gridSize // 2) if overlap_pix is None else int(overlap_pix)
-    ye = cell_edges(ny, gridSize)
-    xe = cell_edges(nx, gridSize)
-    nCy, nCx = len(ye) - 1, len(xe) - 1
-    Wy = int(np.diff(ye).max() + 2 * ov)
-    Wx = int(np.diff(xe).max() + 2 * ov)
-
     if impl == "auto":
         # Measured on a real v5e chip at the DR5 tile shape (16 tiles of
         # 896x1536, gridSize 80, 2026-08-16): the fused Pallas kernel takes
@@ -357,6 +523,43 @@ def grid_rms_map_batch(mapBatch, gridSize_pix, overlap_pix=None,
         # (the per-cell window gather defeats XLA's tiling). On CPU the
         # Pallas kernel only runs in (slow) interpret mode, so XLA wins.
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if meta is not None:
+        Wy, Wx, ov = meta_window(gridSize, (ny, nx), overlap_pix)
+        nCy, nCx = n_cells(ny, gridSize), n_cells(nx, gridSize)
+        if impl == "xla":
+            cellRMS = _grid_rms_cells_xla_meta(mapBatch, meta, (Wy, Wx),
+                                               ov)
+        else:
+            starts_y = jnp.asarray(meta["startsY"], dtype=jnp.int32)
+            starts_x = jnp.asarray(meta["startsX"], dtype=jnp.int32)
+            starts_y_al = (starts_y // 8) * 8
+            starts_x_al = (starts_x // 128) * 128
+            eff_y = jnp.where(meta["lensY"] > 0,
+                              meta["lensY"] + 2 * ov, 0).astype(jnp.int32)
+            eff_x = jnp.where(meta["lensX"] > 0,
+                              meta["lensX"] + 2 * ov, 0).astype(jnp.int32)
+            Wy_al = -(-(Wy + 8) // 8) * 8
+            Wx_al = -(-(Wx + 128) // 128) * 128
+            padded = jnp.pad(mapBatch, ((0, 0), (ov, Wy_al), (ov, Wx_al)))
+            cellRMS = _grid_rms_cells_pallas(
+                padded, starts_y_al, starts_x_al,
+                starts_y - starts_y_al, starts_x - starts_x_al,
+                eff_y, eff_x, (Wy_al, Wx_al), interpret=interpret)
+        cellRMS = cellRMS.reshape(nT, nCy, nCx)
+        if return_cells:
+            return cellRMS
+        return jax.vmap(_assemble_rms_meta)(cellRMS, meta["c0y"],
+                                            meta["c1y"], meta["c0x"],
+                                            meta["c1x"])
+
+    ov = int(gridSize // 2) if overlap_pix is None else int(overlap_pix)
+    ye = cell_edges(ny, gridSize)
+    xe = cell_edges(nx, gridSize)
+    nCy, nCx = len(ye) - 1, len(xe) - 1
+    Wy = int(np.diff(ye).max() + 2 * ov)
+    Wx = int(np.diff(xe).max() + 2 * ov)
+
     if impl == "xla":
         return jax.vmap(lambda m: grid_rms_map(m, gridSize_pix,
                                                overlap_pix=overlap_pix,
@@ -377,9 +580,16 @@ def grid_rms_map_batch(mapBatch, gridSize_pix, overlap_pix=None,
     Wy_al = -(-(Wy + 8) // 8) * 8
     Wx_al = -(-(Wx + 128) // 128) * 128
     padded = jnp.pad(mapBatch, ((0, 0), (ov, Wy_al), (ov, Wx_al)))
+
+    def bcast(a):
+        return jnp.broadcast_to(jnp.asarray(a, dtype=jnp.int32)[None],
+                                (nT, len(a)))
+
     # anchors are relative to the padded array: start = edge - ov + ov = edge
-    cellRMS = _grid_rms_cells_pallas(padded, starts_y_al, starts_x_al,
-                                     offs_y, offs_x, lens_y, lens_x,
+    cellRMS = _grid_rms_cells_pallas(padded, bcast(starts_y_al),
+                                     bcast(starts_x_al), bcast(offs_y),
+                                     bcast(offs_x), bcast(lens_y),
+                                     bcast(lens_x),
                                      (Wy_al, Wx_al), interpret=interpret)
     cellRMS = cellRMS.reshape(nT, nCy, nCx)
     if return_cells:

@@ -234,13 +234,14 @@ def make_sharded_realspace_step(mesh, gridSize, trimPix, rms_impl="auto",
 
     spec_tiles = PartitionSpec(TILE_AXIS)
 
-    def per_shard(data, kern, signalNorm, apodM, psMask, surveyMask):
+    def per_shard(data, kern, signalNorm, apodM, psMask, surveyMask,
+                  meta):
         filtered = jax.vmap(imageops.convolve2d_reflect_sum)(data, kern)
         filtered = filtered * signalNorm[:, None, None]
         filtered = filtered * psMask
 
         RMSMap = noise_ops.grid_rms_map_batch(filtered, gridSize,
-                                              impl=rms_impl)
+                                              impl=rms_impl, meta=meta)
         SNMap = jnp.where(RMSMap > 0,
                           filtered / jnp.maximum(RMSMap, 1e-30), 0.0)
 
@@ -262,9 +263,12 @@ def make_sharded_realspace_step(mesh, gridSize, trimPix, rms_impl="auto",
                 "RMSMap": RMSMap * maskSN,
                 "surveyMask": maskSN.astype(jnp.uint8)}
 
+    metaSpec = {k: spec_tiles for k in
+                ("startsY", "startsX", "lensY", "lensX",
+                 "c0y", "c1y", "c0x", "c1x")}
     sharded = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(spec_tiles,) * 6,
+        in_specs=(spec_tiles,) * 6 + (metaSpec,),
         out_specs={"filtered": spec_tiles, "SNMap": spec_tiles,
                    "RMSMap": spec_tiles, "surveyMask": spec_tiles},
         check_vma=False)
@@ -330,8 +334,12 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         fNoise = jnp.fft.rfft2(n * apod[None])
         prods = jnp.real(fNoise[:, None] * jnp.conj(fNoise[None, :]))
         # max(dataMap,CMB): floor the covariance with a model CMB power
-        # (host engine parity, filters.py max(dataMap,CMB) branch); a
-        # zero fg map is a no-op for plain dataMap/model methods.
+        # (host engine parity, filters.py max(dataMap,CMB) branch).  For
+        # plain dataMap/model methods the caller MUST pass fg = -inf so
+        # this is an exact no-op: ~half the off-diagonal covariance
+        # values are negative, so a zero floor would clip them (the
+        # reference applies no floor outside max(dataMap,CMB),
+        # nemo/filters.py:575-580).
         prods = jnp.maximum(prods, fg[None, None])
         # full-grid-exact covariance smoothing (host-engine parity)
         prods = imageops.gaussian_filter_rfft_fullgrid(
@@ -381,7 +389,8 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                            axis=0)
         return filtered, signalNorm, filt, crop
 
-    def _tail(filtered, norms, filterOut, apodM, psMask, surveyMask):
+    def _tail(filtered, norms, filterOut, apodM, psMask, surveyMask,
+              meta):
         filtered = filtered * psMask
 
         if trimPix > 0:
@@ -404,15 +413,10 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
             threshold, maxObjects, nIter, useCom, cutWindow = detect_params
             cells = noise_ops.grid_rms_map_batch(filtered, gridSize,
                                                  impl=rms_impl,
-                                                 return_cells=True)
-            RMSMap = jax.vmap(lambda c: noise_ops._assemble_rms(
-                c, noise_ops._expansion_plan(
-                    noise_ops.cell_edges(filtered.shape[-2], gridSize),
-                    c.shape[0], filtered.shape[-2], gridSize // 2),
-                noise_ops._expansion_plan(
-                    noise_ops.cell_edges(filtered.shape[-1], gridSize),
-                    c.shape[1], filtered.shape[-1], gridSize // 2),
-                filtered.shape[-2], filtered.shape[-1]))(cells)
+                                                 return_cells=True,
+                                                 meta=meta)
+            RMSMap = jax.vmap(noise_ops._assemble_rms_meta)(
+                cells, meta["c0y"], meta["c1y"], meta["c0x"], meta["c1x"])
             SNMap = jnp.where(RMSMap > 0,
                               filtered / jnp.maximum(RMSMap, 1e-30),
                               0.0) * maskSN
@@ -443,14 +447,15 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
             # SN = filtered * maskSN / RMS exactly (all masks binary).
             cells = noise_ops.grid_rms_map_batch(filtered, gridSize,
                                                  impl=rms_impl,
-                                                 return_cells=True)
+                                                 return_cells=True,
+                                                 meta=meta)
             return dict({"filtered": filtered * maskData,
                          "RMSCells": cells,
                          "surveyMask": maskSN.astype(jnp.uint8),
                          "signalNorm": norms}, **filterOut)
 
         RMSMap = noise_ops.grid_rms_map_batch(filtered, gridSize,
-                                              impl=rms_impl)
+                                              impl=rms_impl, meta=meta)
         SNMap = jnp.where(RMSMap > 0,
                           filtered / jnp.maximum(RMSMap, 1e-30), 0.0)
         outMap = filtered * maskData
@@ -466,16 +471,16 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                      "signalNorm": norms}, **filterOut)
 
     def per_shard(data, noise, template, calib, w, apodM, psMask,
-                  surveyMask, fgPower, peakYX):
+                  surveyMask, fgPower, peakYX, meta):
         filtered, norms, filts, crops = jax.vmap(
             lambda d, n, t, c, a, g, p: one_tile(d, n, t, c, w, a, g, p))(
             data, noise, template, calib, apodM, fgPower, peakYX)
         filterOut = {"filt": filts} if return_filter else {}
         filterOut["calibCrop"] = crops
         return _tail(filtered, norms, filterOut, apodM, psMask,
-                     surveyMask)
+                     surveyMask, meta)
 
-    def per_shard_given(data, filt, apodM, psMask, surveyMask):
+    def per_shard_given(data, filt, apodM, psMask, surveyMask, meta):
         """Apply a PRE-BUILT filter (cached-filter reruns: injection /
         contamination tests reload the saved reference filter rather
         than rebuilding from the injected data, as the host engine and
@@ -490,7 +495,8 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
 
         filtered = jax.vmap(one_given)(data, filt, apodM)
         norms = jnp.ones(filtered.shape[0], dtype=filtered.dtype)
-        return _tail(filtered, norms, {}, apodM, psMask, surveyMask)
+        return _tail(filtered, norms, {}, apodM, psMask, surveyMask,
+                     meta)
 
     if detect_params is not None:
         out_specs = {"filtered": spec_tiles, "SNMap": spec_tiles,
@@ -508,10 +514,13 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         out_specs = {"filtered": spec_tiles, "SNMap": spec_tiles,
                      "RMSMap": spec_tiles, "surveyMask": spec_tiles,
                      "signalNorm": spec_tiles}
+    metaSpec = {k: spec_tiles for k in
+                ("startsY", "startsX", "lensY", "lensX",
+                 "c0y", "c1y", "c0x", "c1x")}
     if given_filter:
         sharded = shard_map(
             per_shard_given, mesh=mesh,
-            in_specs=(spec_tiles,) * 5,
+            in_specs=(spec_tiles,) * 5 + (metaSpec,),
             out_specs=out_specs,
             check_vma=False)
         return jax.jit(sharded)
@@ -522,7 +531,7 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         per_shard, mesh=mesh,
         in_specs=(spec_tiles, spec_tiles, spec_tiles, spec_tiles, spec_rep,
                   spec_tiles, spec_tiles, spec_tiles, spec_tiles,
-                  spec_tiles),
+                  spec_tiles, metaSpec),
         out_specs=out_specs,
         check_vma=False)
     return jax.jit(sharded)

@@ -12,14 +12,14 @@ stage.
 
 Enabled with ``useDeviceBatching: true`` in the config.  Filters that need
 host-only features fall back to the per-tile engine automatically (see
-:func:`eligibleForBatch`).  Numerics: the filtered SIGNAL maps match the
-host engine to float tolerance (measured max ~3e-16 relative on the tiled
-sim - both engines share the half-grid formulation with full-grid-exact
-covariance smoothing and the same windowed-spline calibration read); the
-S/N maps differ at the <~0.7% level only through the RMS grid, whose
-cells are laid out on the padded bucket shape here but on the true tile
-shape in the host engine (tiles of different true shapes share one
-bucket, so a tile-shaped grid cannot be expressed in the shared jit).
+:func:`eligibleForBatch`).  Numerics: catalogs match the host engine to
+float tolerance (measured max |amplitude ratio - 1| = 2e-12 on the tiled
+sim, positions identical) - both engines share the half-grid formulation
+with full-grid-exact covariance smoothing and the same windowed-spline
+calibration read, and the RMS grid is laid out on each tile's TRUE shape
+even inside the shared padded-shape jit: the per-tile cell geometry
+ships as data (:func:`..ops.noise.cell_meta`), so one compiled step per
+shape bucket serves every true tile shape with host-exact noise cells.
 """
 
 import functools
@@ -498,7 +498,8 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
             # chunk's compute + downloads on the slow link.
             ctx = _stage_bucket_uploads(staged, labels, list(sub),
                                         padShape, mesh, nDev,
-                                        padTo=deviceBatchSize)
+                                        padTo=deviceBatchSize,
+                                        gridSize=gridSize)
             for label in labels:
                 for n in sub:
                     staged[label].pop(n, None)
@@ -692,12 +693,20 @@ def _run_bucket_realspace(config, staged, names, gridSize, trimPix, mesh,
             (data, kern, signalNorm, apodM, surveyMask, psMask)]
 
     sh = tile_sharding(mesh)
+    # real-space tiles run at TRUE shape (no padding), so the per-tile
+    # cell geometry is the batch shape itself for every tile
+    shape = data.shape[-2:]
+    meta = noise_ops.cell_meta_batch([shape] * data.shape[0], shape,
+                                     gridSize)
+    metaDev = {k: jax.device_put(jnp.asarray(v), sh)
+               for k, v in meta.items()}
     out = step(jax.device_put(jnp.asarray(data), sh),
                jax.device_put(jnp.asarray(kern), sh),
                jax.device_put(jnp.asarray(signalNorm), sh),
                jax.device_put(jnp.asarray(apodM), sh),
                jax.device_put(jnp.asarray(psMask), sh),
-               jax.device_put(jnp.asarray(surveyMask), sh))
+               jax.device_put(jnp.asarray(surveyMask), sh),
+               metaDev)
     filtered = np.asarray(out["filtered"][:nT])
     SNMaps = np.asarray(out["SNMap"][:nT])
     saveRMS = staged[names[0]][0].params.get("saveRMSMap")
@@ -824,9 +833,13 @@ def _emit_overflow_fallback(config, out, i, filterObj, shape, scale,
     fullF = np.asarray(out["filtered"][i])[:shape[0], :shape[1]]
     fullSN = np.asarray(out["SNMap"][i])[:shape[0], :shape[1]]
     tPhase["download"] += _time.time() - t0
-    rmsPad = noise_ops.assemble_rms_host(cellsI, padShape[0], padShape[1],
-                                         gridSize)
-    rms = rmsPad[:shape[0], :shape[1]] * tileMask * scale
+    # The cell grid is laid out on the tile's TRUE shape (cell_meta);
+    # slice off the unused padded slots and expand at the true shape.
+    nCyT = noise_ops.n_cells(shape[0], gridSize)
+    nCxT = noise_ops.n_cells(shape[1], gridSize)
+    rms = noise_ops.assemble_rms_host(cellsI[:nCyT, :nCxT], shape[0],
+                                      shape[1], gridSize) \
+        * tileMask * scale
     if filterObj.params["outputUnits"] == "yc":
         unitsMeta = {"mapUnits": "yc", "obsFreqGHz": "yc",
                      "beamSolidAngle_nsr": 0.0}
@@ -1016,9 +1029,11 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
             res["beamSolidAngle_nsr"] = \
                 filterObj.beamSolidAnglesDict[obsFreqGHz]
         if saveRMS:
-            rmsPad = noise_ops.assemble_rms_host(
-                cells[i], padShape[0], padShape[1], gridSize)
-            rms = rmsPad[:shape[0], :shape[1]] * tileMask * scale
+            nCyT = noise_ops.n_cells(shape[0], gridSize)
+            nCxT = noise_ops.n_cells(shape[1], gridSize)
+            rms = noise_ops.assemble_rms_host(
+                cells[i][:nCyT, :nCxT], shape[0], shape[1], gridSize) \
+                * tileMask * scale
             import os
             from ..utils import fits as nfits
             RMSFileName = os.path.join(
@@ -1034,7 +1049,7 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
 
 
 def _stage_bucket_uploads(staged, labels, names, padShape, mesh, nDev,
-                          padTo=None):
+                          padTo=None, gridSize=None):
     """Snapshot one tile chunk's staged state and DISPATCH its big device
     uploads (data, masks, apodisation) without blocking on them.
 
@@ -1176,6 +1191,19 @@ def _stage_bucket_uploads(staged, labels, names, padShape, mesh, nDev,
     if rep:
         peakYX = np.repeat(peakYX, rep, axis=0)
     ctx["peakDev"] = jax.device_put(jnp.asarray(peakYX), sh)
+    if gridSize is not None:
+        # Per-tile TRUE-shape noise-cell geometry (noise_ops.cell_meta):
+        # the step's RMS estimation then matches the host engine exactly
+        # instead of laying the grid out on the padded shape.  Tiny int
+        # arrays - a few KB per chunk.
+        meta = noise_ops.cell_meta_batch([c["shape"] for c in common],
+                                         padShape, gridSize)
+        metaDev = {}
+        for k, arr in meta.items():
+            if rep:
+                arr = np.repeat(arr, rep, axis=0)
+            metaDev[k] = jax.device_put(jnp.asarray(arr), sh)
+        ctx["metaDev"] = metaDev
     ctx["sh"] = sh
     ctx["upDtype"] = upDtype
     ctx["stageDispatch"] = _time.time() - t0
@@ -1210,14 +1238,15 @@ def _finish_label(config, st, names, nT, out, padShape, gridSize,
         filterObj, stacks = st[tileName]
         shape = stacks["shape"]
         scale = stacks["unitsScale"] * hostNorms[i]
-        # Expand the cell grid at the PADDED shape (where the device
-        # estimated it), then crop - matching the non-lean path.
-        rmsPad = noise_ops.assemble_rms_host(
-            cells[i], padShape[0], padShape[1], gridSize)
+        # Expand the cell grid at the tile's TRUE shape - the layout the
+        # device estimated it on (cell_meta) and the host engine's own
+        # geometry (filters.py:417-422).
+        nCyT = noise_ops.n_cells(shape[0], gridSize)
+        nCxT = noise_ops.n_cells(shape[1], gridSize)
+        rms = noise_ops.assemble_rms_host(
+            cells[i][:nCyT, :nCxT], shape[0], shape[1], gridSize)
         tileMask = outMask[i][:shape[0], :shape[1]].astype(float)
-        filtPad = filtered[i]
-        rms = rmsPad[:shape[0], :shape[1]]
-        filt = filtPad[:shape[0], :shape[1]]
+        filt = filtered[i][:shape[0], :shape[1]]
         with np.errstate(divide="ignore", invalid="ignore"):
             SNMap = np.where(rms > 0,
                              filt / np.maximum(rms, 1e-30), 0.0) \
@@ -1296,7 +1325,7 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
             out = stepFn(dataDev,
                          ctx["putRaw"]([sk["cachedFilt"]
                                         for sk in stacksList]),
-                         apodDev, psDev, surveyDev)
+                         apodDev, psDev, surveyDev, ctx["metaDev"])
             tPhase["step"] += _time.time() - t0
             saveRMS = st[names[0]][0].params.get("saveRMSMap")
             hostNorms = np.array([sk["cachedNorm"] / sk["unitsScale"]
@@ -1324,15 +1353,22 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
         else:
             noiseDev = _put([sk["noise"] for sk in stacksList])
         if all(sk["fgPower"] is None for sk in stacksList):
+            # -inf, NOT 0: the step's maximum(prods, fg) must be an exact
+            # no-op for dataMap/model noise - ~half the off-diagonal
+            # covariance values are NEGATIVE (cross-band noise), and a
+            # zero floor silently clipped them, skewing every 2-freq
+            # filter by ~0.2% at peaks (reference applies the CMB floor
+            # only for max(dataMap,CMB), nemo/filters.py:575-580).
             if fgZerosDev is None:
                 nTot = nT + pad
                 fgZerosDev = jax.device_put(
-                    jnp.zeros((nTot,) + halfShape), sh)
+                    jnp.full((nTot,) + halfShape, -jnp.inf), sh)
             fgDev = fgZerosDev
         else:
             # fgPower already lives on the padded half grid - stack only
             fg = np.stack([sk["fgPower"] if sk["fgPower"] is not None
-                           else np.zeros(halfShape) for sk in stacksList])
+                           else np.full(halfShape, -np.inf)
+                           for sk in stacksList])
             if upDtype is not None:
                 fg = fg.astype(upDtype)
             if rep:
@@ -1343,7 +1379,8 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
                      _putDedup([sk["template"] for sk in stacksList]),
                      _putDedup([sk["calib"] for sk in stacksList]),
                      jnp.asarray(stacksList[0]["w"]),
-                     apodDev, psDev, surveyDev, fgDev, peakDev)
+                     apodDev, psDev, surveyDev, fgDev, peakDev,
+                     ctx["metaDev"])
         tPhase["step"] += _time.time() - t0
         saveRMS = st[names[0]][0].params.get("saveRMSMap")
         hostNorms, fRelW = _calibNormsFromCrops(out, st, names, nT,

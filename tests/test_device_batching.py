@@ -79,22 +79,23 @@ def test_batched_pipeline_matches_host_engine(tiled_run,  # noqa: F811
     assert abs(strongHost - strongBatch) <= 1, (strongHost, strongBatch)
 
     # Cross-match: every strong host detection recovered by the batched
-    # run at the same position, same amplitude and S/N to close tolerance.
-    # The engines' SIGNAL maps agree to float tolerance (see
-    # parallel/engine.py docstring); residual catalog differences enter
-    # only through the RMS grid (padded vs tile shape) shifting detection
-    # centroids by a fraction of a pixel.
+    # run at the same position, amplitude and S/N to FLOAT tolerance:
+    # the signal maps agree bitwise-close (full-grid-exact covariance
+    # smoothing) and the RMS grid now uses each tile's TRUE-shape cell
+    # geometry (ops/noise.cell_meta), so nothing in the batched step
+    # depends on the padded shape.  Measured 2026-08-18: max |amp ratio
+    # - 1| = 2.0e-12, max separation 0.0 arcsec.
     hostM, batchM, seps = catalogs.crossMatch(hostCatalog, batchedCatalog,
                                               radiusArcmin=0.5)
     sel = np.asarray(hostM["SNR"]) > 6
     assert sel.sum() >= min(strongHost, 10)
     ampRatio = (np.asarray(batchM["deltaT_c"])[sel]
                 / np.asarray(hostM["deltaT_c"])[sel])
-    assert np.all(np.abs(np.median(ampRatio) - 1) < 0.002), ampRatio
-    assert np.percentile(np.abs(ampRatio - 1), 90) < 0.01
     snrRatio = (np.asarray(batchM["SNR"])[sel]
                 / np.asarray(hostM["SNR"])[sel])
-    assert abs(np.median(snrRatio) - 1) < 0.01, snrRatio
+    assert np.max(np.abs(ampRatio - 1)) < 1e-9, ampRatio
+    assert np.max(np.abs(snrRatio - 1)) < 1e-9, snrRatio
+    assert float(np.max(np.asarray(seps)[sel])) * 3600 < 1e-3
 
     # RMS maps were written for the photometry filter (saveRMSMap: True)
     anyTile = config.tileNames[0]

@@ -105,6 +105,60 @@ def test_background_writer_per_file_errors(tmp_path):
     w.flush()                              # bad's error already consumed
 
 
+def test_production_step_filter_matches_host_core_two_freq():
+    """The production step's built filter must equal the host engine's
+    _build_filter_core on 2-frequency inputs.  Regression for the
+    covariance floor: ~half the OFF-DIAGONAL covariance values are
+    negative, and the step's max(dataMap,CMB) floor (maximum(prods, fg))
+    once used fg = 0 for plain dataMap noise, silently clipping them -
+    every 2-freq matched filter was skewed ~0.2% at peaks while all
+    single-freq tests stayed exact.  The no-floor sentinel is -inf."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _example_inputs
+    from nemo_tpu import filters
+    from nemo_tpu.ops import noise as noise_ops
+    from nemo_tpu.parallel import distribute
+    from nemo_tpu.parallel.mesh import get_mesh, tile_sharding
+
+    mesh = get_mesh(n_devices=1)
+    sh = tile_sharding(mesh)
+    nT, nf, ny, nx = 1, 2, 128, 128
+    gridSize = 32
+    data, noise, tmpl, w, apodM, psMask, surveyMask = _example_inputs(
+        nT, nf, ny, nx, np.float64, seed=13)
+    # decorrelate the bands so cross-covariance genuinely goes negative
+    rng = np.random.default_rng(14)
+    noise = jnp.asarray(np.asarray(noise)
+                        + rng.normal(0, 30, noise.shape))
+    fNoise = jnp.fft.rfft2(noise[0] * apodM[None])
+    offDiag = np.asarray(jnp.real(fNoise[0] * jnp.conj(fNoise[1])))
+    assert (offDiag < 0).mean() > 0.3   # the premise of the regression
+
+    hostFilt = np.asarray(filters._build_filter_core(
+        noise[0], jnp.abs(jnp.fft.rfft2(tmpl[0])), w, apodM, (ny, nx)))
+
+    fg = jnp.full((nT, ny, nx // 2 + 1), -jnp.inf)
+    peakYX = jnp.full((nT, 2), ny // 2, dtype=jnp.int32)
+    apodT = jnp.broadcast_to(apodM, (nT, ny, nx))
+    meta = noise_ops.cell_meta_batch([(ny, nx)] * nT, (ny, nx), gridSize)
+    metaDev = {k: jax.device_put(jnp.asarray(v), sh)
+               for k, v in meta.items()}
+    step = distribute.make_sharded_matched_filter_step(
+        mesh, gridSize, 0, lean_outputs=True, return_filter=True)
+    out = step(jax.device_put(data, sh), jax.device_put(noise, sh),
+               jax.device_put(tmpl, sh), jax.device_put(tmpl, sh), w,
+               jax.device_put(apodT, sh), jax.device_put(psMask, sh),
+               jax.device_put(surveyMask, sh),
+               jax.device_put(fg, sh), jax.device_put(peakYX, sh),
+               metaDev)
+    stepFilt = np.asarray(out["filt"][0])
+    np.testing.assert_allclose(stepFilt, hostFilt, rtol=1e-9,
+                               atol=1e-9 * np.abs(hostFilt).max())
+
+
 def test_given_filter_step_matches_build_step():
     """The given-filter step (cached-filter reruns) applied with the
     build step's own returned filter reproduces the build step's
@@ -124,8 +178,13 @@ def test_given_filter_step_matches_build_step():
     data, noise, tmpl, w, apodM, psMask, surveyMask = _example_inputs(
         nT, nf, ny, nx, np.float64, seed=7)
     apodT = jnp.broadcast_to(apodM, (nT, ny, nx))
-    fg = jnp.zeros((nT, ny, nx // 2 + 1))
+    fg = jnp.full((nT, ny, nx // 2 + 1), -jnp.inf)  # no CMB floor
     peakYX = jnp.full((nT, 2), ny // 2, dtype=jnp.int32)
+
+    from nemo_tpu.ops import noise as noise_ops
+    meta = noise_ops.cell_meta_batch([(ny, nx)] * nT, (ny, nx), gridSize)
+    metaDev = {k: jax.device_put(jnp.asarray(v), sh)
+               for k, v in meta.items()}
 
     build = distribute.make_sharded_matched_filter_step(
         mesh, gridSize, trimPix, lean_outputs=True, return_filter=True)
@@ -133,14 +192,15 @@ def test_given_filter_step_matches_build_step():
                  jax.device_put(tmpl, sh), jax.device_put(tmpl, sh), w,
                  jax.device_put(apodT, sh), jax.device_put(psMask, sh),
                  jax.device_put(surveyMask, sh),
-                 jax.device_put(fg, sh), jax.device_put(peakYX, sh))
+                 jax.device_put(fg, sh), jax.device_put(peakYX, sh),
+                 metaDev)
 
     given = distribute.make_sharded_matched_filter_step(
         mesh, gridSize, trimPix, lean_outputs=True, given_filter=True)
     outG = given(jax.device_put(data, sh),
                  jax.device_put(outB["filt"], sh),
                  jax.device_put(apodT, sh), jax.device_put(psMask, sh),
-                 jax.device_put(surveyMask, sh))
+                 jax.device_put(surveyMask, sh), metaDev)
 
     np.testing.assert_allclose(np.asarray(outG["filtered"]),
                                np.asarray(outB["filtered"]),
