@@ -142,6 +142,9 @@ def parseConfigFile(parDictFileName, verbose=False):
         elif k in parDict and isinstance(new, str):
             parDict[new] = parDict[k]
             del parDict[k]
+    # config-file provenance stamp (startUp.py:179; set-but-unread in the
+    # reference too - kept for parsed-dict parity)
+    parDict["_file_last_modified_ctime"] = os.path.getctime(parDictFileName)
     return parDict
 
 

@@ -142,8 +142,10 @@ def test_batched_model_noise_matches_host(tiled_run):  # noqa: F811
     h, b = np.asarray(host["SNMap"]), np.asarray(bat["SNMap"])
     sel = (h != 0) & (b != 0)
     assert sel.sum() > 1e5
+    # identical noise sims (same fixed seeds) + identical filter math +
+    # true-shape RMS cells: float tolerance, not statistical agreement
     ratio = b[np.abs(h) > 3] / h[np.abs(h) > 3]
-    assert abs(np.median(ratio) - 1) < 0.02, np.median(ratio)
+    assert np.max(np.abs(ratio - 1)) < 1e-6, np.max(np.abs(ratio - 1))
 
 
 def test_batched_max_datamap_cmb_matches_host(tiled_run):  # noqa: F811
@@ -167,7 +169,7 @@ def test_batched_max_datamap_cmb_matches_host(tiled_run):  # noqa: F811
     sel = np.abs(h) > 3
     assert sel.sum() > 100
     ratio = b[sel] / h[sel]
-    assert abs(np.median(ratio) - 1) < 0.05, np.median(ratio)
+    assert np.max(np.abs(ratio - 1)) < 1e-6, np.max(np.abs(ratio - 1))
 
 
 def test_batched_multi_scale_templates_distinct(tiled_run,  # noqa: F811
@@ -217,8 +219,8 @@ def test_batched_multi_scale_templates_distinct(tiled_run,  # noqa: F811
         h, d = hostMap[core], devMap[core]
         sel = np.abs(h) > np.percentile(np.abs(h), 99)
         ratio = d[sel] / h[sel]
-        assert abs(np.median(ratio) - 1) < 0.02, (f["label"],
-                                                  np.median(ratio))
+        assert np.max(np.abs(ratio - 1)) < 1e-6, (f["label"],
+                                                  np.max(np.abs(ratio - 1)))
 
 
 def test_device_detection_matches_host(tiled_run, tmp_path):  # noqa: F811
