@@ -285,7 +285,23 @@ def fitQ(config):
         realSpace = issubclass(filterObj.__class__,
                                filters_mod.RealSpaceMatchedFilter)
 
-        shape = filterObj.shape
+        # Fourier filters: paint and apply at the filter's PADDED (FFT
+        # bucket) shape, not the tile's true shape.  The cached filter
+        # already lives on the padShape grid, so the apply needs no
+        # per-true-shape reshapes - and, critically, every compiled
+        # program (paint, fft+apod, crop) is then keyed on the handful
+        # of survey-wide shape buckets instead of each tile's unique
+        # true shape: at DR5 scale, 72 distinct true shapes cost ~30 s
+        # of XLA compiles each (~2,400 s of the 2,489 s fitQ stage).
+        # Value difference vs true-shape painting (centre pixel phase +
+        # the painted far-field annulus), measured through a beam-
+        # convolved paint -> pixel window -> l<5000 lowpass -> spline
+        # peak read on a 797x811 vs 800x864 canvas: 1.1e-3 at
+        # theta500 = 0.1', 1.5e-4 at 4.4', 9e-6 at 50' - below Q's own
+        # method systematics (reference fit-vs-injection Q differ at
+        # the percent level), and partially cancelled by the Q[0]
+        # ratio.  Real-space filters convolve at the true shape.
+        shape = filterObj.shape if realSpace else filterObj.padShape
         pix = filterObj.pixScalesRad
         cy, cx = shape[0] / 2.0, shape[1] / 2.0
 
@@ -350,9 +366,18 @@ def fitQ(config):
                         dev.reshape((batchSize, nF) + tuple(shape)),
                         pow=1.0)
                     chunks.append((dev, nChunk))
-                paintCache.clear()      # previous geometry won't recur
                 paintCache[geomKey] = chunks
+                # LRU of 2 geometries: survey tile order ALTERNATES
+                # between the dec band's shape buckets, so keeping only
+                # one geometry thrashed the cache (a repaint per tile at
+                # DR5 scale); two covers the alternation while bounding
+                # HBM at ~2 model stacks.
+                while len(paintCache) > 2:
+                    paintCache.pop(next(iter(paintCache)))
                 tPaint = time_mod.time() - t0
+            else:
+                # LRU touch: mark this geometry most-recently-used
+                paintCache[geomKey] = paintCache.pop(geomKey)
             # clamp to the tile: dynamic_slice (unlike a plain slice)
             # requires sizes <= operand dims, and irregular masks can
             # produce boundary tiles smaller than the crop window
