@@ -15,8 +15,8 @@ def makeParser():
     parser.add_argument("-o", "--output", dest="outFileName", default=None)
     parser.add_argument("-m", "--method", dest="method", default="CAP",
                         help="'CAP' or 'matchedFilter'.")
-    parser.add_argument("-r", "--disk-radius-arcmin", dest="diskRadiusArcmin",
-                        type=float, default=4.0)
+    parser.add_argument("-r", "--radius-arcmin", "--disk-radius-arcmin",
+                        dest="diskRadiusArcmin", type=float, default=4.0)
     parser.add_argument("-w", "-S", "--write-maps", "--save-filtered-maps",
                         dest="saveFilteredMaps", action="store_true",
                         default=False)
@@ -26,6 +26,11 @@ def makeParser():
                              "the output.")
     parser.add_argument("-M", "--mpi", dest="MPIEnabled",
                         action="store_true", default=False)
+    parser.add_argument("-n", "--no-strict-errors",
+                        dest="noStrictMPIExceptions", action="store_true",
+                        default=False,
+                        help="Accepted for reference compatibility "
+                             "(single-process: no effect).")
     return parser
 
 

@@ -763,6 +763,11 @@ def makeModelImage(shape, wcs, catalog, beamFileName, obsFreqGHz=None,
 
     cosmoModel = cosmoModel or cosmo_mod.fiducialCosmoModel()
     pix = pixScalesRad(wcs, shape)
+    # dec-aware per-row x scales: positioned paints then use the same
+    # true angular distances as the reference's astCoords-based painting
+    # (nemo/maps.py:1884-1892) at any declination, and tiled painting
+    # agrees with full-map painting to float precision.
+    dxRows = pixScaleXRadPerRow(wcs, shape)
     modelMap = np.zeros(shape)
 
     beam = BeamProfile(beamFileName=beamFileName)
@@ -783,7 +788,8 @@ def makeModelImage(shape, wcs, catalog, beamFileName, obsFreqGHz=None,
             modelMap = np.asarray(makeSignalMap(
                 z, M500, shape, pix, beam=beam, ys=ys, xs=xs,
                 GNFWParams=GNFWParams, amplitude=y0s,
-                maxSizeDeg=maxSizeDeg, cosmoModel=cosmoModel))
+                maxSizeDeg=maxSizeDeg, cosmoModel=cosmoModel,
+                dx_rows=dxRows))
             if obsFreqGHz is not None:
                 modelMap = sz.convertToDeltaT(modelMap,
                                               obsFrequencyGHz=obsFreqGHz,
@@ -807,7 +813,8 @@ def makeModelImage(shape, wcs, catalog, beamFileName, obsFreqGHz=None,
                 signalMap = np.asarray(makeSignalMap(
                     z, M500, shape, pix, beam=beam, ys=[ys[i]], xs=[xs[i]],
                     GNFWParams=GNFWParams, amplitude=y0,
-                    maxSizeDeg=maxSizeDeg, cosmoModel=cosmoModel))
+                    maxSizeDeg=maxSizeDeg, cosmoModel=cosmoModel,
+                    dx_rows=dxRows))
                 if obsFreqGHz is not None:
                     signalMap = sz.convertToDeltaT(
                         signalMap, obsFrequencyGHz=obsFreqGHz,
@@ -823,7 +830,7 @@ def makeModelImage(shape, wcs, catalog, beamFileName, obsFreqGHz=None,
         maxSizeDeg = _quantizeSizeDeg((beam.FWHMArcmin * numFWHM) / 60)
         modelMap = np.asarray(profiles.makeBeamModelSignalMap(
             shape, pix, beam, ys=ys, xs=xs, amplitude=amps,
-            maxSizeDeg=maxSizeDeg))
+            maxSizeDeg=maxSizeDeg, dx_rows=dxRows))
 
     if applyPixelWindow:
         modelMap = np.asarray(modelMap)

@@ -90,7 +90,8 @@ def convolveProfileWithBeam(rDeg, prof, beam):
 
 def paintSignalMap(shape, pix_scales_rad, rDeg, prof, beam=None,
                    ys=None, xs=None, amplitude=None, maxSizeDeg=10.0,
-                   convolveWithBeam=True, returnDevice=False):
+                   convolveWithBeam=True, returnDevice=False,
+                   dx_rows=None):
     """Paint object(s) with a shared radial profile into a map.
 
     Args:
@@ -139,13 +140,13 @@ def paintSignalMap(shape, pix_scales_rad, rDeg, prof, beam=None,
     out = paint_ops.paint_objects(shape, pix_scales_rad,
                                   np.atleast_1d(ys), np.atleast_1d(xs),
                                   np.atleast_1d(amp), r, np.abs(rprof),
-                                  np.radians(maxSizeDeg))
+                                  np.radians(maxSizeDeg), dx_rows=dx_rows)
     return sign * out if returnDevice else sign * np.asarray(out)
 
 
 def makeBeamModelSignalMap(shape, pix_scales_rad, beam, ys=None, xs=None,
                            amplitude=None, maxSizeDeg=None,
-                           returnDevice=False):
+                           returnDevice=False, dx_rows=None):
     """Signal map containing the beam itself (point-source template),
     parity with ``signals.py:587-619``."""
     if isinstance(beam, str):
@@ -163,14 +164,14 @@ def makeBeamModelSignalMap(shape, pix_scales_rad, beam, ys=None, xs=None,
     rmax = maxSizeDeg if maxSizeDeg is not None else beam.rDeg[-1]
     return np.asarray(paint_ops.paint_objects(
         shape, pix_scales_rad, np.atleast_1d(ys), np.atleast_1d(xs),
-        np.atleast_1d(amp), r, prof, np.radians(rmax)))
+        np.atleast_1d(amp), r, prof, np.radians(rmax), dx_rows=dx_rows))
 
 
 def makeArnaudModelSignalMap(z, M500, shape, pix_scales_rad, beam=None,
                              ys=None, xs=None, GNFWParams="default",
                              amplitude=None, maxSizeDeg=15.0,
                              convolveWithBeam=True, cosmoModel=None,
-                             returnDevice=False):
+                             returnDevice=False, dx_rows=None):
     """A10 cluster signal map (parity with ``signals.py:675-743``)."""
     d = makeArnaudModelProfile(z, M500, GNFWParams=GNFWParams,
                                cosmoModel=cosmoModel)
@@ -178,14 +179,14 @@ def makeArnaudModelSignalMap(z, M500, shape, pix_scales_rad, beam=None,
                           beam=beam, ys=ys, xs=xs, amplitude=amplitude,
                           maxSizeDeg=maxSizeDeg,
                           convolveWithBeam=convolveWithBeam,
-                          returnDevice=returnDevice)
+                          returnDevice=returnDevice, dx_rows=dx_rows)
 
 
 def makeBattagliaModelSignalMap(z, M500, shape, pix_scales_rad, beam=None,
                                 ys=None, xs=None, GNFWParams="default",
                                 amplitude=None, maxSizeDeg=15.0,
                                 convolveWithBeam=True, cosmoModel=None,
-                                returnDevice=False):
+                                returnDevice=False, dx_rows=None):
     """B12 cluster signal map (parity with ``signals.py:746-812``)."""
     d = makeBattagliaModelProfile(z, M500, GNFWParams=GNFWParams,
                                   cosmoModel=cosmoModel)
@@ -193,4 +194,4 @@ def makeBattagliaModelSignalMap(z, M500, shape, pix_scales_rad, beam=None,
                           beam=beam, ys=ys, xs=xs, amplitude=amplitude,
                           maxSizeDeg=maxSizeDeg,
                           convolveWithBeam=convolveWithBeam,
-                          returnDevice=returnDevice)
+                          returnDevice=returnDevice, dx_rows=dx_rows)

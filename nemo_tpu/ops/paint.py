@@ -139,11 +139,9 @@ def paint_template_centered(shape, pix_scales_rad, r_prof, v_prof,
         jnp.asarray(rp), jnp.asarray(vp))
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "pix_scales_rad",
-                                             "window_pix"))
-def _paint_scan(shape, pix_scales_rad, window_pix, ys, xs, amps, rp, vp):
+@functools.partial(jax.jit, static_argnames=("shape", "window_pix"))
+def _paint_scan(shape, window_pix, ys, xs, amps, rp, vp, dy, dx_pad):
     ny, nx = shape
-    dy, dx = pix_scales_rad
     wy, wx = window_pix
     dtype = rp.dtype
     canvas = jnp.zeros((ny + 2 * wy + 2, nx + 2 * wx + 2), dtype=dtype)
@@ -156,8 +154,14 @@ def _paint_scan(shape, pix_scales_rad, window_pix, ys, xs, amps, rp, vp):
         y0 = jnp.floor(y).astype(jnp.int32) - wy
         x0 = jnp.floor(x).astype(jnp.int32) - wx
         yy = (y0.astype(dtype) + iy_off - y) * dy
-        xx = (x0.astype(dtype) + ix_off - x) * dx
-        r = jnp.sqrt(yy[:, None] ** 2 + xx[None, :] ** 2)
+        # per-ROW x scale (cos(dec) on CAR): gather the window's rows -
+        # the same dec-correct angular distances the reference gets from
+        # astCoords.calcAngSepDeg painting (nemo/maps.py:1884-1892)
+        dxw = jax.lax.dynamic_slice(dx_pad, (y0 + wy + 1,),
+                                    (2 * wy + 1,))
+        xx = (x0.astype(dtype) + ix_off - x)
+        r = jnp.sqrt(yy[:, None] ** 2
+                     + (dxw[:, None] * xx[None, :]) ** 2)
         vals = amp * jnp.interp(r, rp, vp, left=vp[0], right=0.0)
         sl = jax.lax.dynamic_slice(
             canvas, (y0 + wy + 1, x0 + wx + 1), (2 * wy + 1, 2 * wx + 1))
@@ -172,7 +176,7 @@ def _paint_scan(shape, pix_scales_rad, window_pix, ys, xs, amps, rp, vp):
 
 
 def paint_objects(shape, pix_scales_rad, ys, xs, amps, r_prof, v_prof,
-                  rmax_rad, dtype=np.float64):
+                  rmax_rad, dtype=np.float64, dx_rows=None):
     """Paint many objects sharing a radial profile into a (ny, nx) canvas.
 
     Args:
@@ -182,17 +186,35 @@ def paint_objects(shape, pix_scales_rad, ys, xs, amps, r_prof, v_prof,
         amps: per-object peak amplitudes.
         r_prof, v_prof: shared radial profile table (unit peak, radians).
         rmax_rad: truncation radius; sets the static window size.
+        dx_rows: optional (ny,) per-row x pixel scales in radians
+            (``maps.pixScaleXRadPerRow``) - dec-aware painting on CAR
+            grids, where dx varies as cos(dec) across the map.  Without
+            it the scalar ``pix_scales_rad[1]`` is used for every row
+            (exact only near the tile centre's declination).
     Returns:
         (ny, nx) jnp array.
     """
     ny, nx = shape
     dy, dx = pix_scales_rad
+    npDtype = np.dtype(jnp.zeros((), dtype=dtype).dtype)
+    if dx_rows is None:
+        dxr = np.full(ny, dx, dtype=npDtype)
+    else:
+        dxr = np.asarray(dx_rows, dtype=npDtype)
+        if dxr.shape != (ny,):
+            raise ValueError("dx_rows must have shape (ny,)")
     wy = int(np.ceil(rmax_rad / dy))
-    wx = int(np.ceil(rmax_rad / dx))
+    wx = int(np.ceil(rmax_rad / float(dxr.min())))
     # Cap the window at the canvas size (a window larger than the map just
     # wastes compute - contributions outside the map are cropped anyway).
     wy = min(wy, ny)
     wx = min(wx, nx)
+    # dx per padded-canvas row, edge rows replicated (objects are inside
+    # the map; only their window borders reach the padding)
+    dx_pad = np.empty(ny + 2 * wy + 2, dtype=npDtype)
+    dx_pad[wy + 1:wy + 1 + ny] = dxr
+    dx_pad[:wy + 1] = dxr[0]
+    dx_pad[wy + 1 + ny:] = dxr[-1]
     ys = jnp.atleast_1d(jnp.asarray(ys, dtype=dtype))
     xs = jnp.atleast_1d(jnp.asarray(xs, dtype=dtype))
     amps = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(amps, dtype=dtype)),
@@ -201,5 +223,7 @@ def paint_objects(shape, pix_scales_rad, ys, xs, amps, r_prof, v_prof,
     # beyond-table; enforce rmax inside the table too).
     r_prof = np.asarray(r_prof, dtype=dtype)
     v_prof = np.where(r_prof <= rmax_rad, np.asarray(v_prof, dtype=dtype), 0.0)
-    return _paint_scan((ny, nx), (float(dy), float(dx)), (wy, wx),
-                       ys, xs, amps, jnp.asarray(r_prof), jnp.asarray(v_prof))
+    return _paint_scan((ny, nx), (wy, wx), ys, xs, amps,
+                       jnp.asarray(r_prof), jnp.asarray(v_prof),
+                       jnp.asarray(npDtype.type(dy)),
+                       jnp.asarray(dx_pad))

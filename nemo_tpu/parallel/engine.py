@@ -745,6 +745,7 @@ def _calibNormsFromCrops(out, st, names, nT, padShape, tPhase):
     stepPeaks = 1.0 / np.asarray(out["signalNorm"][:nT],
                                  dtype=np.float64)
     tPhase["download"] += _time.time() - t0
+    tPhase["downBytes"] = tPhase.get("downBytes", 0) + crops.nbytes
     py, px = padShape
     nf = crops.shape[1]
     norms = np.empty(nT)
@@ -938,16 +939,20 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
     P2 = out["cut"].shape[-2:]
     if kMax:
         cutAll = np.asarray(out["cut"][:nT, :kMax])
+        tPhase["downBytes"] = tPhase.get("downBytes", 0) + cutAll.nbytes
     cut = [cutAll[i, :kUse[i]] if kUse[i] else np.zeros((0, 2) + P2)
            for i in range(nT)]
     if photCut is not None:
         if kMax:
             pAll = np.asarray(photCut[0][:nT, :kMax])
+            tPhase["downBytes"] = tPhase.get("downBytes", 0) + pAll.nbytes
         pCut = [pAll[i, :kUse[i]] if kUse[i] else np.zeros((0, 2) + P2)
                 for i in range(nT)]
         pY0 = np.asarray(photCut[1])[:nT]
         pX0 = np.asarray(photCut[2])[:nT]
     tPhase["download"] += _time.time() - t0
+    tPhase["downBytes"] = tPhase.get("downBytes", 0) + packed.nbytes + cells.nbytes \
+        + (maskAll.nbytes if maskAll is not None else 0)
 
     saveRMS = st[names[0]][0].params.get("saveRMSMap")
     for i, tileName in enumerate(names):
@@ -1220,6 +1225,7 @@ def _finish_label(config, st, names, nT, out, padShape, gridSize,
     import time as _time
 
     if useDetect:
+        tPhase["detectLabels"] += 1
         _emit_detect_results(
             config, st, names, nT, out, padShape, gridSize,
             detectParams, label, photLabel, photRes, seenTiles,
@@ -1233,6 +1239,7 @@ def _finish_label(config, st, names, nT, out, padShape, gridSize,
     cells = np.asarray(out["RMSCells"][:nT])
     outMask = np.asarray(out["surveyMask"][:nT])
     tPhase["download"] += _time.time() - t0
+    tPhase["downBytes"] = tPhase.get("downBytes", 0) + filtered.nbytes + cells.nbytes + outMask.nbytes
 
     for i, tileName in enumerate(names):
         filterObj, stacks = st[tileName]
@@ -1295,7 +1302,7 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
         print("... device batch: %d tile(s) x %d filter(s) at %s"
               % (len(names), len(labels), str(padShape)), flush=True)
     tPhase = {"upload": ctx["stageDispatch"], "step": 0.0,
-              "download": 0.0}
+              "download": 0.0, "downBytes": 0.0, "detectLabels": 0}
     halfShape = (padShape[0], padShape[1] // 2 + 1)
     fgZerosDev = None
 
@@ -1401,5 +1408,7 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
         del out     # free this label's device outputs
     if verbose:
         print("    [chunk: upload %.1fs, step(+compile) %.1fs, "
-              "download %.1fs]" % (tPhase["upload"], tPhase["step"],
-                                   tPhase["download"]), flush=True)
+              "download %.1fs (%.0f MB), detect %d/%d labels]"
+              % (tPhase["upload"], tPhase["step"], tPhase["download"],
+                 tPhase["downBytes"] / 1e6, tPhase["detectLabels"],
+                 len(labels)), flush=True)

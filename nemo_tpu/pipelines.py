@@ -304,6 +304,32 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
                 128,
                 bool(config.parDict["findCenterOfMass"]),
                 16)
+        if verbose and eligible:
+            if detectParams is not None:
+                print("... device detection: ON (O(K) downloads per "
+                      "tile)", flush=True)
+            else:
+                reasons = []
+                if not wantDetect:
+                    reasons.append("useDeviceDetection=%r backend=%s"
+                                   % (dd, jax.default_backend()))
+                if not fullStream:
+                    reasons.append("mixed filter bank (host-only "
+                                   "labels present)")
+                if not measureFluxes:
+                    reasons.append("measureFluxes off")
+                if not undoPixelWindow:
+                    reasons.append("cached RMS rerun")
+                if config.parDict.get("forcedPhotometryCatalog"):
+                    reasons.append("forced photometry")
+                if invertMap:
+                    reasons.append("inverted map")
+                if config.parDict["removeRings"]:
+                    reasons.append("removeRings")
+                if config.parDict["measureShapes"]:
+                    reasons.append("measureShapes")
+                print("... device detection: OFF (%s)"
+                      % ("; ".join(reasons) or "unknown"), flush=True)
 
         if eligible:
             # one multi-filter call: each tile's maps are loaded and

@@ -68,6 +68,19 @@ class WCS:
         else:
             self.cdelt1 = float(h["CDELT1"])
             self.cdelt2 = float(h["CDELT2"])
+            # Diagonal PC matrix folds into the pixel scales.  (The
+            # reference ZAPS PC keys entirely, astWCS zapKeywords at
+            # nemo/maps.py callers via startUp.py:313 - i.e. silently
+            # assumes identity; honouring a diagonal PC is strictly
+            # more correct and identical for standard ACT/SO maps.)
+            if "PC1_1" in h:
+                self.cdelt1 *= float(h["PC1_1"])
+                self.cdelt2 *= float(h.get("PC2_2", 1.0))
+                if float(h.get("PC1_2", 0.0)) != 0.0 \
+                        or float(h.get("PC2_1", 0.0)) != 0.0:
+                    import warnings
+                    warnings.warn("Off-diagonal PC matrix ignored "
+                                  "(rotated WCS unsupported)")
         self.naxis1 = int(h.get("NAXIS1", 0))
         self.naxis2 = int(h.get("NAXIS2", 0))
         if self.projection == "CAR" and abs(self.crval2) > 1e-9:

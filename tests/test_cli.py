@@ -136,9 +136,10 @@ def test_nemo_cli_forced_photometry(cli_workspace):
 
 
 def test_nemo_model_scale_flag(cli_workspace):
-    """nemoModel -s scales all painted amplitudes (reference bin/nemoModel
-    -s/--scale-signals)."""
+    """nemoModel -s scales only the y_c column (reference bin/nemoModel
+    :207-209: point-source deltaT_c amplitudes are left untouched)."""
     ws = cli_workspace
+    # Point-source catalog: -s must be a no-op
     out1 = str(ws["tmp"] / "model_s1.fits")
     out2 = str(ws["tmp"] / "model_s2.fits")
     _run(["nemoModel", ws["catPath"], ws["template"], ws["beam"], out1,
@@ -147,8 +148,101 @@ def test_nemo_model_scale_flag(cli_workspace):
           "-f", "97.8", "-s", "2.0"], cwd=str(ws["tmp"]))
     d1, _ = nfits.read_image(out1)
     d2, _ = nfits.read_image(out2)
-    np.testing.assert_allclose(d2, 2.0 * np.asarray(d1), rtol=1e-6,
-                               atol=1e-8)
+    np.testing.assert_allclose(d2, np.asarray(d1), rtol=1e-6, atol=1e-8)
+    # Cluster catalog with y_c: painted amplitudes scale linearly
+    w = ws["wcs"]
+    coords = w.pix2wcs(np.array([150.0, 250.0]), np.array([150.0, 250.0]))
+    clTab = Table({"name": np.array(["c0", "c1"]),
+                   "RADeg": coords[:, 0], "decDeg": coords[:, 1],
+                   "y_c": np.array([3e-5, 5e-5]) * 1e4,
+                   "template": np.array(["Arnaud_M2e14_z0p4"] * 2)})
+    clPath = str(ws["tmp"] / "clusterCat.fits")
+    clTab.write(clPath)
+    outC1 = str(ws["tmp"] / "model_cl_s1.fits")
+    outC2 = str(ws["tmp"] / "model_cl_s2.fits")
+    _run(["nemoModel", clPath, ws["template"], ws["beam"], outC1,
+          "-f", "97.8"], cwd=str(ws["tmp"]))
+    _run(["nemoModel", clPath, ws["template"], ws["beam"], outC2,
+          "-f", "97.8", "-s", "2.0"], cwd=str(ws["tmp"]))
+    c1, _ = nfits.read_image(outC1)
+    c2, _ = nfits.read_image(outC2)
+    np.testing.assert_allclose(np.asarray(c2), 2.0 * np.asarray(c1),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_nemo_model_pointsources_and_extras(cli_workspace):
+    """nemoModel 'pointsources-N' generation, -A/--add-map and
+    --split-noise-test (reference bin/nemoModel:77-94,173-188,302-309)."""
+    ws = cli_workspace
+    out = str(ws["tmp"] / "ps_model.fits")
+    _run(["nemoModel", "pointsources-12", ws["template"], ws["beam"],
+          out, "-f", "97.8", "-S", "11"], cwd=str(ws["tmp"]))
+    inCat = out.replace(".fits", "_inputCatalog.fits")
+    assert os.path.exists(inCat)
+    tab = Table.read(inCat)
+    assert len(tab) == 12
+    d, _ = nfits.read_image(out)
+    assert np.max(d) > 0
+    # -A adds a scaled component map
+    extraPath = str(ws["tmp"] / "extra.fits")
+    nfits.write_image(extraPath, np.full(ws["shape"], 7.0),
+                      ws["wcs"].header)
+    out2 = str(ws["tmp"] / "ps_model_plus.fits")
+    _run(["nemoModel", inCat, ws["template"], ws["beam"], out2,
+          "-f", "97.8", "-A", extraPath, "--add-map-scaling", "2.0"],
+         cwd=str(ws["tmp"]))
+    d2, _ = nfits.read_image(out2)
+    base, _ = nfits.read_image(out)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(base) + 14.0,
+                               rtol=1e-5, atol=1e-5)
+    # --split-noise-test writes an ivar map with a 4x weight step
+    out3 = str(ws["tmp"] / "ps_model_split.fits")
+    _run(["nemoModel", inCat, ws["template"], ws["beam"], out3,
+          "-f", "97.8", "-C", "-N", "20", "--split-noise-test",
+          "-S", "3"], cwd=str(ws["tmp"]))
+    wmap, _ = nfits.read_image(out3.replace(".fits", ".ivar.fits"))
+    wmap = np.asarray(wmap)
+    half = ws["shape"][0] // 2
+    assert np.allclose(wmap[half:], 20.0 ** -2)
+    assert np.allclose(wmap[:half], 40.0 ** -2)
+    d3, _ = nfits.read_image(out3)
+    d3 = np.asarray(d3)
+    # bottom half carries the extra doubled white noise
+    assert np.std(d3[:half]) > np.std(d3[half:])
+
+
+def test_nemo_model_tiled_painting(cli_workspace):
+    """nemoModel -T paints per autotiler tile and stitches - output
+    matches the single-shot paint (reference bin/nemoModel:87-90,
+    212-264).  Needs a mask taller than the autotiler's 1000-pixel
+    stray-blob floor (reference maps.py:735), so paint at 2' pixels
+    over 20 deg."""
+    ws = cli_workspace
+    shape = (1200, 1200)
+    w = nwcs.makeWCS(shape, 2.0 / 60.0, centreRADeg=30.0,
+                     centreDecDeg=0.0)
+    template = str(ws["tmp"] / "template_big.fits")
+    nfits.write_image(template, np.ones(shape), w.header)
+    rng = np.random.default_rng(5)
+    n = 10
+    xs = rng.uniform(100, 1100, n)
+    ys = rng.uniform(100, 1100, n)
+    coords = w.pix2wcs(xs, ys)
+    cat = Table({"name": np.array(["b%d" % i for i in range(n)]),
+                 "RADeg": coords[:, 0], "decDeg": coords[:, 1],
+                 "deltaT_c": rng.uniform(1500, 5000, n)})
+    catPath = str(ws["tmp"] / "bigCatalog.fits")
+    cat.write(catPath)
+    outFlat = str(ws["tmp"] / "model_flat.fits")
+    outTiled = str(ws["tmp"] / "model_tiled.fits")
+    _run(["nemoModel", catPath, template, ws["beam"],
+          outFlat, "-f", "97.8"], cwd=str(ws["tmp"]))
+    _run(["nemoModel", catPath, template, ws["beam"],
+          outTiled, "-f", "97.8", "-T"], cwd=str(ws["tmp"]))
+    d1, _ = nfits.read_image(outFlat)
+    d2, _ = nfits.read_image(outTiled)
+    d1, d2 = np.asarray(d1), np.asarray(d2)
+    assert np.max(np.abs(d2 - d1)) <= 1e-4 * max(np.max(np.abs(d1)), 1)
 
 
 def test_nemo_tiling_check_flag(cli_workspace):
