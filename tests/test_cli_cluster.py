@@ -168,5 +168,13 @@ def test_nemo_catalog_check_cli(cluster_cli_run):
            "decDeg": np.asarray(ws["inputTab"]["decDeg"])}).write(extPath)
     result = _run(["nemoCatalogCheck", ws["configPath"], extPath],
                   cwd=str(ws["tmp"]))
-    assert "fall in the survey area" in result.stdout
-    assert "matched against the nemo catalog" in result.stdout
+    # reference wording (bin/nemoCatalogCheck:67,87-88)
+    assert "are in the valid area mask for" in result.stdout
+    assert "are found within" in result.stdout
+    assert "are NOT found within" in result.stdout
+    assert "written missed objects table" in result.stdout
+    # all 6 injected clusters land in the mask; none should be missed
+    assert "6/6 objects" in result.stdout
+    inMaskPath = ws["tmp"] / "extCatalog_inMask_clusters.fits"
+    assert inMaskPath.exists()
+    assert len(Table.read(str(inMaskPath))) == 6
