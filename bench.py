@@ -20,9 +20,9 @@ tiles x 16 filter scales = 4480 tile-scale steps - in under 4 h 59 m on
 
 ``vs_baseline`` is the MEASURED end-to-end ratio of record: the full
 DR5-scale pipeline (214 tiles x 16 scales, filter + detect + catalog +
-Q fit + RMS tables + completeness) ran in 6358.7 s on ONE chip
-(2026-08-17, docs/benchmarks/dr5_r3/) vs the reference's < 17,940 s on
-~300 CPU ranks -> 17940 / 6358.7 = 2.82x wall-clock on 1/300th the
+Q fit + RMS tables + completeness) ran in 3660.0 s on ONE chip
+(2026-08-19, docs/benchmarks/dr5_r3b/) vs the reference's < 17,940 s on
+~300 CPU ranks -> 17940 / 3660.0 = 4.90x wall-clock on 1/300th the
 hardware.  The kernel-rate-vs-cluster-rate ratio (previous rounds'
 headline; a device-compute scope, not end-to-end) is reported
 separately as ``kernel_rate_vs_cluster_rate``.
@@ -150,10 +150,10 @@ def main():
 
     tile_scale_steps_per_sec = nIter * nTiles / elapsed
     baseline_cluster_rate = 4480.0 / (4.983 * 3600.0)  # ~0.25 steps/sec
-    # End-to-end record of 2026-08-17 (docs/benchmarks/dr5_r3/): full
-    # DR5-scale pipeline in 6358.7 s on one chip vs the reference's
+    # End-to-end record of 2026-08-19 (docs/benchmarks/dr5_r3b/): full
+    # DR5-scale pipeline in 3660.0 s on one chip vs the reference's
     # < 17,940 s on ~300 CPU ranks.
-    end_to_end_ratio = 17940.0 / 6358.7
+    end_to_end_ratio = 17940.0 / 3660.0
     print(json.dumps({
         "metric": "DR5-like 2-freq MMF production tile-scale steps/sec/chip",
         "value": round(tile_scale_steps_per_sec, 4),
