@@ -159,3 +159,95 @@ def gather_cutouts(maps3d, ys, xs, window=16):
 
     cut = jax.vmap(one)(y0, x0)
     return cut, y0, x0
+
+
+def _bspline_basis4(t, u, nCoef):
+    """The 4 non-zero cubic B-spline basis values at each point.
+
+    Cox-de Boor (The NURBS Book A2.2, degree 3, unrolled) against the
+    fixed knot vector ``t`` ((nCoef + 4,)) - the same basis FITPACK's
+    ``fpbspl`` evaluates, so values agree with scipy to rounding error.
+
+    Args:
+        t: knots, e.g. from ``interp.notaknot_spline_setup``.
+        u: (K,) evaluation points (clipped to the spline domain).
+        nCoef: number of B-spline coefficients (= P for not-a-knot).
+    Returns:
+        N (K, 4) basis values for coefficients ``span-3..span`` and
+        span (K,) int32 knot-span indices.
+    """
+    u = jnp.clip(u, t[3], t[nCoef])
+    span = jnp.clip(jnp.searchsorted(t, u, side="right") - 1, 3,
+                    nCoef - 1).astype(jnp.int32)
+    left = [None] * 4
+    right = [None] * 4
+    for j in (1, 2, 3):
+        left[j] = u - jnp.take(t, span + 1 - j)
+        right[j] = jnp.take(t, span + j) - u
+    N = [jnp.ones_like(u), None, None, None]
+    for j in (1, 2, 3):
+        saved = jnp.zeros_like(u)
+        for r in range(j):
+            denom = right[r + 1] + left[j - r]
+            temp = N[r] / jnp.where(denom == 0, 1.0, denom)
+            N[r] = saved + right[r + 1] * temp
+            saved = left[j - r] * temp
+        N[j] = saved
+    return jnp.stack(N, axis=-1), span
+
+
+def spline_values_from_cutouts(cut, y0, x0, ys, xs):
+    """Not-a-knot bicubic spline values at float positions from
+    ``gather_cutouts`` windows - the on-device equivalent of the host's
+    windowed ``scipy.interpolate.RectBivariateSpline`` read
+    (``photometry._cutoutSpline`` / ``interp.subpixel_values``; reference
+    sub-pixel S/N + flux reads at ``nemo/photometry.py:121-124``).
+
+    The value->coefficient matrix is derived from scipy on the host
+    (``interp.notaknot_spline_setup``), so in float64 the values match a
+    host windowed-spline read at the same anchors to ~1e-12.
+
+    Args:
+        cut, y0, x0: outputs of :func:`gather_cutouts` (cutouts must be
+            square, (K, nMaps, P, P)).
+        ys, xs: (K,) float positions (absolute map coordinates).
+    Returns:
+        (K, nMaps) spline values.
+    """
+    from . import interp as interp_ops
+
+    K, nMaps, P, _ = cut.shape
+    t_np, M_np = interp_ops.notaknot_spline_setup(P)
+    dt = cut.dtype
+    t = jnp.asarray(t_np, dt)
+    M = jnp.asarray(M_np, dt)
+    C = jnp.einsum("ip,kmpq,jq->kmij", M, cut, M)
+    Ny, iy = _bspline_basis4(t, ys.astype(dt) - y0.astype(dt), P)
+    Nx, ix = _bspline_basis4(t, xs.astype(dt) - x0.astype(dt), P)
+
+    def pick(Ck, ny, nx, iy0, ix0):
+        blk = jax.lax.dynamic_slice(Ck, (jnp.int32(0), iy0, ix0),
+                                    (nMaps, 4, 4))
+        return jnp.einsum("a,mab,b->m", ny, blk, nx)
+
+    return jax.vmap(pick)(C, Ny, Nx, iy - 3, ix - 3)
+
+
+def nearest_values(maps3d, ys, xs):
+    """Rounded-pixel map reads at float positions, (K, nMaps) - the
+    ``useInterpolator=False`` read (reference ``photometry.py:119``);
+    round-half-even matches the host's ``round``."""
+    ny, nx = maps3d.shape[-2:]
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, ny - 1)
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, nx - 1)
+    return maps3d[:, yi, xi].T
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def spline_values(maps3d, ys, xs, window=16):
+    """Sub-pixel reads of a map stack at float positions, fully on
+    device: (spline (K, nMaps), nearest (K, nMaps)).  Ships O(K) scalars
+    over the host link instead of O(K x P x P) cutouts."""
+    cut, y0, x0 = gather_cutouts(maps3d, ys, xs, window=window)
+    sp = spline_values_from_cutouts(cut, y0, x0, ys, xs)
+    return sp, nearest_values(maps3d, ys, xs)

@@ -12,11 +12,32 @@ Two regimes:
   used by the signal painters.
 """
 
+import functools
+
 import numpy as np
 from scipy import interpolate as sinterp
 
 
 _WINDOW = 24  # half-width of the spline window; 24 knots margin >> exact
+
+
+@functools.lru_cache(maxsize=8)
+def notaknot_spline_setup(P):
+    """Knots + value->coefficient matrix of the 1-d not-a-knot cubic
+    interpolating spline on the integer grid ``0..P-1`` - the spline
+    family scipy's ``RectBivariateSpline`` builds at ``s=0`` (FITPACK
+    ``regrid``: interpolating knots exclude the 2nd and 2nd-to-last data
+    points).  The matrix comes from scipy itself (splines of the identity
+    columns), so spline VALUES computed from it reproduce scipy's to
+    rounding error; the device detection path uses it to evaluate the
+    sub-pixel S/N and flux reads on-chip
+    (reference ``nemo/photometry.py:121-124``).
+
+    Returns ``(t, M)``: knots ``(P + 4,)`` and ``(P, P)`` float64 with
+    B-spline coefficients ``c = M @ values``.
+    """
+    spl = sinterp.make_interp_spline(np.arange(P), np.eye(P), k=3, axis=0)
+    return np.asarray(spl.t), np.asarray(spl.c)
 
 
 def subpixel_values(mapData, ys, xs, window=_WINDOW):

@@ -289,6 +289,22 @@ def gather_cutouts_batch(snBatch, fmBatch, ys, xs, window=16):
     return jax.vmap(one)(snBatch, fmBatch, ys, xs)
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def subpixel_read_batch(snBatch, fmBatch, ys, xs, window=16):
+    """Per-tile sub-pixel (spline, nearest) S/N + flux reads from a
+    RESIDENT (S/N, signal) map pair at externally-supplied positions -
+    the cross-filter (fixed_) photometry read against the reference
+    filter's maps.  Only O(K) scalars cross the link, not cutouts.
+
+    Returns (spline, nearest), each (T, K, 2)."""
+
+    def one(sn, fm, yy, xx):
+        return detect_ops.spline_values(jnp.stack([sn, fm]), yy, xx,
+                                        window=window)
+
+    return jax.vmap(one)(snBatch, fmBatch, ys, xs)
+
+
 @functools.lru_cache(maxsize=32)
 def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                                      rms_impl="auto",
@@ -406,10 +422,10 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
 
         if detect_params is not None:
             # Fully device-side detection (ops/detect.py): segmentation,
-            # per-object statistics and spline-window cutouts all happen
-            # here; only O(K) results cross the link.  The full maps stay
-            # resident as jit outputs for the caller's cross-filter
-            # (fixed_) cutout gathers.
+            # per-object statistics and the sub-pixel spline/nearest S/N
+            # + flux reads all happen here; only O(K) scalars cross the
+            # link.  The full maps stay resident as jit outputs for the
+            # caller's cross-filter (fixed_) sub-pixel reads.
             threshold, maxObjects, nIter, useCom, cutWindow = detect_params
             cells = noise_ops.grid_rms_map_batch(filtered, gridSize,
                                                  impl=rms_impl,
@@ -428,16 +444,18 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
             ys = det["comY"] if useCom else det["peakY"]
             xs = det["comX"] if useCom else det["peakX"]
 
-            def cutOne(sn, fm, yy, xx):
-                return detect_ops.gather_cutouts(
+            def valsOne(sn, fm, yy, xx):
+                return detect_ops.spline_values(
                     jnp.stack([sn, fm]), yy, xx, window=cutWindow)
 
-            cut, cutY0, cutX0 = jax.vmap(cutOne)(SNMap, outMap, ys, xs)
+            subSpline, subNearest = jax.vmap(valsOne)(SNMap, outMap,
+                                                      ys, xs)
             return dict({"filtered": outMap, "SNMap": SNMap,
                          "RMSCells": cells,
                          "surveyMask": maskSN.astype(jnp.uint8),
                          "signalNorm": norms, "det": det,
-                         "cut": cut, "cutY0": cutY0, "cutX0": cutX0},
+                         "subSpline": subSpline,
+                         "subNearest": subNearest},
                         **filterOut)
 
         if lean_outputs:
@@ -505,8 +523,7 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
                      "det": {k: spec_tiles for k in
                              ("valid", "numPix", "comY", "comX", "peak",
                               "peakY", "peakX", "nObjects")},
-                     "cut": spec_tiles, "cutY0": spec_tiles,
-                     "cutX0": spec_tiles}
+                     "subSpline": spec_tiles, "subNearest": spec_tiles}
     elif lean_outputs:
         out_specs = {"filtered": spec_tiles, "RMSCells": spec_tiles,
                      "surveyMask": spec_tiles, "signalNorm": spec_tiles}

@@ -889,41 +889,40 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                          seenTiles, tPhase, results, consume, hostNorms,
                          trimPix=0):
     """Assemble per-tile results in device-detection mode: only O(K)
-    statistics, spline-window cutouts and the tiny RMS cell grid cross
-    the link; the full maps stay resident on the devices."""
+    statistics, the per-object sub-pixel spline/nearest reads (scalars,
+    computed on-device by ops/detect.spline_values) and the tiny RMS
+    cell grid cross the link; the full maps stay resident on the
+    devices."""
     import time as _time
-    from .distribute import gather_cutouts_batch
+    from .distribute import subpixel_read_batch
 
     threshold, maxObjects, nIter, useCom, cutWindow = detectParams
     det = out["det"]
     ysDev = det["comY"] if useCom else det["peakY"]
     xsDev = det["comX"] if useCom else det["peakX"]
-    photCut = None
+    photSub = None
     if photRes is not None and label != photLabel:
-        photCut = gather_cutouts_batch(photRes["SNMap"],
-                                       photRes["filtered"],
-                                       ysDev, xsDev, window=cutWindow)
+        photSub = subpixel_read_batch(photRes["SNMap"],
+                                      photRes["filtered"],
+                                      ysDev, xsDev, window=cutWindow)
 
     t0 = _time.time()
     # Per-request link latency adds up: pack the per-object statistics
     # into ONE device array and ship them in one request; same for the
-    # anchors and cell grids.
+    # sub-pixel reads and cell grids.
     detKeys = ("valid", "numPix", "comY", "comX", "peak", "peakY",
                "peakX")
     packed = np.asarray(jnp.stack(
-        [det[k].astype(jnp.float32) for k in detKeys]
-        + [out["cutY0"].astype(jnp.float32),
-           out["cutX0"].astype(jnp.float32)], axis=-1)[:nT])
+        [det[k].astype(jnp.float32) for k in detKeys], axis=-1)[:nT])
     detNp = {k: packed[..., j] for j, k in enumerate(detKeys)}
     detNp["nObjects"] = np.asarray(det["nObjects"][:nT])
-    cutY0 = packed[..., len(detKeys)].astype(np.int32)
-    cutX0 = packed[..., len(detKeys) + 1].astype(np.int32)
+    # Sub-pixel (S/N, value) reads in the map dtype: [ownSpline(2),
+    # ownNearest(2)[, photSpline(2), photNearest(2)]]
+    valParts = [out["subSpline"], out["subNearest"]]
+    if photSub is not None:
+        valParts += [photSub[0], photSub[1]]
+    vals = np.asarray(jnp.concatenate(valParts, axis=-1)[:nT])
     cells = np.asarray(out["RMSCells"][:nT])
-    # Valid detections occupy a PREFIX of the K object slots (roots are
-    # sorted with the invalid sentinel at the end): one sliced request
-    # ships every tile's actual objects without the K-slot padding.
-    kUse = detNp["valid"].sum(axis=1).astype(int)
-    kMax = int(kUse.max()) if nT else 0
     # With edge trim active the output mask is data-dependent; download
     # every needed tile's mask in ONE request instead of per tile
     maskAll = None
@@ -936,22 +935,9 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
             t1 = _time.time()
             maskAll = np.asarray(out["surveyMask"][:nT])
             tPhase["download"] += _time.time() - t1
-    P2 = out["cut"].shape[-2:]
-    if kMax:
-        cutAll = np.asarray(out["cut"][:nT, :kMax])
-        tPhase["downBytes"] = tPhase.get("downBytes", 0) + cutAll.nbytes
-    cut = [cutAll[i, :kUse[i]] if kUse[i] else np.zeros((0, 2) + P2)
-           for i in range(nT)]
-    if photCut is not None:
-        if kMax:
-            pAll = np.asarray(photCut[0][:nT, :kMax])
-            tPhase["downBytes"] = tPhase.get("downBytes", 0) + pAll.nbytes
-        pCut = [pAll[i, :kUse[i]] if kUse[i] else np.zeros((0, 2) + P2)
-                for i in range(nT)]
-        pY0 = np.asarray(photCut[1])[:nT]
-        pX0 = np.asarray(photCut[2])[:nT]
     tPhase["download"] += _time.time() - t0
-    tPhase["downBytes"] = tPhase.get("downBytes", 0) + packed.nbytes + cells.nbytes \
+    tPhase["downBytes"] = tPhase.get("downBytes", 0) + packed.nbytes \
+        + vals.nbytes + cells.nbytes \
         + (maskAll.nbytes if maskAll is not None else 0)
 
     saveRMS = st[names[0]][0].params.get("saveRMSMap")
@@ -1000,30 +986,32 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                 if consume(label, tileName, res):
                     results[label].pop(tileName, None)
             continue
-        cutScaled = np.array(cut[i], dtype=np.float64)
-        cutScaled[:, 1] *= scale     # signal plane to output units
+        # Sub-pixel reads to output units: the spline/nearest reads are
+        # linear in the map, so the host-side units scale commutes with
+        # the on-device evaluation.  Columns: (S/N, value).
+        subVals = {"spline": np.array(vals[i, :, 0:2], dtype=np.float64),
+                   "nearest": np.array(vals[i, :, 2:4], dtype=np.float64)}
+        subVals["spline"][:, 1] *= scale
+        subVals["nearest"][:, 1] *= scale
         res = {
             "deviceDetections": {k: detNp[k][i] for k in
                                  ("valid", "numPix", "comY", "comX",
                                   "peak", "peakY", "peakX")},
-            "cutouts": cutScaled, "cutY0": cutY0[i], "cutX0": cutX0[i],
-            "cutWindow": cutWindow,
+            "subVals": subVals,
             "wcs": filterObj.wcs, "label": filterObj.label,
             "tileName": tileName, "flagMask": filterObj.flagMask,
             "surveyMask": tileMask,
             "signalNorm": float(hostNorms[i]),
         }
-        if photCut is not None:
-            pc = np.array(pCut[i], dtype=np.float64)
-            pc[:, 1] *= photRes["scale"][i]
-            res["photCutouts"] = pc
-            res["photCutY0"] = pY0[i]
-            res["photCutX0"] = pX0[i]
+        if photSub is not None:
+            pv = {"spline": np.array(vals[i, :, 4:6], dtype=np.float64),
+                  "nearest": np.array(vals[i, :, 6:8], dtype=np.float64)}
+            pv["spline"][:, 1] *= photRes["scale"][i]
+            pv["nearest"][:, 1] *= photRes["scale"][i]
+            res["photSubVals"] = pv
         elif label == photLabel:
             # the phot filter reads fixed_ values from its own maps
-            res["photCutouts"] = cutScaled
-            res["photCutY0"] = cutY0[i]
-            res["photCutX0"] = cutX0[i]
+            res["photSubVals"] = subVals
         if filterObj.params["outputUnits"] == "yc":
             res["mapUnits"], res["obsFreqGHz"] = "yc", "yc"
             res["beamSolidAngle_nsr"] = 0.0

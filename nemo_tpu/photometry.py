@@ -209,21 +209,26 @@ def catalogFromDeviceDetections(filteredMapDict, threshold=3.0, minObjPix=3,
     cutouts ever leaving the device.
 
     ``filteredMapDict`` carries: deviceDetections (valid/numPix/com/peak
-    arrays), cutouts (K, 2, P, P) of (S/N map, signal map in output
-    units) plus their anchors, optional photCutouts of the reference
-    filter's maps at the same positions, wcs/label/tileName/flagMask and
-    unit metadata.
+    arrays), subVals {"spline", "nearest"} (K, 2) on-device sub-pixel
+    (S/N, value-in-output-units) reads (ops/detect.spline_values),
+    optional photSubVals of the reference filter's maps at the same
+    positions, wcs/label/tileName/flagMask and unit metadata.  Legacy
+    cutout payloads (cutouts/photCutouts + anchors) are still accepted
+    and spline-read on the host.
     """
     det = filteredMapDict["deviceDetections"]
-    cut = filteredMapDict["cutouts"]
-    cutY0 = filteredMapDict["cutY0"]
-    cutX0 = filteredMapDict["cutX0"]
+    subVals = filteredMapDict.get("subVals")
+    photSubVals = filteredMapDict.get("photSubVals")
+    cut = filteredMapDict.get("cutouts")
+    cutY0 = filteredMapDict.get("cutY0")
+    cutX0 = filteredMapDict.get("cutX0")
     wcs = filteredMapDict["wcs"]
     flagMask = np.asarray(filteredMapDict["flagMask"])
     mapUnits = filteredMapDict["mapUnits"]
     obsFreqGHz = filteredMapDict.get("obsFreqGHz")
     beamSolidAngle_nsr = filteredMapDict.get("beamSolidAngle_nsr", 0)
     photCut = filteredMapDict.get("photCutouts")
+    readKey = "spline" if useInterpolator else "nearest"
     reportJyFluxes = (mapUnits == "uK" and beamSolidAngle_nsr
                       and obsFreqGHz not in (None, "yc"))
 
@@ -250,8 +255,11 @@ def catalogFromDeviceDetections(filteredMapDict, threshold=3.0, minObjPix=3,
         objDict["numSigPix"] = float(det["numPix"][k])
         objDict["template"] = filteredMapDict["label"]
         objDict["tileName"] = filteredMapDict["tileName"]
-        snr = _cutoutSpline(cut[k, 0], int(cutY0[k]), int(cutX0[k]), y, x,
-                            useInterpolator)
+        if subVals is not None:
+            snr = float(subVals[readKey][k, 0])
+        else:
+            snr = _cutoutSpline(cut[k, 0], int(cutY0[k]), int(cutX0[k]),
+                                y, x, useInterpolator)
         objDict["SNR"] = snr
         yi = int(np.clip(round(y), 0, flagMask.shape[0] - 1))
         xi = int(np.clip(round(x), 0, flagMask.shape[1] - 1))
@@ -260,10 +268,18 @@ def catalogFromDeviceDetections(filteredMapDict, threshold=3.0, minObjPix=3,
             continue
 
         # Flux columns (measureFluxes semantics, photometry.py:258-351)
-        mapValue = _cutoutSpline(cut[k, 1], int(cutY0[k]), int(cutX0[k]),
-                                 y, x, useInterpolator)
+        if subVals is not None:
+            mapValue = float(subVals[readKey][k, 1])
+        else:
+            mapValue = _cutoutSpline(cut[k, 1], int(cutY0[k]),
+                                     int(cutX0[k]), y, x, useInterpolator)
         readers = [("", snr, mapValue)]
-        if photCut is not None:
+        if photSubVals is not None:
+            fixedSNR = float(photSubVals[readKey][k, 0])
+            fixedVal = float(photSubVals[readKey][k, 1])
+            objDict["fixed_SNR"] = fixedSNR
+            readers.append(("fixed_", fixedSNR, fixedVal))
+        elif photCut is not None:
             pY0 = int(filteredMapDict["photCutY0"][k])
             pX0 = int(filteredMapDict["photCutX0"][k])
             fixedSNR = _cutoutSpline(photCut[k, 0], pY0, pX0, y, x,

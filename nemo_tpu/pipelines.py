@@ -123,8 +123,9 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
             DS9RegionsPath = None
 
         if "deviceDetections" in filteredMapDict:
-            # Device-detect mode: segmentation + statistics + cutouts all
-            # happened on the devices; build the catalog from them.
+            # Device-detect mode: segmentation, statistics and the
+            # sub-pixel S/N + flux reads all happened on the devices;
+            # build the catalog from those O(K) scalars.
             with GLOBAL_TIMER.stage("findObjects"):
                 catalog = photometry.catalogFromDeviceDetections(
                     filteredMapDict,

@@ -147,6 +147,34 @@ def test_subpixel_matches_global_spline():
     np.testing.assert_allclose(ours, ref, atol=1e-9)
 
 
+def test_device_spline_values_match_scipy():
+    """The on-device sub-pixel reads (ops/detect.spline_values) must
+    reproduce the host windowed RectBivariateSpline read
+    (interp.subpixel_values / photometry._cutoutSpline) - these carry
+    the catalog's SNR and flux columns in device-detection mode
+    (reference nemo/photometry.py:121-124)."""
+    from nemo_tpu.ops import detect as detect_ops
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(2, 160, 220))
+    ys = rng.uniform(0, 159, 40)
+    xs = rng.uniform(0, 219, 40)
+    # domain edges, exact integers, interior knot boundaries
+    ys[:6] = [0.0, 159.0, 0.3, 158.6, 50.0, 2.0]
+    xs[:6] = [0.0, 219.0, 0.2, 218.9, 60.0, 2.0]
+    sp, nr = detect_ops.spline_values(jnp.asarray(m), jnp.asarray(ys),
+                                      jnp.asarray(xs), window=16)
+    sp, nr = np.asarray(sp), np.asarray(nr)
+    for k in range(len(ys)):
+        for mi in range(2):
+            ref = interp.subpixel_values(m[mi], [ys[k]], [xs[k]],
+                                         window=16)[0]
+            assert abs(sp[k, mi] - ref) < 1e-8, (k, mi)
+            refN = m[mi][int(np.clip(round(ys[k]), 0, 159)),
+                         int(np.clip(round(xs[k]), 0, 219))]
+            assert nr[k, mi] == refN, (k, mi)
+
+
 def test_paint_template_centered():
     shape = (64, 64)
     pix = (np.radians(0.5 / 60), np.radians(0.5 / 60))
