@@ -274,6 +274,7 @@ def fitQ(config):
     for tileName in config.tileNames:
         print("... fitting Q in tile %s" % tileName)
         tTile0 = time_mod.time()
+        tPhase = {}  # per-phase wall-clock, printed for slow tiles
         filt = next(f for f in config.parDict["mapFilters"]
                     if f["label"] == photFilterLabel)
         filterClass = filters_mod.getFilterClass(filt["class"])
@@ -281,7 +282,10 @@ def fitQ(config):
                                 filt["params"], tileName=tileName,
                                 diagnosticsDir=config.diagnosticsDir,
                                 geometryOnly=True)
+        tPhase["construct"] = time_mod.time() - tTile0
+        t0 = time_mod.time()
         filterObj.loadFilter()
+        tPhase["loadFilter"] = time_mod.time() - t0
         realSpace = issubclass(filterObj.__class__,
                                filters_mod.RealSpaceMatchedFilter)
 
@@ -389,6 +393,7 @@ def fitQ(config):
             # Only the small crops stay referenced; each chunk's full
             # filtered stack is released as soon as its crop is queued.
             pendingCrops = []
+            t0 = time_mod.time()
             for dev, nChunk in paintCache[geomKey]:
                 filteredDev = filterObj.applyFilter(dev, returnDevice=True)
                 # compact the crop in a jitted slice before downloading:
@@ -397,12 +402,16 @@ def fitQ(config):
                 pendingCrops.append((_crop_stack(filteredDev, y0i, x0i,
                                                  hCrop, wCrop), nChunk))
                 del filteredDev
+            tPhase["dispatch"] = time_mod.time() - t0
+            t0 = time_mod.time()
             for cropDev, nChunk in pendingCrops:
                 crops = np.asarray(cropDev)
                 for j in range(nChunk):
                     peaks.append(subpixel_value(crops[j], cy - y0i,
                                                 cx - x0i))
+            tPhase["download"] = time_mod.time() - t0
         else:
+            t0 = time_mod.time()
             for z, M500MSun in models:
                 signalMaps = np.asarray(fourier.apply_pixel_window(
                     jnp.asarray(_paint(z, M500MSun)), pow=1.0))
@@ -416,6 +425,7 @@ def fitQ(config):
                     crop = np.asarray(filteredDev[y0i:int(cy) + half,
                                                   x0i:int(cx) + half])
                 peaks.append(subpixel_value(crop, cy - y0i, cx - x0i))
+            tPhase["serialLoop"] = time_mod.time() - t0
 
         for peak, (z, M500MSun) in zip(peaks, models):
             if peak not in Q:
@@ -434,10 +444,14 @@ def fitQ(config):
         QTab.meta["ZDEPQ"] = zDepQ
         QTab.meta["TILENAME"] = tileName
         QTabDict[tileName] = QTab
-        print("    [%.1f s%s]" % (time_mod.time() - tTile0,
-                                  "" if tPaint is None
-                                  else ", incl. %.1f s painting the band's"
-                                       " model stack" % tPaint))
+        tTile = time_mod.time() - tTile0
+        extra = "" if tPaint is None \
+            else ", incl. %.1f s painting the band's model stack" % tPaint
+        if tTile > 5:
+            # slow-tile diagnosis: where did the time actually go?
+            extra += "; " + ", ".join("%s %.1fs" % kv
+                                      for kv in sorted(tPhase.items()))
+        print("    [%.1f s%s]" % (tTile, extra))
 
     outFileName = os.path.join(config.selFnDir, "QFit.fits")
     hdus = [nfits.HDU(data=None, header=None)]
