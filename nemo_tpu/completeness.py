@@ -662,7 +662,6 @@ def getFRelWeights(config):
     if config.parDict.get("photFilter") is None:
         return {}
     from .parallel import filtercache
-    filtercache.flush()     # settle in-flight background cache writes
     fRelWeightsFileName = os.path.join(config.selFnDir, "fRelWeights.fits")
     if not os.path.exists(fRelWeightsFileName):
         rows = {"tileName": []}
@@ -671,6 +670,20 @@ def getFRelWeights(config):
                 config.diagnosticsDir, tileName,
                 "filter_%s#%s.fits" % (config.parDict["photFilter"],
                                        tileName))
+            ent = filtercache.DEVICE_CACHE.get(filterFileName)
+            if ent is not None:
+                # device-resident (possibly with a deferred cache FITS):
+                # the weights live in the cache entry - no file needed
+                rows["tileName"].append(tileName)
+                for freq, w in ent["fRelWeights"].items():
+                    rows.setdefault(str(freq), [])
+                    rows[str(freq)].append(float(w))
+                continue
+            # settle an in-flight background write before the existence
+            # check (a per-file wait, not a global flush: a global flush
+            # would materialise every DEFERRED filter - ~2.5 GB of
+            # downloads at DR5 scale - for header-only reads)
+            filtercache.ensure_written(filterFileName)
             if not os.path.exists(filterFileName):
                 continue
             # header-only: the filter data itself (~10 MB/tile) is not

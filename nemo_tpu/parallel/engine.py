@@ -45,6 +45,13 @@ _REALSPACE_CLASSES = ("BeamRealSpaceMatchedFilter",
                       "BattagliaModelRealSpaceMatchedFilter")
 
 
+@jax.jit
+def _packbits_jit(mask):
+    """Bit-pack a binary uint8 mask batch along the last axis on device
+    (8x smaller downloads over the slow host link)."""
+    return jnp.packbits(mask, axis=-1)
+
+
 def _rmsGridBatchable(noiseParams):
     """The apply-side RMS grid must be device-expressible."""
     if noiseParams.get("RMSEstimator", "default") != "default":
@@ -809,12 +816,21 @@ def _saveFilterCaches(st, names, nT, out, tPhase, hostNorms, fRelW,
         # jnp slice: the per-tile filter becomes its own device buffer,
         # so the chunk's full stacked output can be freed
         filtDev = out["filt"][i]
+        cached = False
         if deviceCache:
-            filtercache.DEVICE_CACHE.put(filterObj.filterFileName,
-                                         filtDev, signalNorm,
-                                         fRelWeights)
-        filtercache.WRITER.enqueue(filterObj.filterFileName, filtDev,
-                                   header)
+            cached = filtercache.DEVICE_CACHE.put(filterObj.filterFileName,
+                                                  filtDev, signalNorm,
+                                                  fRelWeights)
+        if cached:
+            # Device-resident: defer the ~10 MB cache-FITS download to
+            # on-demand / exit (filtercache._DEFERRED) - the eager
+            # background writes were ~2.5 GB of link traffic competing
+            # with the survey's own chunks at DR5 scale.
+            filtercache.register_deferred(filterObj.filterFileName,
+                                          filtDev, header)
+        else:
+            filtercache.WRITER.enqueue(filterObj.filterFileName, filtDev,
+                                       header)
     tPhase["download"] += _time.time() - t0
 
 
@@ -924,8 +940,11 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
     vals = np.asarray(jnp.concatenate(valParts, axis=-1)[:nT])
     cells = np.asarray(out["RMSCells"][:nT])
     # With edge trim active the output mask is data-dependent; download
-    # every needed tile's mask in ONE request instead of per tile
+    # every needed tile's mask in ONE request instead of per tile -
+    # bit-packed on device (masks are binary), 8x fewer bytes than the
+    # uint8 layout over the slow link
     maskAll = None
+    maskBytes = 0
     if trimPix != 0:
         needMask = [i for i, n in enumerate(names)
                     if int(detNp["nObjects"][i]) > maxObjects
@@ -933,12 +952,15 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
                     or st[names[0]][0].params.get("saveRMSMap")]
         if needMask:
             t1 = _time.time()
-            maskAll = np.asarray(out["surveyMask"][:nT])
+            px = out["surveyMask"].shape[-1]
+            maskPacked = np.asarray(
+                _packbits_jit(out["surveyMask"])[:nT])
+            maskAll = np.unpackbits(maskPacked, axis=-1, count=px)
+            maskBytes = maskPacked.nbytes
             tPhase["download"] += _time.time() - t1
     tPhase["download"] += _time.time() - t0
     tPhase["downBytes"] = tPhase.get("downBytes", 0) + packed.nbytes \
-        + vals.nbytes + cells.nbytes \
-        + (maskAll.nbytes if maskAll is not None else 0)
+        + vals.nbytes + cells.nbytes + maskBytes
 
     saveRMS = st[names[0]][0].params.get("saveRMSMap")
     for i, tileName in enumerate(names):

@@ -181,13 +181,57 @@ class BackgroundFITSWriter:
 DEVICE_CACHE = DeviceFilterCache()
 WRITER = BackgroundFITSWriter()
 
+# Filters whose cache-FITS materialisation is DEFERRED: the device
+# buffer + header are held here and the ~10 MB/tile download happens
+# only if something actually needs the file (ensure_written) or at the
+# bounded exit flush.  At DR5 scale the eager background writes moved
+# ~2.5 GB over the host link DURING the filtering phase, competing with
+# the foreground uploads/downloads for the same slow tunnel; almost
+# none of those files are ever read back in-process (fitQ and
+# getFRelWeights hit the DEVICE_CACHE).  Deferral is only registered
+# for filters that made it into the byte-budgeted DEVICE_CACHE, so the
+# HBM pinned by deferred buffers stays inside the cache budget.
+_DEFERRED = {}
+_DEF_LOCK = threading.Lock()
+
+
+def register_deferred(fileName, filtDev, header):
+    with _DEF_LOCK:
+        _DEFERRED[fileName] = (filtDev, header)
+
+
+def _materialize(fileName):
+    """Move a deferred entry into the background writer (download +
+    FITS write happen on the writer thread)."""
+    with _DEF_LOCK:
+        item = _DEFERRED.pop(fileName, None)
+    if item is None:
+        return False
+    WRITER.enqueue(fileName, item[0], item[1])
+    return True
+
+
+def deferred_count():
+    with _DEF_LOCK:
+        return len(_DEFERRED)
+
 
 def ensure_written(fileName):
+    _materialize(fileName)
     WRITER.ensure_written(fileName)
 
 
-def flush(timeout=None):
+def flush(timeout=None, materialize_deferred=False):
+    """Drain in-flight writes.  ``materialize_deferred`` additionally
+    turns every deferred filter into a real file (the exit hook uses it
+    so a later process can reload the caches without a rebuild; the
+    timeout bounds the downloads on a dead link)."""
+    if materialize_deferred:
+        with _DEF_LOCK:
+            names = list(_DEFERRED)
+        for name in names:
+            _materialize(name)
     WRITER.flush(timeout=timeout)
 
 
-atexit.register(lambda: flush(timeout=120))
+atexit.register(lambda: flush(timeout=120, materialize_deferred=True))

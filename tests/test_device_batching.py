@@ -514,8 +514,13 @@ def test_device_filter_cache_and_background_writer(tiled_run):  # noqa: F811
     stack = rng.normal(size=(1,) + tuple(loader.shape))
     outDev = np.asarray(loader.applyFilter(jnp.asarray(stack)))
 
-    # Background write landed with identical contents + headers
-    filtercache.flush()
+    # Device-cached filters DEFER their cache-FITS write (no eager
+    # ~10 MB/tile downloads competing with survey chunks); the exit
+    # flush / ensure_written materialises identical contents + headers
+    assert not os.path.exists(fileName), \
+        "device-cached filter FITS written eagerly (should be deferred)"
+    assert filtercache.deferred_count() > 0
+    filtercache.flush(materialize_deferred=True)
     assert os.path.exists(fileName)
     data, header = nfits.read_image(fileName)
     np.testing.assert_allclose(np.asarray(data, dtype=np.float64),
