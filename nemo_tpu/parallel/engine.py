@@ -52,6 +52,20 @@ def _packbits_jit(mask):
     return jnp.packbits(mask, axis=-1)
 
 
+def _startHostCopy(a):
+    """Begin an async device->host copy.  The remote-TPU link is
+    LATENCY-bound for the small detect-mode results (~0.4 s per request):
+    a chunk's ~6 blocking reads x 16 filter scales cost 30-50 s/chunk of
+    round trips.  Starting every copy at step-dispatch time and reading
+    them in a later consume pass overlaps all of the latencies, so the
+    chunk pays ~one round trip instead of ~a hundred."""
+    try:
+        a.copy_to_host_async()
+    except AttributeError:       # plain numpy (CPU backend fallbacks)
+        pass
+    return a
+
+
 def _rmsGridBatchable(noiseParams):
     """The apply-side RMS grid must be device-expressible."""
     if noiseParams.get("RMSEstimator", "default") != "default":
@@ -744,13 +758,24 @@ def _calibNormsFromCrops(out, st, names, nT, padShape, tPhase):
     corrupted crop, which this check now turns into a hard error.
 
     Returns (norms (nT,), fRelW (nT, nf))."""
+    return _calibNormsConsume(_calibNormsDispatch(out, nT), st, names,
+                              nT, padShape, tPhase)
+
+
+def _calibNormsDispatch(out, nT):
+    """Slice the calibration crops / in-graph norms off the step output
+    and start their async host copies (see :func:`_startHostCopy`)."""
+    return {"crops": _startHostCopy(out["calibCrop"][:nT]),
+            "norm": _startHostCopy(out["signalNorm"][:nT])}
+
+
+def _calibNormsConsume(devs, st, names, nT, padShape, tPhase):
     import time as _time
     from scipy import interpolate as sinterp
 
     t0 = _time.time()
-    crops = np.asarray(out["calibCrop"][:nT], dtype=np.float64)
-    stepPeaks = 1.0 / np.asarray(out["signalNorm"][:nT],
-                                 dtype=np.float64)
+    crops = np.asarray(devs["crops"], dtype=np.float64)
+    stepPeaks = 1.0 / np.asarray(devs["norm"], dtype=np.float64)
     tPhase["download"] += _time.time() - t0
     tPhase["downBytes"] = tPhase.get("downBytes", 0) + crops.nbytes
     py, px = padShape
@@ -909,7 +934,25 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
     computed on-device by ops/detect.spline_values) and the tiny RMS
     cell grid cross the link; the full maps stay resident on the
     devices."""
-    import time as _time
+    _consume_detect_results(
+        config, st, names, nT,
+        _dispatch_detect_downloads(out, photRes, label, photLabel,
+                                   detectParams, nT),
+        padShape, gridSize, detectParams, label, photLabel, photRes,
+        seenTiles, tPhase, results, consume, hostNorms,
+        trimPix=trimPix, out=out)
+
+
+_DET_KEYS = ("valid", "numPix", "comY", "comX", "peak", "peakY", "peakX")
+
+
+def _dispatch_detect_downloads(out, photRes, label, photLabel,
+                               detectParams, nT):
+    """Pack one label's detect-mode results into a few small device
+    arrays and START their async host copies.  Per-request link latency
+    adds up (the remote tunnel is latency-bound): packing ships the
+    per-object statistics in ONE request each, and the async dispatch
+    lets every label's copies stream while later labels compute."""
     from .distribute import subpixel_read_batch
 
     threshold, maxObjects, nIter, useCom, cutWindow = detectParams
@@ -921,24 +964,42 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
         photSub = subpixel_read_batch(photRes["SNMap"],
                                       photRes["filtered"],
                                       ysDev, xsDev, window=cutWindow)
-
-    t0 = _time.time()
-    # Per-request link latency adds up: pack the per-object statistics
-    # into ONE device array and ship them in one request; same for the
-    # sub-pixel reads and cell grids.
-    detKeys = ("valid", "numPix", "comY", "comX", "peak", "peakY",
-               "peakX")
-    packed = np.asarray(jnp.stack(
-        [det[k].astype(jnp.float32) for k in detKeys], axis=-1)[:nT])
-    detNp = {k: packed[..., j] for j, k in enumerate(detKeys)}
-    detNp["nObjects"] = np.asarray(det["nObjects"][:nT])
     # Sub-pixel (S/N, value) reads in the map dtype: [ownSpline(2),
     # ownNearest(2)[, photSpline(2), photNearest(2)]]
     valParts = [out["subSpline"], out["subNearest"]]
     if photSub is not None:
         valParts += [photSub[0], photSub[1]]
-    vals = np.asarray(jnp.concatenate(valParts, axis=-1)[:nT])
-    cells = np.asarray(out["RMSCells"][:nT])
+    return {
+        "packed": _startHostCopy(jnp.stack(
+            [det[k].astype(jnp.float32) for k in _DET_KEYS],
+            axis=-1)[:nT]),
+        "nObjects": _startHostCopy(det["nObjects"][:nT]),
+        "vals": _startHostCopy(jnp.concatenate(valParts, axis=-1)[:nT]),
+        "cells": _startHostCopy(out["RMSCells"][:nT]),
+        "hasPhotSub": photSub is not None,
+    }
+
+
+def _consume_detect_results(config, st, names, nT, down, padShape,
+                            gridSize, detectParams, label, photLabel,
+                            photRes, seenTiles, tPhase, results, consume,
+                            hostNorms, trimPix=0, out=None, rerun=None):
+    """Host side of detect-mode emission: read the (already streaming)
+    packed downloads and assemble per-tile results.  ``out`` carries the
+    resident step outputs when the caller still holds them (sync path /
+    edge-trim masks); a freed-output pipelined label passes ``rerun``
+    instead, which re-executes the step only if a tile overflows the
+    device object budget."""
+    import time as _time
+
+    threshold, maxObjects, nIter, useCom, cutWindow = detectParams
+    t0 = _time.time()
+    packed = np.asarray(down["packed"])
+    detNp = {k: packed[..., j] for j, k in enumerate(_DET_KEYS)}
+    detNp["nObjects"] = np.asarray(down["nObjects"])
+    vals = np.asarray(down["vals"])
+    cells = np.asarray(down["cells"])
+    photSub = down["hasPhotSub"] or None
     # With edge trim active the output mask is data-dependent; download
     # every needed tile's mask in ONE request instead of per tile -
     # bit-packed on device (masks are binary), 8x fewer bytes than the
@@ -991,14 +1052,17 @@ def _emit_detect_results(config, st, names, nT, out, padShape, gridSize,
             seenTiles.add(tileName)
         if overflow:
             # Crowded tile: more segments than the device object budget.
-            # The full maps are still resident as step outputs, so fall
-            # back to HOST detection for this tile (reference findObjects
-            # has no object cap, nemo/photometry.py:25-190): download its
-            # maps and emit a host-style result - never a silently
-            # truncated catalog.
+            # Fall back to HOST detection for this tile (reference
+            # findObjects has no object cap, nemo/photometry.py:25-190):
+            # download its maps and emit a host-style result - never a
+            # silently truncated catalog.  The sync path still holds the
+            # step outputs (``out``); a pipelined label freed them and
+            # re-executes its step once (compile is cached) via ``rerun``.
             print("... %d objects in %s#%s exceed the device detection "
                   "budget (%d): falling back to host detection for this "
                   "tile" % (nObj, label, tileName, maxObjects))
+            if out is None:
+                out = rerun()
             res = _emit_overflow_fallback(
                 config, out, i, filterObj, shape, scale, tileMask,
                 cells[i], padShape, gridSize, saveRMS, photRes, label,
@@ -1320,49 +1384,8 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
     photRes = None          # resident phot maps for fixed_ cutout gathers
     seenTiles = set()       # maskSN downloaded once per tile, not per label
 
-    for label in labels:
-        st = snapshot[label]
-        stacksList = [st[n][1] for n in names]
-        useDetect = detectParams is not None \
-            and not st[names[0]][0].params.get("saveFilteredMaps")
-        wantFilter = bool(st[names[0]][0].params.get("saveFilter"))
-        cachedAll = all(sk.get("cachedFilt") is not None
-                        for sk in stacksList)
-        if cachedAll:
-            # Cached-filter rerun: APPLY the staged (device-resident or
-            # disk-loaded) filters with the given-filter step - no
-            # rebuild from (possibly injected) data, no calibration;
-            # signalNorm comes from the cache headers.
-            stepFn = make_sharded_matched_filter_step(
-                mesh, gridSize, trimPix, rms_impl=rms_impl,
-                lean_outputs=not useDetect,
-                detect_params=detectParams if useDetect else None,
-                given_filter=True)
-            t0 = _time.time()
-            out = stepFn(dataDev,
-                         ctx["putRaw"]([sk["cachedFilt"]
-                                        for sk in stacksList]),
-                         apodDev, psDev, surveyDev, ctx["metaDev"])
-            tPhase["step"] += _time.time() - t0
-            saveRMS = st[names[0]][0].params.get("saveRMSMap")
-            hostNorms = np.array([sk["cachedNorm"] / sk["unitsScale"]
-                                  for sk in stacksList])
-            _finish_label(config, st, names, nT, out, padShape, gridSize,
-                          trimPix, detectParams, label, photLabel,
-                          photRes, seenTiles, tPhase, results, consume,
-                          hostNorms, useDetect, saveRMS,
-                          undoPixelWindow)
-            if useDetect and label == photLabel:
-                photRes = {"SNMap": out["SNMap"],
-                           "filtered": out["filtered"],
-                           "scale": stacksList[0]["unitsScale"]
-                           * hostNorms}
-            continue
-        stepFn = make_sharded_matched_filter_step(
-            mesh, gridSize, trimPix, rms_impl=rms_impl,
-            lean_outputs=not useDetect,
-            detect_params=detectParams if useDetect else None,
-            return_filter=wantFilter)
+    def _buildNoiseFg(stacksList):
+        nonlocal fgZerosDev
         # noise stack: for dataMap/max(dataMap,CMB) it IS the data - reuse
         # the resident upload; 'model' noise uploads per filter
         if all(sk["noise"] is sk["data"] for sk in stacksList):
@@ -1391,31 +1414,131 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
             if rep:
                 fg = np.repeat(fg, rep, axis=0)
             fgDev = jax.device_put(jnp.asarray(fg), sh)
-        t0 = _time.time()
-        out = stepFn(dataDev, noiseDev,
-                     _putDedup([sk["template"] for sk in stacksList]),
-                     _putDedup([sk["calib"] for sk in stacksList]),
-                     jnp.asarray(stacksList[0]["w"]),
-                     apodDev, psDev, surveyDev, fgDev, peakDev,
-                     ctx["metaDev"])
-        tPhase["step"] += _time.time() - t0
-        saveRMS = st[names[0]][0].params.get("saveRMSMap")
-        hostNorms, fRelW = _calibNormsFromCrops(out, st, names, nT,
-                                                padShape, tPhase)
-        if wantFilter:
-            _saveFilterCaches(st, names, nT, out, tPhase, hostNorms,
-                              fRelW, deviceCache=(label == photLabel))
+        return noiseDev, fgDev
 
-        _finish_label(config, st, names, nT, out, padShape, gridSize,
-                      trimPix, detectParams, label, photLabel, photRes,
-                      seenTiles, tPhase, results, consume, hostNorms,
-                      useDetect, saveRMS, undoPixelWindow)
-        if useDetect and label == photLabel:
+    def _invokeStep(stepFn, stacksList, given):
+        """Dispatch one label's step against the resident chunk uploads.
+        Shared by the main label loop and the overflow ``rerun`` path
+        (which rebuilds the per-label inputs from the host snapshot)."""
+        if given:
+            # Cached-filter rerun: APPLY the staged (device-resident or
+            # disk-loaded) filters with the given-filter step - no
+            # rebuild from (possibly injected) data, no calibration;
+            # signalNorm comes from the cache headers.
+            return stepFn(dataDev,
+                          ctx["putRaw"]([sk["cachedFilt"]
+                                         for sk in stacksList]),
+                          apodDev, psDev, surveyDev, ctx["metaDev"])
+        noiseDev, fgDev = _buildNoiseFg(stacksList)
+        return stepFn(dataDev, noiseDev,
+                      _putDedup([sk["template"] for sk in stacksList]),
+                      _putDedup([sk["calib"] for sk in stacksList]),
+                      jnp.asarray(stacksList[0]["w"]),
+                      apodDev, psDev, surveyDev, fgDev, peakDev,
+                      ctx["metaDev"])
+
+    # Two passes over the labels.  Pass 1 dispatches every label's step
+    # and starts the async host copies of its small detect-mode results;
+    # pass 2 consumes them.  The link's per-request round-trip latencies
+    # (the dominant download cost on the remote tunnel) then overlap the
+    # other labels' device work instead of serialising after each step.
+    records = []
+    for label in labels:
+        st = snapshot[label]
+        stacksList = [st[n][1] for n in names]
+        useDetect = detectParams is not None \
+            and not st[names[0]][0].params.get("saveFilteredMaps")
+        wantFilter = bool(st[names[0]][0].params.get("saveFilter"))
+        cachedAll = all(sk.get("cachedFilt") is not None
+                        for sk in stacksList)
+        saveRMS = st[names[0]][0].params.get("saveRMSMap")
+        # Edge-trim masks are data-dependent step outputs the consume
+        # pass would need resident - keep those labels on the sync path.
+        pipelined = useDetect and trimPix == 0
+        stepFn = make_sharded_matched_filter_step(
+            mesh, gridSize, trimPix, rms_impl=rms_impl,
+            lean_outputs=not useDetect,
+            detect_params=detectParams if useDetect else None,
+            given_filter=cachedAll,
+            return_filter=wantFilter and not cachedAll)
+        t0 = _time.time()
+        out = _invokeStep(stepFn, stacksList, cachedAll)
+        tPhase["step"] += _time.time() - t0
+        hostNorms = fRelW = None
+        if cachedAll:
+            hostNorms = np.array([sk["cachedNorm"] / sk["unitsScale"]
+                                  for sk in stacksList])
+        if not pipelined:
+            if hostNorms is None:
+                hostNorms, fRelW = _calibNormsFromCrops(
+                    out, st, names, nT, padShape, tPhase)
+                if wantFilter:
+                    _saveFilterCaches(st, names, nT, out, tPhase,
+                                      hostNorms, fRelW,
+                                      deviceCache=(label == photLabel))
+            _finish_label(config, st, names, nT, out, padShape, gridSize,
+                          trimPix, detectParams, label, photLabel,
+                          photRes, seenTiles, tPhase, results, consume,
+                          hostNorms, useDetect, saveRMS,
+                          undoPixelWindow)
+            if useDetect and label == photLabel:
+                photRes = {"SNMap": out["SNMap"],
+                           "filtered": out["filtered"],
+                           "scale": stacksList[0]["unitsScale"]
+                           * hostNorms}
+            del out     # free this label's device outputs
+            continue
+        rec = {"label": label, "st": st, "stacksList": stacksList,
+               "given": cachedAll, "wantFilter": wantFilter,
+               "stepFn": stepFn, "hostNorms": hostNorms}
+        if not cachedAll:
+            rec["calib"] = _calibNormsDispatch(out, nT)
+            if wantFilter:
+                rec["filtDev"] = out["filt"]
+        if label == photLabel:
+            # resident phot maps for the other labels' fixed_ cutout
+            # gathers; the units scale lands in the consume pass once
+            # the calibration crops have arrived
             photRes = {"SNMap": out["SNMap"],
-                       "filtered": out["filtered"],
-                       "scale": stacksList[0]["unitsScale"]
-                       * hostNorms}
-        del out     # free this label's device outputs
+                       "filtered": out["filtered"], "scale": None}
+            rec["isPhot"] = True
+        rec["down"] = _dispatch_detect_downloads(
+            out, photRes, label, photLabel, detectParams, nT)
+        del out     # big outputs free once the dispatched reductions run
+        records.append(rec)
+        if len(records) >= 4:
+            # Bound enqueued-but-unexecuted device work (PJRT allocates
+            # computation outputs at enqueue time): wait for the 4-back
+            # label's tiny nObjects copy before dispatching further.
+            lag = records[-4]["down"]["nObjects"]
+            if hasattr(lag, "block_until_ready"):
+                lag.block_until_ready()
+
+    for rec in records:
+        label = rec["label"]
+        st = rec["st"]
+        stacksList = rec["stacksList"]
+        hostNorms, fRelW = rec["hostNorms"], None
+        if hostNorms is None:
+            hostNorms, fRelW = _calibNormsConsume(
+                rec["calib"], st, names, nT, padShape, tPhase)
+            if rec["wantFilter"]:
+                _saveFilterCaches(st, names, nT,
+                                  {"filt": rec["filtDev"]}, tPhase,
+                                  hostNorms, fRelW,
+                                  deviceCache=(label == photLabel))
+        if rec.get("isPhot"):
+            photRes["scale"] = stacksList[0]["unitsScale"] * hostNorms
+
+        def _rerun(stepFn=rec["stepFn"], sl=stacksList,
+                   given=rec["given"]):
+            return _invokeStep(stepFn, sl, given)
+
+        tPhase["detectLabels"] += 1
+        _consume_detect_results(
+            config, st, names, nT, rec["down"], padShape, gridSize,
+            detectParams, label, photLabel, photRes, seenTiles, tPhase,
+            results, consume, hostNorms, trimPix=trimPix, rerun=_rerun)
     if verbose:
         print("    [chunk: upload %.1fs, step(+compile) %.1fs, "
               "download %.1fs (%.0f MB), detect %d/%d labels]"
