@@ -394,13 +394,17 @@ def fitQ(config):
             # filtered stack is released as soon as its crop is queued.
             pendingCrops = []
             t0 = time_mod.time()
+            from ..utils.transfer import start_host_copy
             for dev, nChunk in paintCache[geomKey]:
                 filteredDev = filterObj.applyFilter(dev, returnDevice=True)
                 # compact the crop in a jitted slice before downloading:
                 # plain-slice downloads of large jit outputs can transfer
-                # the full buffer on remote TPU runtimes
-                pendingCrops.append((_crop_stack(filteredDev, y0i, x0i,
-                                                 hCrop, wCrop), nChunk))
+                # the full buffer on remote TPU runtimes; the async copy
+                # starts every chunk's crop streaming so the download
+                # loop pays ~one link round trip, not one per chunk
+                pendingCrops.append((start_host_copy(
+                    _crop_stack(filteredDev, y0i, x0i, hCrop, wCrop)),
+                    nChunk))
                 del filteredDev
             tPhase["dispatch"] = time_mod.time() - t0
             t0 = time_mod.time()

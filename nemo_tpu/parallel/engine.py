@@ -59,11 +59,8 @@ def _startHostCopy(a):
     round trips.  Starting every copy at step-dispatch time and reading
     them in a later consume pass overlaps all of the latencies, so the
     chunk pays ~one round trip instead of ~a hundred."""
-    try:
-        a.copy_to_host_async()
-    except AttributeError:       # plain numpy (CPU backend fallbacks)
-        pass
-    return a
+    from ..utils.transfer import start_host_copy
+    return start_host_copy(a)
 
 
 def _rmsGridBatchable(noiseParams):

@@ -41,6 +41,20 @@ def device_put_chunked(x, sharding=None, max_bytes=MAX_TRANSFER_BYTES):
     return out
 
 
+def start_host_copy(a):
+    """Begin an async device->host copy and return the array.
+
+    The remote tunnel is LATENCY-bound (~0.4 s per request) for small
+    results: starting every copy as soon as it is dispatched and reading
+    the values later overlaps the round trips, so N reads pay ~one
+    latency instead of N.  No-op for plain numpy inputs."""
+    try:
+        a.copy_to_host_async()
+    except AttributeError:
+        pass
+    return a
+
+
 def to_host_chunked(devArr, max_bytes=MAX_TRANSFER_BYTES):
     """Fetch a device array to host in sub-limit row slices."""
     nbytes = int(np.prod(devArr.shape)) * devArr.dtype.itemsize
