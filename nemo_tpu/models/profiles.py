@@ -111,6 +111,33 @@ def paintSignalMap(shape, pix_scales_rad, rDeg, prof, beam=None,
     Returns:
         (ny, nx) map - numpy, or jnp when ``returnDevice``.
     """
+    r, vAbs, scale = signalTemplateTable(
+        rDeg, prof, beam=beam, amplitude=amplitude, maxSizeDeg=maxSizeDeg,
+        convolveWithBeam=convolveWithBeam)
+    ny, nx = shape
+    if ys is None:
+        out = paint_ops.paint_template_centered(
+            shape, pix_scales_rad, r, vAbs,
+            center=(ny / 2.0, nx / 2.0))
+        if returnDevice:
+            return scale * out
+        return np.asarray(scale) * np.asarray(out)
+    # per-object amplitudes: the (exact) sign negation folds into the
+    # per-object scale, so the painted contributions sum identically
+    out = paint_ops.paint_objects(shape, pix_scales_rad,
+                                  np.atleast_1d(ys), np.atleast_1d(xs),
+                                  np.atleast_1d(scale), r, vAbs,
+                                  np.radians(maxSizeDeg), dx_rows=dx_rows)
+    return out if returnDevice else np.asarray(out)
+
+
+def signalTemplateTable(rDeg, prof, beam=None, amplitude=None,
+                        maxSizeDeg=10.0, convolveWithBeam=True):
+    """Radial table of the final painted template: ``(r, vAbs, scale)``
+    such that the painted map is ``scale * paint(interp(vAbs))`` - the
+    exact factorisation :func:`paintSignalMap` uses internally.  Batch
+    painters (``parallel/engine._bankTemplateStacks``, fitQ) consume the
+    tables directly so a whole filter bank paints in one dispatch."""
     if convolveWithBeam:
         if beam is None:
             raise ValueError("No beam supplied")
@@ -129,19 +156,16 @@ def paintSignalMap(shape, pix_scales_rad, rDeg, prof, beam=None,
     sign = 1.0
     if rprof[0] < 0:
         sign = -1.0
-    ny, nx = shape
-    if ys is None:
-        out = paint_ops.paint_template_centered(
-            shape, pix_scales_rad, r, np.abs(rprof),
-            center=(ny / 2.0, nx / 2.0))
-        if returnDevice:
-            return sign * amp * out
-        return sign * np.asarray(amp) * np.asarray(out)
-    out = paint_ops.paint_objects(shape, pix_scales_rad,
-                                  np.atleast_1d(ys), np.atleast_1d(xs),
-                                  np.atleast_1d(amp), r, np.abs(rprof),
-                                  np.radians(maxSizeDeg), dx_rows=dx_rows)
-    return sign * out if returnDevice else sign * np.asarray(out)
+    return r, np.abs(rprof), sign * amp
+
+
+def beamTemplateTable(beam, amplitude=None):
+    """``(r, v, scale)`` table for the beam (point-source) template -
+    the factorisation :func:`makeBeamModelSignalMap` paints from."""
+    if isinstance(beam, str):
+        beam = BeamProfile(beamFileName=beam)
+    amp = 1.0 if amplitude is None else amplitude
+    return np.radians(beam.rDeg), beam.profile1d, amp
 
 
 def makeBeamModelSignalMap(shape, pix_scales_rad, beam, ys=None, xs=None,

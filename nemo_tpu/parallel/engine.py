@@ -34,6 +34,7 @@ from .. import filters as filters_mod
 from ..models import sz
 from ..ops import fourier
 from ..ops import noise as noise_ops
+from ..ops import paint as paint_ops
 from .distribute import (make_sharded_matched_filter_step,
                          make_sharded_realspace_step)
 from .mesh import get_mesh, tile_sharding
@@ -168,9 +169,135 @@ def _stage_tile_common(filterObj):
             "padShape": filterObj.padShape}
 
 
+def _templateTable(f, beamFileName, amplitude, cache):
+    """Radial (r, vAbs, scale) painting table for one (filter model,
+    beam, amplitude) - geometry-INDEPENDENT, so one gnfw integral +
+    harmonic beam convolution serves every declination band of a survey.
+    Host arrays, a few KB each; cached without eviction."""
+    params = f["params"]
+    key = ("table", f["class"], params.get("M500MSun"), params.get("z"),
+           repr(params.get("GNFWParams", "default")), beamFileName,
+           None if amplitude is None else float(amplitude))
+    if cache is not None and key in cache:
+        return cache[key]
+    from ..models import profiles
+    if f["class"].startswith("Beam"):
+        tab = profiles.beamTemplateTable(beamFileName, amplitude)
+    else:
+        mk = profiles.makeBattagliaModelProfile \
+            if f["class"].startswith("Battaglia") \
+            else profiles.makeArnaudModelProfile
+        d = mk(params["z"], params["M500MSun"],
+               GNFWParams=params.get("GNFWParams", "default"))
+        tab = profiles.signalTemplateTable(d["rDeg"], d["prof"],
+                                           beam=beamFileName,
+                                           amplitude=amplitude)
+    if cache is not None:
+        cache[key] = tab
+    return tab
+
+
+def _trimBankCache(cache, keep=3):
+    """FIFO-evict painted bank stacks beyond ``keep`` geometries
+    (~330 MB of f32 device planes each at DR5 tile sizes; survey tiles
+    alternate between at most 2-3 shape variants within a declination
+    band, so 3 covers the alternation)."""
+    bankKeys = [k for k in cache
+                if isinstance(k, tuple) and k and k[0] == "bank"]
+    while len(bankKeys) > keep:
+        cache.pop(bankKeys.pop(0))
+
+
+def _bankTemplateStacks(cache, filterObj, bank, label):
+    """Device (templates, calibStack) for EVERY Fourier-MF filter of the
+    bank at this tile's geometry, painted in ONE batched dispatch.
+
+    Template painting was the staging bottleneck at survey scale: tile
+    TRUE shapes vary by +-1 pixel within a declination band (the
+    autotiler's RA stretch), so exact-shape cache keys missed on nearly
+    every tile and rebuilt the bank's ~64 templates one dispatch at a
+    time (~7 s/tile of the ~60 s/chunk staging wall).  Painting the whole
+    bank from cached radial tables costs one batched dispatch plus one
+    batched pixel-window FFT per geometry variant."""
+    mapsList = filterObj.unfilteredMapsDictList
+    geomKey = (tuple(filterObj.shape),
+               tuple(np.round(filterObj.pixScalesRad, 12)),
+               tuple(m["beamFileName"] for m in mapsList),
+               tuple((m.get("units"), m.get("obsFreqGHz"))
+                     for m in mapsList))
+    bankKey = ("bank", geomKey, tuple(f["label"] for f in bank))
+    if bankKey in cache:
+        ent = cache.pop(bankKey)
+        cache[bankKey] = ent            # LRU touch
+        return ent[label]
+    y0 = 2e-4
+    tables, scales = [], []
+    for f in bank:
+        for m in mapsList:
+            r, v, s = _templateTable(f, m["beamFileName"], None, cache)
+            tables.append((r, v))
+            scales.append(s)
+        if f["params"]["outputUnits"] == "yc":
+            for m in mapsList:
+                amplitude = y0 if m.get("units") == "yc" \
+                    else sz.convertToDeltaT(y0, m["obsFreqGHz"])
+                r, v, s = _templateTable(f, m["beamFileName"], amplitude,
+                                         cache)
+                tables.append((r, v))
+                scales.append(s)
+    ny, nx = filterObj.shape
+    # Paint on the padShape-bucket canvas with the TRUE-shape centre and
+    # crop: each pixel's value is interp(r(y - cy, x - cx)), so the crop
+    # is bitwise identical to painting at the true shape (measured: max
+    # diff 0.0 vs per-template paints) - while the painter's compiled
+    # program keys on the handful of survey-wide FFT buckets instead of
+    # every +-1-pixel tile-shape variant (a fresh XLA compile per
+    # variant otherwise dominates the rebuild).  Fixed 16-plane chunks
+    # (tail padded by repeats) reuse one compiled program per canvas.
+    canvas = (int(filterObj.padShape[0]), int(filterObj.padShape[1]))
+    CH = 16
+    parts = []
+    for c0 in range(0, len(tables), CH):
+        chunk = tables[c0:c0 + CH]
+        nReal = len(chunk)
+        chunk = chunk + [chunk[-1]] * (CH - nReal)
+        p = paint_ops.paint_templates_centered_batch(
+            canvas, filterObj.pixScalesRad, chunk,
+            center=(ny / 2.0, nx / 2.0))[:nReal, :ny, :nx]
+        parts.append(p)
+    planes = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+    planes = planes * jnp.asarray(
+        np.asarray(scales, dtype=np.float64))[:, None, None]
+    nf = len(mapsList)
+    ent, i = {}, 0
+    calibPlanes, calibLabels = [], []
+    for f in bank:
+        tmpl = planes[i:i + nf]
+        i += nf
+        if f["params"]["outputUnits"] == "yc":
+            calibLabels.append(f["label"])
+            calibPlanes.append(planes[i:i + nf])
+            i += nf
+            ent[f["label"]] = [tmpl, None]
+        else:
+            # non-yc output calibrates against the unnormalised template
+            ent[f["label"]] = [tmpl, tmpl]
+    if calibPlanes:
+        # window application stays on device, ONE batched FFT for the
+        # whole bank's calibration stacks
+        calibAll = fourier.apply_pixel_window(jnp.stack(calibPlanes),
+                                              pow=1.0)
+        for j, lab in enumerate(calibLabels):
+            ent[lab][1] = calibAll[j]
+    ent = {k: tuple(v) for k, v in ent.items()}
+    cache[bankKey] = ent
+    _trimBankCache(cache)
+    return ent[label]
+
+
 def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
                   diagnosticsDir=None,
-                  common=None, useCachedFilter=False):
+                  common=None, useCachedFilter=False, bank=None):
     """Host-side staging for one tile: preprocessing, templates, masks.
     Returns (filterObj, stacks dict) - everything still at tile shape.
 
@@ -243,35 +370,52 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
             _trimCache(templateCache)
         return templateCache[key]
 
-    templates = _cachedStack(
-        ("stack",) + geomKey,
-        lambda: jnp.stack([_template(m["beamFileName"])
-                           for m in filterObj.unfilteredMapsDictList]))
-    # Known-amplitude calibration stack (filters.py:635-690 in the
-    # reference; mirrors MatchedFilter._calibrateSignalNorm here).
     y0 = 2e-4
-    if params["outputUnits"] == "yc":
-        def _buildCalib():
-            calib = []
-            for m in filterObj.unfilteredMapsDictList:
-                if m.get("units") == "yc":
-                    s = _template(m["beamFileName"], amplitude=y0)
-                else:
-                    deltaT0 = sz.convertToDeltaT(y0, m["obsFreqGHz"])
-                    s = _template(m["beamFileName"], amplitude=deltaT0)
-                # window application stays on device - no host bounce
-                calib.append(fourier.apply_pixel_window(jnp.asarray(s),
-                                                        pow=1.0))
-            return jnp.stack(calib)
-
-        unitsKey = tuple((m.get("units"), m.get("obsFreqGHz"))
-                         for m in filterObj.unfilteredMapsDictList)
-        calibStack = _cachedStack(("calib", unitsKey) + geomKey,
-                                  _buildCalib)
-        unitsScale = y0
+    useBank = bank is not None and templateCache is not None \
+        and not params.get("mapToUse")
+    if useBank:
+        # Whole-bank batched painting: a few dispatches per geometry
+        # variant instead of one per template - the remote-TPU dispatch
+        # latency (~0.3 s) made per-template painting the staging
+        # bottleneck at survey scale.  On CPU (tests, small maps) the
+        # vmapped painter is slower than the plain one and pays a large
+        # one-off compile, so default off there; results are bitwise
+        # identical either way (bankPaintBatch: true/false/auto).
+        mode = config.parDict.get("bankPaintBatch", "auto")
+        useBank = (mode is True) or (mode == "auto"
+                                     and jax.default_backend() == "tpu")
+    if useBank:
+        templates, calibStack = _bankTemplateStacks(
+            templateCache, filterObj, bank, f["label"])
     else:
-        calibStack = templates
-        unitsScale = 1.0
+        templates = _cachedStack(
+            ("stack",) + geomKey,
+            lambda: jnp.stack([_template(m["beamFileName"])
+                               for m in filterObj.unfilteredMapsDictList]))
+        # Known-amplitude calibration stack (filters.py:635-690 in the
+        # reference; mirrors MatchedFilter._calibrateSignalNorm here).
+        if params["outputUnits"] == "yc":
+            def _buildCalib():
+                calib = []
+                for m in filterObj.unfilteredMapsDictList:
+                    if m.get("units") == "yc":
+                        s = _template(m["beamFileName"], amplitude=y0)
+                    else:
+                        deltaT0 = sz.convertToDeltaT(y0, m["obsFreqGHz"])
+                        s = _template(m["beamFileName"],
+                                      amplitude=deltaT0)
+                    # window application stays on device - no host bounce
+                    calib.append(fourier.apply_pixel_window(
+                        jnp.asarray(s), pow=1.0))
+                return jnp.stack(calib)
+
+            unitsKey = tuple((m.get("units"), m.get("obsFreqGHz"))
+                             for m in filterObj.unfilteredMapsDictList)
+            calibStack = _cachedStack(("calib", unitsKey) + geomKey,
+                                      _buildCalib)
+        else:
+            calibStack = templates
+    unitsScale = y0 if params["outputUnits"] == "yc" else 1.0
     w = filters_mod._freq_weights(filterObj.unfilteredMapsDictList, params)
 
     # Cached-filter reruns (injection/contamination tests) must RELOAD
@@ -467,6 +611,10 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
     deviceBatchSize = max(nDev, (deviceBatchSize // nDev) * nDev)
 
     templateCache = {}
+    # Fourier-MF labels sharing the full map list paint their templates
+    # as ONE batched dispatch per tile geometry (_bankTemplateStacks)
+    mfBank = [f for f in fList if f["class"] not in _REALSPACE_CLASSES
+              and not f["params"].get("mapToUse")] or None
     results = {f["label"]: {} for f in fList}
     staged = {f["label"]: {} for f in fList}
     rsBuckets = {}      # (label, key) -> [names]   (real-space: per label)
@@ -579,7 +727,7 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                         config, f, tileName, templateCache=templateCache,
                         mapsList=mapsList, common=common,
                         diagnosticsDir=diagnosticsDir,
-                        useCachedFilter=useCachedFilters)
+                        useCachedFilter=useCachedFilters, bank=mfBank)
                     key = (stacks["padShape"], stacks["data"].shape[0],
                            stacks["gridSize"], stacks["trimPix"])
                     staged[label][tileName] = (filterObj, stacks)

@@ -594,3 +594,42 @@ def test_cached_filter_rerun_reloads_not_rebuilds(tiled_run,  # noqa: F811
     snrRatio = np.asarray(m2["SNR"]) / np.asarray(m1["SNR"])
     assert abs(np.median(snrRatio) - 1) < 0.01, snrRatio
     assert np.percentile(np.abs(snrRatio - 1), 90) < 0.05, snrRatio
+
+
+def test_bank_painting_matches_per_template(tiled_run,  # noqa: F811
+                                            tmp_path):
+    """bankPaintBatch paints the whole bank's templates in chunked
+    batched dispatches on a padShape canvas; the stacks must be BITWISE
+    identical to the per-template legacy path (the crop argument: every
+    pixel is interp(r(y - cy, x - cx)), independent of canvas size)."""
+    inputTab, hostCatalog, config, w = tiled_run
+    tileName = config.tileNames[0]
+    fList = [f for f in config.parDict["mapFilters"]
+             if f["class"] not in engine._REALSPACE_CLASSES]
+    assert fList
+    mapsList = engine._preprocessTileOnce(config, tileName, None)
+    common = engine._stage_tile_common_from_maps(mapsList)
+
+    config.parDict["bankPaintBatch"] = True
+    try:
+        bankCache = {}
+        bankStacks = {}
+        for f in fList:
+            _, stacks = engine._prepare_tile(
+                config, f, tileName, templateCache=bankCache,
+                mapsList=mapsList, common=common, bank=fList)
+            bankStacks[f["label"]] = stacks
+    finally:
+        config.parDict.pop("bankPaintBatch", None)
+
+    legacyCache = {}
+    for f in fList:
+        _, stacks = engine._prepare_tile(
+            config, f, tileName, templateCache=legacyCache,
+            mapsList=mapsList, common=common, bank=None)
+        b = bankStacks[f["label"]]
+        assert np.array_equal(np.asarray(b["template"]),
+                              np.asarray(stacks["template"])), f["label"]
+        assert np.array_equal(np.asarray(b["calib"]),
+                              np.asarray(stacks["calib"])), f["label"]
+        assert b["unitsScale"] == stacks["unitsScale"]
