@@ -121,6 +121,51 @@ def apply_pixel_window(m, pow=1.0):
     return jnp.fft.irfft2(fm, s=(ny, nx))
 
 
+def windowed_irfft2(G, y0, x0, ny, nx, wlen):
+    """Evaluate ``irfft2(G, s=(ny, nx))`` on a ``wlen x wlen`` window
+    anchored at traced integer offsets ``(y0, x0)`` - WITHOUT the full
+    inverse transform.
+
+    The window is computed as two small complex matmuls against DFT
+    basis vectors (backward normalisation, matching ``jnp.fft.irfft2``),
+    with the Hermitian half-grid's interior-column double-count weight.
+    Used for the matched-filter calibration read: the tiny window is all
+    the host needs, the matmuls ride the MXU, and the formulation avoids
+    a full-map irfft2 intermediate that XLA has twice been caught
+    miscompiling when fused with the rest of the step (see the
+    signal-norm notes in ``parallel/distribute.py one_tile``).
+
+    Args:
+        G: (..., ny, nx//2+1) complex half-grid spectra.
+        y0, x0: window origin (traced scalars OK).
+        ny, nx: full-grid shape (static).
+        wlen: window size (static).
+
+    Returns:
+        (..., wlen, wlen) real window values.
+    """
+    nxh = G.shape[-1]
+    cdtype = G.dtype
+    rdtype = jnp.finfo(jnp.zeros((), dtype=float).dtype).dtype
+    ky = jnp.arange(ny, dtype=rdtype)
+    kx = jnp.arange(nxh, dtype=rdtype)
+    # interior half-grid columns appear twice in the full spectrum
+    wx = jnp.where((kx == 0) | ((nx % 2 == 0) & (kx == nx // 2)),
+                   1.0, 2.0).astype(rdtype)
+    xs = x0 + jnp.arange(wlen, dtype=y0.dtype if hasattr(y0, "dtype")
+                         else jnp.int32)
+    ys = y0 + jnp.arange(wlen, dtype=x0.dtype if hasattr(x0, "dtype")
+                         else jnp.int32)
+    ex = jnp.exp((2j * jnp.pi / nx)
+                 * kx[:, None] * xs[None, :].astype(rdtype)) \
+        * wx[:, None]
+    ey = jnp.exp((2j * jnp.pi / ny)
+                 * ky[:, None] * ys[None, :].astype(rdtype))
+    M1 = jnp.einsum("...yk,kw->...yw", G, ex.astype(cdtype))
+    out = jnp.einsum("yv,...yw->...vw", ey.astype(cdtype), M1)
+    return jnp.real(out) / (ny * nx)
+
+
 def rmodlmap_graph(shape, pix_scales_rad):
     """|l| on the rfft half grid, computed in-graph from 1-d axes (use
     inside jitted code instead of :func:`rmodlmap` to avoid baking a 2-d

@@ -376,30 +376,33 @@ def make_sharded_matched_filter_step(mesh, gridSize, trimPix,
         # normalisation.  The filtered map returned here is therefore
         # UNNORMALISED; S/N is a ratio and unaffected, and the host
         # scales signal values once per tile.
-        fCalib = jnp.fft.rfft2(c)
-        calibPlanes = jnp.fft.irfft2(fCalib * filt, s=(ny, nx))
-        filteredCalib = jnp.sum(calibPlanes, axis=0)
-        peak = filteredCalib[peakYX[0], peakYX[1]]
-        signalNorm = 1.0 / peak    # integer-pixel estimate; ALSO the
-        # host-side tripwire for the crop (engine._calibNormsFromCrops
-        # cross-checks the crop's peak pixel against 1/signalNorm).
-        #
-        # PER-PLANE crops via ONE rank-3 dynamic_slice.  Do NOT replace
-        # this with advanced indexing (calibPlanes[:, py, px]): a vmapped
-        # rank-3 gather with traced scalar indices combined with the
-        # grid-RMS cell reduction in the same program is miscompiled by
-        # XLA (CPU and TPU alike, batch >= 8): every calib read comes
-        # back from a corrupted intermediate, ~25-33 percent low, while
-        # the filtered maps stay correct.  Found as a 4/3 signal-norm
-        # error at DR5 scale; dynamic_slice does not trigger it.  The
-        # per-plane crop also gives the host a sub-pixel fRel-weight
-        # read for free (host engine reads integer pixels,
-        # filters.py:671-674 in the reference).
-        crop = jax.lax.dynamic_slice(
-            calibPlanes,
-            (jnp.asarray(0, peakYX.dtype),
-             jnp.clip(peakYX[0] - 16, 0, ny - 33),
-             jnp.clip(peakYX[1] - 16, 0, nx - 33)), (nf, 33, 33))
+        # The per-plane 33x33 crops are evaluated DIRECTLY from the
+        # half-grid spectra as a windowed inverse DFT (two small complex
+        # matmuls, fourier.windowed_irfft2) - never materialising the
+        # full filtered-calibration planes.  History: XLA has twice
+        # miscompiled reads of that full-map intermediate when fused
+        # with the rest of this program - first a vmapped rank-3 gather
+        # (calib reads ~25-33 percent low, CPU and TPU, batch >= 8;
+        # worked around with dynamic_slice), then the dynamic_slice
+        # variant itself at the (768, 1440) DR5 tail bucket on TPU
+        # (signal norm 1.35x high, caught by fitQ's Q[0]/y0 gate).  The
+        # windowed DFT shares no layout with the filtered-map irfft2, so
+        # there is no big fused intermediate to corrupt - and it is
+        # cheaper than nf full inverse FFTs.  The crop also gives the
+        # host a sub-pixel fRel-weight read for free (host engine reads
+        # integer pixels, filters.py:671-674 in the reference).
+        y0c = jnp.clip(peakYX[0] - 16, 0, ny - 33)
+        x0c = jnp.clip(peakYX[1] - 16, 0, nx - 33)
+        crop = fourier.windowed_irfft2(jnp.fft.rfft2(c) * filt,
+                                       y0c, x0c, ny, nx, 33)
+        # integer-pixel estimate from the SAME crop; the host-side
+        # tripwire (engine._calibNormsFromCrops) cross-checks the crop's
+        # peak pixel against 1/signalNorm, so the two reads go through
+        # different lowerings of the crop value.
+        peak = jax.lax.dynamic_slice(
+            jnp.sum(crop, axis=0),
+            (peakYX[0] - y0c, peakYX[1] - x0c), (1, 1))[0, 0]
+        signalNorm = 1.0 / peak
 
         filtered = jnp.sum(jnp.fft.irfft2(fMaps * filt, s=(ny, nx)),
                            axis=0)

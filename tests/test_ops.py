@@ -282,3 +282,25 @@ def test_sim_cmb_power_matches_spectrum():
             continue
         ratio = emp[sel].mean() / th
         assert abs(ratio - 1) < 0.15, (lo, hi, ratio)
+
+
+def test_windowed_irfft2_matches_full_transform():
+    """The matched-filter calibration read evaluates a 33x33 window of
+    irfft2 directly from the half-grid spectrum (two complex matmuls) -
+    it must agree with the full inverse transform to float precision at
+    even/odd and production-bucket shapes."""
+    import jax.numpy as jnp
+
+    from nemo_tpu.ops import fourier
+
+    rng = np.random.default_rng(3)
+    for ny, nx in ((64, 96), (63, 95), (96, 130)):
+        m = rng.normal(size=(2, ny, nx))
+        G = jnp.fft.rfft2(jnp.asarray(m))
+        full = np.asarray(jnp.fft.irfft2(G, s=(ny, nx)))
+        for (y0, x0) in ((ny // 2 - 16, nx // 2 - 16), (0, 0),
+                         (ny - 33, nx - 33)):
+            win = np.asarray(fourier.windowed_irfft2(
+                G, jnp.asarray(y0), jnp.asarray(x0), ny, nx, 33))
+            assert np.max(np.abs(win - full[:, y0:y0 + 33,
+                                            x0:x0 + 33])) < 1e-9
