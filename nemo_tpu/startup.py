@@ -157,6 +157,38 @@ def _deep_merge(base, override, depth=3):
             base[key] = val
 
 
+_compileCacheEnabled = False
+
+
+def enableCompilationCache():
+    """Point JAX at a persistent compilation cache (idempotent).
+
+    Survey runs compile one sharded step per tile-shape bucket (~30-60 s
+    each on the remote TPU compiler); the persistent cache replays them
+    in ~0.3 s across processes (measured on the axon tunnel), so reruns,
+    injection tests and nemoMass start warm.  Controlled by
+    ``NEMO_TPU_COMPILE_CACHE``: a directory path, or ``off`` to disable
+    (default ``~/.cache/nemo_tpu/jax``)."""
+    global _compileCacheEnabled
+    if _compileCacheEnabled:
+        return
+    cacheDir = os.environ.get(
+        "NEMO_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/nemo_tpu/jax"))
+    if not cacheDir or cacheDir.lower() in ("off", "0", "false", "none"):
+        _compileCacheEnabled = True
+        return
+    try:
+        import jax
+        os.makedirs(cacheDir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cacheDir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+    _compileCacheEnabled = True
+
+
 class NemoConfig:
     """Pipeline configuration object (``startUp.py:202-417``).
 
@@ -169,6 +201,7 @@ class NemoConfig:
                  sourceInjectionTest=False, MPIEnabled=False,
                  divideTilesByProcesses=True, verbose=True,
                  strictMPIExceptions=True):
+        enableCompilationCache()
         self.MPIEnabled = False  # tiles shard over devices, not processes
         self.rank = 0
         self.size = 1
