@@ -95,7 +95,7 @@ def paint_templates_centered_batch(shape, pix_scales_rad, tables,
     ny, nx = shape
     if center is None:
         center = (ny / 2.0, nx / 2.0)
-    npDtype = np.dtype(jnp.zeros((), dtype=dtype).dtype)
+    npDtype = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
     size = _table_bucket(max(len(r) for r, _ in tables))
     padded = [_pad_table(np.asarray(r), np.asarray(v), npDtype, size=size)
               for r, v in tables]
@@ -130,7 +130,7 @@ def paint_template_centered(shape, pix_scales_rad, r_prof, v_prof,
     ny, nx = shape
     if center is None:
         center = (ny / 2.0, nx / 2.0)
-    npDtype = np.dtype(jnp.zeros((), dtype=dtype).dtype)
+    npDtype = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
     rp, vp = _pad_table(np.asarray(r_prof), np.asarray(v_prof), npDtype)
     return _paint_centered_jit(
         (int(ny), int(nx)),
@@ -196,7 +196,7 @@ def paint_objects(shape, pix_scales_rad, ys, xs, amps, r_prof, v_prof,
     """
     ny, nx = shape
     dy, dx = pix_scales_rad
-    npDtype = np.dtype(jnp.zeros((), dtype=dtype).dtype)
+    npDtype = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
     if dx_rows is None:
         dxr = np.full(ny, dx, dtype=npDtype)
     else:
