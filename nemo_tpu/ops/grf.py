@@ -104,6 +104,7 @@ def gaussian_field(key, shape, pix_scales_rad, ell, Cl, dtype=jnp.float64):
     """
     ny, nx = shape
     dy, dx = pix_scales_rad
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
     lmap = fourier.rmodlmap_graph(shape, pix_scales_rad)
     Cl2d = jnp.interp(lmap, jnp.asarray(ell, dtype=lmap.dtype),
                       jnp.asarray(Cl, dtype=lmap.dtype), right=0.0)
@@ -132,6 +133,7 @@ def gaussian_field_decaware(key, shape, dy, dx_rows, ell, Cl, n_bands=9,
     row-correlated realisation.
     """
     ny, nx = shape
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
     white = jax.random.normal(key, shape, dtype=dtype)
     F = jnp.fft.rfft2(white)
     dx_rows = jnp.asarray(dx_rows, dtype=dtype)
@@ -212,6 +214,7 @@ def sim_noise_map(key, shape, noiseLevel, pix_scales_rad=None, lKnee=None,
     N_l = (lKnee/l)^-alpha + 1 while modes beyond ``lmax_atm`` stay white,
     then scaled by the per-pixel noise level.
     """
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
     noiseLevel = jnp.asarray(noiseLevel, dtype=dtype)
     white = jax.random.normal(key, shape, dtype=dtype)
     if lKnee is None:

@@ -215,14 +215,16 @@ def paint_objects(shape, pix_scales_rad, ys, xs, amps, r_prof, v_prof,
     dx_pad[wy + 1:wy + 1 + ny] = dxr
     dx_pad[:wy + 1] = dxr[0]
     dx_pad[wy + 1 + ny:] = dxr[-1]
-    ys = jnp.atleast_1d(jnp.asarray(ys, dtype=dtype))
-    xs = jnp.atleast_1d(jnp.asarray(xs, dtype=dtype))
-    amps = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(amps, dtype=dtype)),
-                            ys.shape)
+    ys = jnp.atleast_1d(jnp.asarray(np.asarray(ys, dtype=npDtype)))
+    xs = jnp.atleast_1d(jnp.asarray(np.asarray(xs, dtype=npDtype)))
+    amps = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(np.asarray(amps, dtype=npDtype))),
+        ys.shape)
     # Zero the profile beyond rmax (splev ext=1 semantics via right=0 covers
     # beyond-table; enforce rmax inside the table too).
-    r_prof = np.asarray(r_prof, dtype=dtype)
-    v_prof = np.where(r_prof <= rmax_rad, np.asarray(v_prof, dtype=dtype), 0.0)
+    r_prof = np.asarray(r_prof, dtype=npDtype)
+    v_prof = np.where(r_prof <= rmax_rad,
+                      np.asarray(v_prof, dtype=npDtype), 0.0)
     return _paint_scan((ny, nx), (wy, wx), ys, xs, amps,
                        jnp.asarray(r_prof), jnp.asarray(v_prof),
                        jnp.asarray(npDtype.type(dy)),
