@@ -69,16 +69,19 @@ def makeSurvey(workDir):
         beams.makeGaussianBeamFile(beamFile, fwhm)
         model = maps.makeModelImage(
             SHAPE, w, inputTab, beamFile, obsFreqGHz=freq,
-            override={"redshift": 0.4, "M500": 2e14})
+            override={"redshift": 0.4, "M500": 2e14}, asDevice=True)
         beam = beams.BeamProfile(beamFileName=beamFile)
         pix = maps.pixScalesRad(w, SHAPE)
         from nemo_tpu.utils import transfer
-        cmb = transfer.to_host_chunked(grf.sim_cmb_map(
+        # Sum model + CMB + noise ON DEVICE and download once: each
+        # (7200, 25200) float32 map is ~730 MB, and the host link is the
+        # bottleneck here, not the draw.
+        sky = grf.sim_cmb_map(
             jax.random.PRNGKey(77 + i), SHAPE, pix, beamBell=beam.Bell,
-            beamEll=beam.ell, noiseLevel=noise)).astype(np.float32)
+            beamEll=beam.ell, noiseLevel=noise) + model
         simPath = os.path.join(workDir, "sim_%s.fits" % band)
-        nfits.write_image(simPath, cmb + np.asarray(model,
-                                                    dtype=np.float32),
+        nfits.write_image(simPath,
+                          transfer.to_host_chunked(sky).astype(np.float32),
                           w.header)
         mapEntries.append({"mapFileName": simPath, "obsFreqGHz": freq,
                            "units": "uK", "beamFileName": beamFile})

@@ -208,3 +208,42 @@ def test_photometry_parity_helpers(tmp_path):
     maps.saveFITS(out, d + 3.0, w)
     back, hdr = nfits.read_image(out)
     assert np.allclose(back, 3.0) and "NEMOVER" in hdr
+
+
+def test_make_model_image_as_device_matches_host(tmp_path):
+    """asDevice=True returns the identical painted map without the host
+    round trip, across the override, per-row and point-source branches
+    (reference paints host-side only, maps.py:1734-1899)."""
+    import jax.numpy as jnp
+
+    from nemo_tpu import maps
+    from nemo_tpu.utils import wcs as nwcs
+
+    shape = (192, 192)
+    w = nwcs.makeWCS(shape, 0.5 / 60.0, centreRADeg=30.0,
+                     centreDecDeg=-40.0)
+    beamPath = str(tmp_path / "beam.txt")
+    beams.makeGaussianBeamFile(beamPath, 1.4)
+    clTab = Table({"name": np.array(["a", "b"]),
+                   "RADeg": np.array([29.93, 30.07]),
+                   "decDeg": np.array([-40.04, -39.96]),
+                   "y_c": np.array([3.0, 2.0]),
+                   "template": np.array(["Arnaud_M2e14_z0p4"] * 2)})
+    srcTab = Table({"name": np.array(["s0"]),
+                    "RADeg": np.array([30.0]),
+                    "decDeg": np.array([-40.0]),
+                    "deltaT_c": np.array([500.0])})
+    cases = [
+        dict(catalog=clTab, obsFreqGHz=149.6,
+             override={"redshift": 0.4, "M500": 2e14}),  # batched paint
+        dict(catalog=clTab, obsFreqGHz=149.6),           # per-row loop
+        dict(catalog=srcTab),                            # point sources
+    ]
+    for kw in cases:
+        cat = kw.pop("catalog")
+        host = maps.makeModelImage(shape, w, cat, beamPath, **kw)
+        dev = maps.makeModelImage(shape, w, cat, beamPath,
+                                  asDevice=True, **kw)
+        assert isinstance(dev, jnp.ndarray)
+        np.testing.assert_allclose(np.asarray(dev), host, rtol=0,
+                                   atol=2e-4 * np.abs(host).max())
