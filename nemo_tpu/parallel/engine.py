@@ -64,6 +64,45 @@ def _startHostCopy(a):
     return start_host_copy(a)
 
 
+class _CopyBatch:
+    """Coalesce a chunk's many tiny device->host reads into ONE transfer
+    per (shape, dtype) group.
+
+    ``_startHostCopy`` relies on ``copy_to_host_async``, which remote
+    tunnel runtimes don't implement - every later ``np.asarray`` is then
+    a blocking ~0.4 s round trip, and a 16-label chunk pays ~100 of them
+    (~26 s/chunk measured at DR5 scale).  Labels' results share shapes,
+    so stacking each group on DEVICE and reading one array per group
+    ships the same bytes in a handful of round trips."""
+
+    def __init__(self):
+        self._groups = {}       # (shape, dtype) -> [device array, ...]
+        self._stacked = None    # (shape, dtype) -> stacked device array
+        self._host = {}         # (shape, dtype) -> fetched numpy stack
+
+    def add(self, a):
+        """Register a device array; returns a handle for :meth:`get`."""
+        key = (tuple(a.shape), str(a.dtype))
+        lst = self._groups.setdefault(key, [])
+        lst.append(a)
+        return (key, len(lst) - 1)
+
+    def dispatch(self):
+        """Stack every group on device and start its single host copy."""
+        self._stacked = {k: _startHostCopy(jnp.stack(v))
+                         for k, v in self._groups.items()}
+        self._groups = {}
+
+    def get(self, handle):
+        """Fetch one registered array (reads its whole group once)."""
+        if self._stacked is None:
+            self.dispatch()
+        key, idx = handle
+        if key not in self._host:
+            self._host[key] = np.asarray(self._stacked[key])
+        return self._host[key][idx]
+
+
 def _rmsGridBatchable(noiseParams):
     """The apply-side RMS grid must be device-expressible."""
     if noiseParams.get("RMSEstimator", "default") != "default":
@@ -907,20 +946,23 @@ def _calibNormsFromCrops(out, st, names, nT, padShape, tPhase):
                               nT, padShape, tPhase)
 
 
-def _calibNormsDispatch(out, nT):
+def _calibNormsDispatch(out, nT, co=None):
     """Slice the calibration crops / in-graph norms off the step output
-    and start their async host copies (see :func:`_startHostCopy`)."""
-    return {"crops": _startHostCopy(out["calibCrop"][:nT]),
-            "norm": _startHostCopy(out["signalNorm"][:nT])}
+    and start their host copies (via the chunk's :class:`_CopyBatch`
+    when given, else :func:`_startHostCopy`)."""
+    send = co.add if co is not None else _startHostCopy
+    return {"crops": send(out["calibCrop"][:nT]),
+            "norm": send(out["signalNorm"][:nT])}
 
 
-def _calibNormsConsume(devs, st, names, nT, padShape, tPhase):
+def _calibNormsConsume(devs, st, names, nT, padShape, tPhase, co=None):
     import time as _time
     from scipy import interpolate as sinterp
 
+    read = co.get if co is not None else np.asarray
     t0 = _time.time()
-    crops = np.asarray(devs["crops"], dtype=np.float64)
-    stepPeaks = 1.0 / np.asarray(devs["norm"], dtype=np.float64)
+    crops = np.asarray(read(devs["crops"]), dtype=np.float64)
+    stepPeaks = 1.0 / np.asarray(read(devs["norm"]), dtype=np.float64)
     tPhase["download"] += _time.time() - t0
     tPhase["downBytes"] = tPhase.get("downBytes", 0) + crops.nbytes
     py, px = padShape
@@ -1092,12 +1134,13 @@ _DET_KEYS = ("valid", "numPix", "comY", "comX", "peak", "peakY", "peakX")
 
 
 def _dispatch_detect_downloads(out, photRes, label, photLabel,
-                               detectParams, nT):
+                               detectParams, nT, co=None):
     """Pack one label's detect-mode results into a few small device
-    arrays and START their async host copies.  Per-request link latency
-    adds up (the remote tunnel is latency-bound): packing ships the
-    per-object statistics in ONE request each, and the async dispatch
-    lets every label's copies stream while later labels compute."""
+    arrays and START their host copies.  Per-request link latency adds
+    up (the remote tunnel is latency-bound): packing ships the
+    per-object statistics in ONE request each, and registering them in
+    the chunk's :class:`_CopyBatch` (``co``) coalesces ALL labels'
+    results into one transfer per array kind."""
     from .distribute import subpixel_read_batch
 
     threshold, maxObjects, nIter, useCom, cutWindow = detectParams
@@ -1114,21 +1157,26 @@ def _dispatch_detect_downloads(out, photRes, label, photLabel,
     valParts = [out["subSpline"], out["subNearest"]]
     if photSub is not None:
         valParts += [photSub[0], photSub[1]]
+    send = co.add if co is not None else _startHostCopy
+    nObjectsDev = det["nObjects"][:nT]
     return {
-        "packed": _startHostCopy(jnp.stack(
+        "packed": send(jnp.stack(
             [det[k].astype(jnp.float32) for k in _DET_KEYS],
             axis=-1)[:nT]),
-        "nObjects": _startHostCopy(det["nObjects"][:nT]),
-        "vals": _startHostCopy(jnp.concatenate(valParts, axis=-1)[:nT]),
-        "cells": _startHostCopy(out["RMSCells"][:nT]),
+        "nObjects": send(nObjectsDev),
+        "vals": send(jnp.concatenate(valParts, axis=-1)[:nT]),
+        "cells": send(out["RMSCells"][:nT]),
         "hasPhotSub": photSub is not None,
+        # raw device handle for enqueue-depth bounding (block_until_ready)
+        "lagArr": nObjectsDev,
     }
 
 
 def _consume_detect_results(config, st, names, nT, down, padShape,
                             gridSize, detectParams, label, photLabel,
                             photRes, seenTiles, tPhase, results, consume,
-                            hostNorms, trimPix=0, out=None, rerun=None):
+                            hostNorms, trimPix=0, out=None, rerun=None,
+                            co=None):
     """Host side of detect-mode emission: read the (already streaming)
     packed downloads and assemble per-tile results.  ``out`` carries the
     resident step outputs when the caller still holds them (sync path /
@@ -1139,11 +1187,12 @@ def _consume_detect_results(config, st, names, nT, down, padShape,
 
     threshold, maxObjects, nIter, useCom, cutWindow = detectParams
     t0 = _time.time()
-    packed = np.asarray(down["packed"])
+    read = co.get if co is not None else np.asarray
+    packed = np.asarray(read(down["packed"]))
     detNp = {k: packed[..., j] for j, k in enumerate(_DET_KEYS)}
-    detNp["nObjects"] = np.asarray(down["nObjects"])
-    vals = np.asarray(down["vals"])
-    cells = np.asarray(down["cells"])
+    detNp["nObjects"] = np.asarray(read(down["nObjects"]))
+    vals = np.asarray(read(down["vals"]))
+    cells = np.asarray(read(down["cells"]))
     photSub = down["hasPhotSub"] or None
     # With edge trim active the output mask is data-dependent; download
     # every needed tile's mask in ONE request instead of per tile -
@@ -1583,10 +1632,13 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
                       ctx["metaDev"])
 
     # Two passes over the labels.  Pass 1 dispatches every label's step
-    # and starts the async host copies of its small detect-mode results;
-    # pass 2 consumes them.  The link's per-request round-trip latencies
-    # (the dominant download cost on the remote tunnel) then overlap the
-    # other labels' device work instead of serialising after each step.
+    # and registers its small detect-mode results in the chunk's
+    # _CopyBatch; pass 2 stacks each result kind across labels on device
+    # and consumes them through a handful of coalesced transfers.  The
+    # link's per-request round-trip latencies (the dominant download
+    # cost on the remote tunnel) are then paid once per array KIND
+    # instead of once per label x array (~100 requests -> ~7).
+    co = _CopyBatch()
     records = []
     for label in labels:
         st = snapshot[label]
@@ -1637,7 +1689,7 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
                "given": cachedAll, "wantFilter": wantFilter,
                "stepFn": stepFn, "hostNorms": hostNorms}
         if not cachedAll:
-            rec["calib"] = _calibNormsDispatch(out, nT)
+            rec["calib"] = _calibNormsDispatch(out, nT, co=co)
             if wantFilter:
                 rec["filtDev"] = out["filt"]
         if label == photLabel:
@@ -1648,17 +1700,16 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
                        "filtered": out["filtered"], "scale": None}
             rec["isPhot"] = True
         rec["down"] = _dispatch_detect_downloads(
-            out, photRes, label, photLabel, detectParams, nT)
+            out, photRes, label, photLabel, detectParams, nT, co=co)
         del out     # big outputs free once the dispatched reductions run
         records.append(rec)
         if len(records) >= 4:
             # Bound enqueued-but-unexecuted device work (PJRT allocates
             # computation outputs at enqueue time): wait for the 4-back
-            # label's tiny nObjects copy before dispatching further.
-            lag = records[-4]["down"]["nObjects"]
-            if hasattr(lag, "block_until_ready"):
-                lag.block_until_ready()
+            # label's tiny nObjects result before dispatching further.
+            records[-4]["down"]["lagArr"].block_until_ready()
 
+    co.dispatch()
     for rec in records:
         label = rec["label"]
         st = rec["st"]
@@ -1666,7 +1717,7 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
         hostNorms, fRelW = rec["hostNorms"], None
         if hostNorms is None:
             hostNorms, fRelW = _calibNormsConsume(
-                rec["calib"], st, names, nT, padShape, tPhase)
+                rec["calib"], st, names, nT, padShape, tPhase, co=co)
             if rec["wantFilter"]:
                 _saveFilterCaches(st, names, nT,
                                   {"filt": rec["filtDev"]}, tPhase,
@@ -1683,7 +1734,8 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
         _consume_detect_results(
             config, st, names, nT, rec["down"], padShape, gridSize,
             detectParams, label, photLabel, photRes, seenTiles, tPhase,
-            results, consume, hostNorms, trimPix=trimPix, rerun=_rerun)
+            results, consume, hostNorms, trimPix=trimPix, rerun=_rerun,
+            co=co)
     if verbose:
         print("    [chunk: upload %.1fs, step(+compile) %.1fs, "
               "download %.1fs (%.0f MB), detect %d/%d labels]"
