@@ -164,9 +164,19 @@ class MapFilter:
         # large-prime) dimensions; transforms run on the zero-padded
         # 5-smooth grid and results are cropped back (apodised borders make
         # the padding benign). This also buckets ragged tile shapes so jits
-        # are reused.
-        self.padShape = (fourier.good_fft_size(self.shape[0]),
-                         fourier.good_fft_size(self.shape[1]))
+        # are reused.  A survey-wide bucket injected by the config
+        # (NemoConfig._injectFFTBucket) collapses every large tile onto
+        # ONE working shape - one compile per program for the whole
+        # survey; small fragment tiles keep their own 5-smooth pad.
+        padH = fourier.good_fft_size(self.shape[0])
+        padW = fourier.good_fft_size(self.shape[1])
+        bucket = self.params.get("_fftPadBucket")
+        if bucket:
+            bH, bW = int(bucket[0]), int(bucket[1])
+            if (bH >= self.shape[0] and bW >= self.shape[1]
+                    and self.shape[0] * self.shape[1] >= 0.5 * bH * bW):
+                padH, padW = bH, bW
+        self.padShape = (padH, padW)
 
         self.signalNorm = 1.0
         self.fRelWeights = {}

@@ -298,6 +298,7 @@ class NemoConfig:
             self.tileNames = newList
 
         self.allTileNames = list(self.tileNames)
+        self._injectFFTBucket()
 
         if makeOutputDirs:
             for tileName in self.tileNames:
@@ -442,6 +443,34 @@ class NemoConfig:
                                           int(round(cy0)), int(round(cy1))],
                 "reprojectToTan": self.parDict["reprojectToTan"]}
         return clipCoordsDict
+
+    def _injectFFTBucket(self):
+        """Survey-wide FFT pad bucket.
+
+        Pad every (large-enough) tile to ONE 5-smooth working shape so
+        the jitted filter build/apply programs compile once per survey
+        instead of once per ragged tile-shape bucket (~40-70 s each
+        through the remote TPU compiler; DR5's autotiles span ~9
+        distinct 5-smooth shapes, and fitQ's painted-model stacks key on
+        the same geometry).  Tiles smaller than half the bucket area
+        keep their own padShape - there the padding waste outweighs a
+        compile.  The bucket is stored in each filter's params so every
+        construction site (host engine, batched engine, fitQ's
+        geometryOnly reload, cached-filter reruns) derives the identical
+        working shape: host/batched float parity requires it."""
+        from .ops import fourier
+        shapes = []
+        for c in self.tileCoordsDict.values():
+            x0, x1, y0, y1 = c["clippedSection"]
+            shapes.append((int(y1 - y0), int(x1 - x0)))
+        if not shapes:
+            return
+        bucket = [fourier.good_fft_size(max(s[0] for s in shapes)),
+                  fourier.good_fft_size(max(s[1] for s in shapes))]
+        for parDict in (self.parDict, self._origParDict):
+            for filtDict in parDict.get("mapFilters", []):
+                filtDict.setdefault("params", {})
+                filtDict["params"]["_fftPadBucket"] = list(bucket)
 
     def _setUpMaps(self, writeTileInfo=False):
         maskKeys = ["surveyMask", "pointSourceMask"]
