@@ -20,11 +20,21 @@ Algorithm:
    budget would surface as duplicate detections, removed by the optimal
    catalog's position dedup, not silent corruption).
 3. Every component's root (minimum flat index) marks one object.  Up to
-   ``max_objects`` roots are kept in pixel order; per-component count,
-   value-weighted centroid (= scipy ``center_of_mass`` with the map as
-   weights), peak value and first-maximum position (= scipy
-   ``maximum_position``) come from segment reductions keyed by a
-   searchsorted bucket of the sorted root list.
+   ``max_objects`` roots are kept in pixel order.  Each pixel's object
+   bucket is the ORDINAL of its component's root among all roots in
+   flat order: ``ord = exclusive_cumsum(isRoot)`` makes the bucket a
+   single gather ``ord[label]`` (the label IS the root's flat index) -
+   no top_k and no searchsorted (measured on a v5e at the DR5 survey
+   shape, 8 x 900 x 1728: searchsorted alone cost 0.99 s/batch).
+4. Per-component count, value-weighted centroid (= scipy
+   ``center_of_mass`` with the map as weights), peak value and
+   first-maximum position (= scipy ``maximum_position``) come from
+   segment reductions.  On TPU these run as a blocked one-hot matmul
+   scan (8192-pixel blocks x (K+1) buckets on the MXU, f32-exact via
+   Precision.HIGHEST) - XLA's scatter lowering serialises the
+   conflicting updates and costs ~0.7 s/batch at the DR5 shape vs
+   ~0.14 s for the blocked scan; elsewhere (CPU tests) the plain
+   ``segment_sum`` scatter path wins and is used instead.
 """
 
 import functools
@@ -60,8 +70,84 @@ def label_components(mask, n_iter=128):
     return jax.lax.fori_loop(0, n_iter, body, labels)
 
 
-@functools.partial(jax.jit, static_argnames=("max_objects", "n_iter"))
-def detect_objects(SNMap, threshold, max_objects=128, n_iter=128):
+_INT32_MAX = np.int32(np.iinfo(np.int32).max)
+_BLOCK = 8192
+
+
+def _segment_stats_scatter(snFlat, seg, b, inBucket, max_objects, nx):
+    """Reference formulation: XLA scatter-based segment reductions.
+    Fastest on CPU; on TPU the conflicting scatter updates serialise."""
+    K1 = max_objects + 1
+    n = snFlat.shape[0]
+    yy = (jnp.arange(n, dtype=snFlat.dtype) // nx)
+    xx = (jnp.arange(n, dtype=snFlat.dtype) % nx)
+    data4 = jnp.stack([jnp.ones_like(snFlat), snFlat, snFlat * yy,
+                       snFlat * xx], axis=-1)
+    sums = jax.ops.segment_sum(data4, seg, num_segments=K1)[:-1]
+    peak = jax.ops.segment_max(jnp.where(inBucket, snFlat, -jnp.inf), seg,
+                               num_segments=K1)[:-1]
+    # First maximum (scipy maximum_position scan order): min flat index
+    # among pixels at the segment max.
+    atPeak = jnp.logical_and(inBucket, snFlat == peak[b])
+    peakIdx = jax.ops.segment_min(
+        jnp.where(atPeak, jnp.arange(n, dtype=jnp.int32), _INT32_MAX),
+        seg, num_segments=K1)[:-1]
+    return sums, peak, peakIdx
+
+
+def _segment_stats_blocked(snFlat, seg, inBucket, max_objects, nx):
+    """TPU formulation: scan over fixed pixel blocks; the four weighted
+    sums are one (block x K+1) one-hot matmul per block (MXU,
+    Precision.HIGHEST so f32 operands are not truncated to bf16), the
+    peak / first-maximum reductions are masked block reductions combined
+    across blocks with exact scipy scan-order tie-breaking."""
+    K1 = max_objects + 1
+    n = snFlat.shape[0]
+    nB = -(-n // _BLOCK)
+    padN = nB * _BLOCK - n
+    segB = jnp.pad(seg, (0, padN),
+                   constant_values=max_objects).reshape(nB, _BLOCK)
+    vB = jnp.pad(snFlat, (0, padN)).reshape(nB, _BLOCK)
+    idxB = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, padN),
+                   constant_values=_INT32_MAX).reshape(nB, _BLOCK)
+    yyB = (idxB // nx).astype(snFlat.dtype)
+    xxB = (idxB % nx).astype(snFlat.dtype)
+    inB = jnp.pad(inBucket, (0, padN)).reshape(nB, _BLOCK)
+    kk = jnp.arange(K1, dtype=seg.dtype)
+
+    def body(carry, blk):
+        sums, peak, peakIdx = carry
+        segb, vb, yb, xb, ib, inb = blk
+        oh = segb[:, None] == kk[None, :]
+        data4 = jnp.stack([jnp.ones_like(vb), vb, vb * yb, vb * xb], 1)
+        sums = sums + jnp.einsum("nk,nc->kc", oh.astype(vb.dtype), data4,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=vb.dtype)
+        ohv = jnp.logical_and(oh, inb[:, None])
+        bPeak = jnp.where(ohv, vb[:, None], -jnp.inf).max(axis=0)
+        bIdx = jnp.where(
+            jnp.logical_and(ohv, vb[:, None] == bPeak[None, :]),
+            ib[:, None], _INT32_MAX).min(axis=0)
+        better = bPeak > peak
+        tie = bPeak == peak
+        peakIdx = jnp.where(better, bIdx,
+                            jnp.where(tie, jnp.minimum(peakIdx, bIdx),
+                                      peakIdx))
+        peak = jnp.maximum(peak, bPeak)
+        return (sums, peak, peakIdx), None
+
+    init = (jnp.zeros((K1, 4), snFlat.dtype),
+            jnp.full((K1,), -jnp.inf, snFlat.dtype),
+            jnp.full((K1,), _INT32_MAX, jnp.int32))
+    (sums, peak, peakIdx), _ = jax.lax.scan(
+        body, init, (segB, vB, yyB, xxB, idxB, inB))
+    return sums[:-1], peak[:-1], peakIdx[:-1]
+
+
+@functools.partial(jax.jit, static_argnames=("max_objects", "n_iter",
+                                             "impl"))
+def detect_objects(SNMap, threshold, max_objects=128, n_iter=128,
+                   impl="auto"):
     """Segment a (masked) S/N map and reduce per-object statistics.
 
     Args:
@@ -70,11 +156,20 @@ def detect_objects(SNMap, threshold, max_objects=128, n_iter=128):
         max_objects: per-map object budget K (roots beyond it dropped -
             ``nObjects`` reports the true count so callers can detect
             overflow and fall back).
+        impl: segment-reduction formulation - "blocked" (one-hot matmul
+            scan, fastest on TPU), "scatter" (``segment_sum``, fastest
+            on CPU), or "auto" (by backend).  Outputs are identical;
+            position entries of INVALID buckets are unspecified in both.
     Returns dict of (K,) arrays:
         valid (bool), numPix, comY, comX (value-weighted centroid),
         peak (max S/N value in segment), peakY, peakX (first maximum,
         scan order), plus scalar nObjects.
     """
+    if impl == "auto":
+        # Measured at the DR5 survey shape (8 x 900 x 1728, v5e,
+        # 2026-08-20): whole-detect 1.62 s with (top_k + searchsorted +
+        # scatter), 0.22 s with (ord-gather + blocked matmul scan).
+        impl = "blocked" if jax.default_backend() == "tpu" else "scatter"
     ny, nx = SNMap.shape
     mask = SNMap > threshold
     labels = label_components(mask, n_iter=n_iter)
@@ -82,37 +177,29 @@ def detect_objects(SNMap, threshold, max_objects=128, n_iter=128):
     isRoot = jnp.logical_and(mask, labels == flat)
     nObjects = jnp.sum(isRoot.astype(jnp.int32))
 
-    # Up to K roots in pixel order: top_k over the root indicator breaks
-    # ties toward lower flat index, so equal values arrive sorted.
-    rootVals, rootIdx = jax.lax.top_k(isRoot.reshape(-1).astype(jnp.float32),
-                                      max_objects)
-    valid = rootVals > 0
-    roots = jnp.sort(jnp.where(valid, rootIdx, _BIG))
-    valid = roots < _BIG
-
+    # Bucket of each significant pixel = ordinal of its component's root
+    # among all roots in flat order (exclusive cumsum of the root
+    # indicator, gathered at the pixel's label - the label IS the root's
+    # flat index).  Roots beyond the budget go to overflow bucket K.
+    rootFlat = isRoot.reshape(-1)
+    ordFlat = jnp.cumsum(rootFlat.astype(jnp.int32)) - rootFlat
     labFlat = labels.reshape(-1)
     snFlat = SNMap.reshape(-1)
-    b = jnp.clip(jnp.searchsorted(roots, labFlat), 0, max_objects - 1)
-    inBucket = jnp.logical_and(labFlat != _BIG, roots[b] == labFlat)
-    seg = jnp.where(inBucket, b, max_objects)  # overflow bucket K
+    maskFlat = mask.reshape(-1)
+    bRaw = ordFlat[jnp.where(maskFlat, labFlat, 0)]
+    inBucket = jnp.logical_and(maskFlat, bRaw < max_objects)
+    seg = jnp.where(inBucket, bRaw, max_objects)  # overflow bucket K
 
-    K1 = max_objects + 1
-    ones = jnp.ones_like(snFlat)
-    yy = (jnp.arange(ny * nx, dtype=snFlat.dtype) // nx)
-    xx = (jnp.arange(ny * nx, dtype=snFlat.dtype) % nx)
-    count = jax.ops.segment_sum(ones, seg, num_segments=K1)[:-1]
-    sumV = jax.ops.segment_sum(snFlat, seg, num_segments=K1)[:-1]
-    sumVY = jax.ops.segment_sum(snFlat * yy, seg, num_segments=K1)[:-1]
-    sumVX = jax.ops.segment_sum(snFlat * xx, seg, num_segments=K1)[:-1]
-    peak = jax.ops.segment_max(jnp.where(inBucket, snFlat, -jnp.inf), seg,
-                               num_segments=K1)[:-1]
-    # First maximum (scipy maximum_position scan order): min flat index
-    # among pixels at the segment max.
-    atPeak = jnp.logical_and(inBucket, snFlat == peak[b])
-    peakIdx = jax.ops.segment_min(
-        jnp.where(atPeak, jnp.arange(ny * nx, dtype=jnp.int32), _BIG),
-        seg, num_segments=K1)[:-1]
-
+    if impl == "blocked":
+        sums, peak, peakIdx = _segment_stats_blocked(
+            snFlat, seg, inBucket, max_objects, nx)
+    else:
+        b = jnp.clip(bRaw, 0, max_objects - 1)
+        sums, peak, peakIdx = _segment_stats_scatter(
+            snFlat, seg, b, inBucket, max_objects, nx)
+    count, sumV, sumVY, sumVX = (sums[:, 0], sums[:, 1], sums[:, 2],
+                                 sums[:, 3])
+    valid = count > 0
     safe = jnp.maximum(sumV, 1e-30)
     return {"valid": valid, "numPix": count,
             "comY": sumVY / safe, "comX": sumVX / safe,
@@ -122,11 +209,13 @@ def detect_objects(SNMap, threshold, max_objects=128, n_iter=128):
             "nObjects": nObjects}
 
 
-def detect_objects_batch(SNBatch, threshold, max_objects=128, n_iter=128):
+def detect_objects_batch(SNBatch, threshold, max_objects=128, n_iter=128,
+                         impl="auto"):
     """vmap of :func:`detect_objects` over a tile batch."""
     return jax.vmap(lambda m: detect_objects(m, threshold,
                                              max_objects=max_objects,
-                                             n_iter=n_iter))(SNBatch)
+                                             n_iter=n_iter,
+                                             impl=impl))(SNBatch)
 
 
 @functools.partial(jax.jit, static_argnames=("window",))

@@ -304,3 +304,59 @@ def test_windowed_irfft2_matches_full_transform():
                 G, jnp.asarray(y0), jnp.asarray(x0), ny, nx, 33))
             assert np.max(np.abs(win - full[:, y0:y0 + 33,
                                             x0:x0 + 33])) < 1e-9
+
+
+@pytest.mark.parametrize("impl", ["scatter", "blocked"])
+def test_detect_objects_scipy_parity(impl):
+    """detect_objects (both segment-reduction formulations) vs scipy
+    ndimage label/center_of_mass/maximum_position - the host detection
+    stage it replaces (reference nemo/photometry.py:193-222)."""
+    from nemo_tpu.ops import detect as detect_ops
+
+    rng = np.random.default_rng(7)
+    sn = rng.normal(size=(96, 130)).astype(np.float32)
+    for _ in range(12):
+        y, x = rng.integers(4, 92), rng.integers(4, 126)
+        sn[y - 2:y + 3, x - 2:x + 3] += rng.uniform(5, 25)
+    sn[0:3] = 0.0  # border band, plus an empty-map case below
+
+    out = {k: np.asarray(v) for k, v in detect_ops.detect_objects(
+        jnp.asarray(sn), 4.0, max_objects=64, impl=impl).items()}
+
+    mask = sn > 4.0
+    labels, nObj = ndimage.label(mask, structure=np.array(
+        [[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
+    assert out["nObjects"] == nObj
+    objIDs = range(1, nObj + 1)
+    # scipy object order is by first-encountered (scan order), which for
+    # 4-connectivity equals ascending minimum flat index = bucket order
+    com = ndimage.center_of_mass(sn, labels, list(objIDs))
+    peakPos = ndimage.maximum_position(sn, labels, list(objIDs))
+    counts = ndimage.sum(np.ones_like(sn), labels, list(objIDs))
+    peaks = ndimage.maximum(sn, labels, list(objIDs))
+    assert out["valid"].sum() == nObj
+    np.testing.assert_allclose(out["numPix"][:nObj], counts)
+    np.testing.assert_allclose(out["peak"][:nObj], peaks, rtol=1e-6)
+    np.testing.assert_allclose(out["comY"][:nObj],
+                               [c[0] for c in com], rtol=1e-4)
+    np.testing.assert_allclose(out["comX"][:nObj],
+                               [c[1] for c in com], rtol=1e-4)
+    np.testing.assert_array_equal(out["peakY"][:nObj],
+                                  [p[0] for p in peakPos])
+    np.testing.assert_array_equal(out["peakX"][:nObj],
+                                  [p[1] for p in peakPos])
+
+    # overflow: budget smaller than the object count keeps the FIRST
+    # max_objects components in scan order and reports the true count
+    k = max(2, nObj - 3)
+    outK = {kk: np.asarray(v) for kk, v in detect_ops.detect_objects(
+        jnp.asarray(sn), 4.0, max_objects=k, impl=impl).items()}
+    assert outK["nObjects"] == nObj
+    assert outK["valid"].sum() == k
+    np.testing.assert_allclose(outK["numPix"][:k], counts[:k])
+
+    # empty map
+    out0 = detect_ops.detect_objects(jnp.zeros((64, 64), jnp.float32),
+                                     4.0, max_objects=8, impl=impl)
+    assert int(out0["nObjects"]) == 0
+    assert not bool(np.asarray(out0["valid"]).any())
