@@ -382,37 +382,56 @@ def fitQ(config):
             else:
                 # LRU touch: mark this geometry most-recently-used
                 paintCache[geomKey] = paintCache.pop(geomKey)
+            # Q per (tile, model) is ONE scalar: evaluate the sub-pixel
+            # peak read ON DEVICE (the same scipy-parity not-a-knot
+            # bicubic spline the detection path uses,
+            # ops/detect.spline_values) and ship ~55 floats per tile
+            # instead of crop stacks - at DR5 scale the 33x33-crop
+            # downloads were ~97% of the fitQ stage (37.5 s/chunk over
+            # the remote link; VERDICT r3 item 1).  window=24 reproduces
+            # the host path's anchor formula (interp._WINDOW) exactly,
+            # so Q matches the former crop+host-spline read to ~1e-12
+            # in float64 (see test_q_fit_batched_matches_serial).
+            # ``qfitDevicePeaks: false`` restores the crop downloads.
+            useDevicePeaks = config.parDict.get("qfitDevicePeaks", True)
+            pending = []
+            t0 = time_mod.time()
+            from ..ops import detect as detect_ops
+            from ..utils.transfer import start_host_copy
+            ysC = jnp.full((1,), cy)
+            xsC = jnp.full((1,), cx)
             # clamp to the tile: dynamic_slice (unlike a plain slice)
             # requires sizes <= operand dims, and irregular masks can
             # produce boundary tiles smaller than the crop window
             hCrop = min(int(cy) + half, shape[0]) - y0i
             wCrop = min(int(cx) + half, shape[1]) - x0i
-            # Dispatch every chunk's apply + jitted crop FIRST (async),
-            # then download: the device works through the queue while
-            # the first crops cross the link, hiding per-request latency.
-            # Only the small crops stay referenced; each chunk's full
-            # filtered stack is released as soon as its crop is queued.
-            pendingCrops = []
-            t0 = time_mod.time()
-            from ..utils.transfer import start_host_copy
             for dev, nChunk in paintCache[geomKey]:
                 filteredDev = filterObj.applyFilter(dev, returnDevice=True)
-                # compact the crop in a jitted slice before downloading:
-                # plain-slice downloads of large jit outputs can transfer
-                # the full buffer on remote TPU runtimes; the async copy
-                # starts every chunk's crop streaming so the download
-                # loop pays ~one link round trip, not one per chunk
-                pendingCrops.append((start_host_copy(
-                    _crop_stack(filteredDev, y0i, x0i, hCrop, wCrop)),
-                    nChunk))
+                if useDevicePeaks:
+                    sp, _ = detect_ops.spline_values(filteredDev, ysC, xsC,
+                                                     window=24)
+                    pending.append((start_host_copy(sp), nChunk))
+                else:
+                    # compact the crop in a jitted slice before
+                    # downloading: plain-slice downloads of large jit
+                    # outputs can transfer the whole buffer on remote
+                    # TPU runtimes; the async copy starts every chunk's
+                    # crop streaming so the download loop pays ~one link
+                    # round trip, not one per chunk
+                    pending.append((start_host_copy(
+                        _crop_stack(filteredDev, y0i, x0i, hCrop, wCrop)),
+                        nChunk))
                 del filteredDev
             tPhase["dispatch"] = time_mod.time() - t0
             t0 = time_mod.time()
-            for cropDev, nChunk in pendingCrops:
-                crops = np.asarray(cropDev)
-                for j in range(nChunk):
-                    peaks.append(subpixel_value(crops[j], cy - y0i,
-                                                cx - x0i))
+            for devArr, nChunk in pending:
+                vals = np.asarray(devArr)
+                if useDevicePeaks:
+                    peaks.extend(float(v) for v in vals[0, :nChunk])
+                else:
+                    for j in range(nChunk):
+                        peaks.append(subpixel_value(vals[j], cy - y0i,
+                                                    cx - x0i))
             tPhase["download"] = time_mod.time() - t0
         else:
             t0 = time_mod.time()

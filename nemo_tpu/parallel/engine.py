@@ -79,6 +79,8 @@ class _CopyBatch:
         self._groups = {}       # (shape, dtype) -> [device array, ...]
         self._stacked = None    # (shape, dtype) -> stacked device array
         self._host = {}         # (shape, dtype) -> fetched numpy stack
+        self.nRequests = 0      # blocking link reads issued
+        self.nBytes = 0         # bytes fetched by those reads
 
     def add(self, a):
         """Register a device array; returns a handle for :meth:`get`."""
@@ -93,6 +95,20 @@ class _CopyBatch:
                          for k, v in self._groups.items()}
         self._groups = {}
 
+    def block_until_ready(self):
+        """Wait for every stacked group's DEVICE computation (no
+        transfer): lets the caller attribute chunk wall-clock to device
+        compute vs link time - the stacked groups depend on every
+        label's step outputs, so readiness here means the chunk's device
+        work is done."""
+        if self._stacked is None:
+            self.dispatch()
+        for a in self._stacked.values():
+            try:
+                a.block_until_ready()
+            except AttributeError:
+                pass
+
     def get(self, handle):
         """Fetch one registered array (reads its whole group once)."""
         if self._stacked is None:
@@ -100,6 +116,8 @@ class _CopyBatch:
         key, idx = handle
         if key not in self._host:
             self._host[key] = np.asarray(self._stacked[key])
+            self.nRequests += 1
+            self.nBytes += self._host[key].nbytes
         return self._host[key][idx]
 
 
@@ -1710,6 +1728,13 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
             records[-4]["down"]["lagArr"].block_until_ready()
 
     co.dispatch()
+    # Attribution: wait for the chunk's DEVICE work here (readiness of
+    # the stacked groups, no transfer) so the consume loop's blocking
+    # reads measure pure link time - round 3 logged the whole residual
+    # as "download" and the device share went unnoticed (VERDICT r3).
+    t0 = _time.time()
+    co.block_until_ready()
+    tPhase["device"] = _time.time() - t0
     for rec in records:
         label = rec["label"]
         st = rec["st"]
@@ -1738,7 +1763,9 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
             co=co)
     if verbose:
         print("    [chunk: upload %.1fs, step(+compile) %.1fs, "
-              "download %.1fs (%.0f MB), detect %d/%d labels]"
-              % (tPhase["upload"], tPhase["step"], tPhase["download"],
-                 tPhase["downBytes"] / 1e6, tPhase["detectLabels"],
-                 len(labels)), flush=True)
+              "device %.1fs, download %.1fs (%d req, %.0f MB), "
+              "detect %d/%d labels]"
+              % (tPhase["upload"], tPhase["step"],
+                 tPhase.get("device", 0.0), tPhase["download"],
+                 co.nRequests, tPhase["downBytes"] / 1e6,
+                 tPhase["detectLabels"], len(labels)), flush=True)

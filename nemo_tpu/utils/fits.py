@@ -651,13 +651,22 @@ def _compressed_image_hdu_bytes(data, header, compressionType,
     if data.dtype == np.bool_:
         data = data.astype(np.uint8)
     if compressionType == "PLIO_1" and data.dtype.kind == "f":
-        # PLIO is an integer (mask) format; quantised-float PLIO is not
-        # supported - fall back to lossless-for-masks RICE
-        import warnings
-        warnings.warn("PLIO_1 write requested for float data; "
-                      "substituting RICE_1 on the uint8 cast")
-        compressionType = "RICE_1"
-        data = data.astype(np.uint8)
+        # PLIO is an integer (mask) format.  The pipeline's mask arrays
+        # are float (they ride through float device programs), but their
+        # VALUES are small non-negative integers - cast losslessly and
+        # write real PLIO, matching the reference's on-disk mask format
+        # (nemo/maps.py:2371).  Genuinely non-integral floats fall back
+        # to lossless-for-masks RICE with a warning.
+        rounded = np.round(data)
+        if np.all(np.isfinite(data)) and np.array_equal(data, rounded) \
+                and data.min() >= 0 and data.max() < 2 ** 27:
+            data = rounded.astype(np.int32)
+        else:
+            import warnings
+            warnings.warn("PLIO_1 write requested for non-integral float "
+                          "data; substituting RICE_1 on the uint8 cast")
+            compressionType = "RICE_1"
+            data = data.astype(np.uint8)
     isfloat = data.dtype.kind == "f"
     if isfloat:
         zbitpix = -32 if data.dtype == np.float32 else -64

@@ -205,13 +205,26 @@ def test_plio_write_roundtrip_and_float_fallback(tmp_path):
     back, header = nfits.read_image(path)
     assert np.array_equal(back, mask)
 
-    # Float data: PLIO is an integer format - warn + RICE on uint8 cast
+    # Integral-valued FLOAT masks (the pipeline's masks ride through
+    # float device programs) cast losslessly and write real PLIO - no
+    # warning, matching the reference's on-disk mask format
     path2 = str(tmp_path / "plio_float.fits")
-    with pytest.warns(UserWarning, match="PLIO_1"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         nfits.write_image(path2, mask.astype(np.float64),
                           compressionType="PLIO_1")
-    back2, _ = nfits.read_image(path2)
+    back2, header2 = nfits.read_image(path2)
     assert np.array_equal(back2, mask)
+    with open(path2, "rb") as f:
+        assert b"PLIO_1" in f.read()  # real PLIO tiles, not a RICE sub
+
+    # Genuinely non-integral float data still warns + falls back to RICE
+    path3 = str(tmp_path / "plio_nonint.fits")
+    with pytest.warns(UserWarning, match="PLIO_1"):
+        nfits.write_image(path3, mask.astype(np.float64) + 0.25,
+                          compressionType="PLIO_1")
+    back3, _ = nfits.read_image(path3)
+    assert np.array_equal(back3, mask)
 
 
 def test_dither_sequence_matches_convention():
