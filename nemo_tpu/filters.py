@@ -659,7 +659,16 @@ class MatchedFilter(MapFilter):
                 maps_.append(d)
             return jnp.asarray(np.stack(maps_))
         if method == "model":
-            # CMB + white noise from the weights (filters.py:552-562)
+            # CMB + white noise from the weights (filters.py:552-562).
+            # Declination policy (maps.resolveSimMethod): the reference
+            # draws this model CMB with a curved-sky SHT everywhere
+            # (nemo/maps.py:1257); above CURVED_SKY_DEC_DEG the flat
+            # banded GRF's residual distortion reaches the damping
+            # tail, so the exact curved path takes over there.
+            from . import maps as maps_mod
+            curved = maps_mod.resolveSimMethod(
+                self.wcs, self.shape, "auto",
+                context="model-noise covariance") == "curved"
             maps_ = []
             for i, mapDict in enumerate(self.unfilteredMapsDictList):
                 weights = np.asarray(mapDict["weights"])
@@ -668,12 +677,19 @@ class MatchedFilter(MapFilter):
                 RMS = max(RMS, 10.0)
                 beam = BeamProfile(beamFileName=mapDict["beamFileName"])
                 key = jax.random.PRNGKey(3141592654 + i)
-                from . import maps as maps_mod
-                cmb = grf.sim_cmb_map(
-                    key, self.shape, self.pixScalesRad,
-                    beamBell=beam.Bell, beamEll=beam.ell, noiseLevel=RMS,
-                    dx_rows=maps_mod.pixScaleXRadPerRow(self.wcs,
-                                                        self.shape))
+                if curved:
+                    from .ops import sht
+                    cmb = sht.sim_cmb_map_curved(
+                        key, self.shape, self.wcs, beamBell=beam.Bell,
+                        beamEll=beam.ell, noiseLevel=RMS,
+                        lmax=maps_mod.CURVED_AUTO_LMAX)
+                else:
+                    cmb = grf.sim_cmb_map(
+                        key, self.shape, self.pixScalesRad,
+                        beamBell=beam.Bell, beamEll=beam.ell,
+                        noiseLevel=RMS,
+                        dx_rows=maps_mod.pixScaleXRadPerRow(self.wcs,
+                                                            self.shape))
                 maps_.append(np.asarray(cmb))
             return jnp.asarray(np.stack(maps_))
         raise ValueError("Unknown noiseParams method '%s'" % method)

@@ -58,6 +58,57 @@ def pixScaleXRadPerRow(wcs, shape=None):
     return np.radians(calcAngSepDeg(ra0, dec0, ra1, dec1))
 
 
+# Declination policy for simulated skies (VERDICT r3 missing #3): the
+# reference synthesises CMB/1-f realisations through a curved-sky SHT
+# everywhere (nemo/maps.py:1257,1326-1341); the fast flat path here is
+# dec-aware-banded but its residual multipole distortion reaches the
+# damping tail above |dec| ~ 40 deg (PARITY.md "Flat-sky simulation
+# error"; tests/test_flatsky_bound.py).  method="auto" therefore
+# switches to the exact curved SHT path (ops/sht.py) when any part of
+# the map lies above CURVED_SKY_DEC_DEG, and an EXPLICIT method="flat"
+# on such a map warns instead of silently using the distorted geometry.
+CURVED_SKY_DEC_DEG = 40.0
+# Band limit for auto-selected curved draws (Legendre cost ~ lmax^2 x
+# rings): beyond l ~ 6000 the lensed TT power is < 1e-3 of its peak and
+# far below any realistic noise level, while the flat path's distortion
+# lives at exactly these scales.  Explicit method="curved" calls keep
+# their own lmax semantics.
+CURVED_AUTO_LMAX = 6000
+SIM_METHOD_OVERRIDE = None      # set from the config key simCMBMethod
+
+_warnedFlatHighDec = set()
+
+
+def maxAbsDecDeg(wcs, shape):
+    """Largest |dec| spanned by the map (centre column end rows)."""
+    ny = shape[0]
+    cx = float(shape[1] // 2)
+    decs = [wcs.pix2wcs(cx, 0.0)[1], wcs.pix2wcs(cx, float(ny - 1))[1]]
+    return float(np.max(np.abs(decs)))
+
+
+def resolveSimMethod(wcs, shape, method="auto", context="sim"):
+    """Resolve a simulation ``method`` ("auto"/"flat"/"curved") against
+    the declination policy; warns (once per context) when flat-sky
+    synthesis is explicitly forced on a high-|dec| map."""
+    highDec = maxAbsDecDeg(wcs, shape) > CURVED_SKY_DEC_DEG
+    if method == "auto":
+        if SIM_METHOD_OVERRIDE in ("flat", "curved"):
+            method = SIM_METHOD_OVERRIDE
+        else:
+            return "curved" if highDec else "flat"
+    if method == "flat" and highDec and context not in _warnedFlatHighDec:
+        import warnings
+        warnings.warn(
+            "flat-sky %s on a map reaching |dec| = %.1f deg (> %.0f): "
+            "the flat multipole distortion is order-unity in the "
+            "damping tail there; the reference uses a curved-sky SHT "
+            "(pass method='curved' or config simCMBMethod: curved)"
+            % (context, maxAbsDecDeg(wcs, shape), CURVED_SKY_DEC_DEG))
+        _warnedFlatHighDec.add(context)
+    return method
+
+
 # Decompressed-file cache for tile clipping of maps that cannot be
 # memory-mapped (tile-compressed / gzipped).  A tiled survey run clips
 # every tile from the same full-survey files; without this, each tile
@@ -268,10 +319,21 @@ class MapDict(dict):
         if "CMBSimSeed" in self:
             key = jax.random.PRNGKey(int(self["CMBSimSeed"]))
             beam = BeamProfile(beamFileName=self["beamFileName"])
-            randMap = np.array(grf.sim_cmb_map(
-                key, data.shape, pixScalesRad(wcs, data.shape),
-                beamBell=beam.Bell, beamEll=beam.ell,
-                dx_rows=pixScaleXRadPerRow(wcs, data.shape)))
+            # Declination policy (resolveSimMethod): curved-sky SHT
+            # above CURVED_SKY_DEC_DEG, dec-aware banded GRF below -
+            # the reference's sky-sim contamination estimate is curved
+            # everywhere (nemo/maps.py:1257 via simCMBMap).
+            if resolveSimMethod(wcs, data.shape, "auto",
+                                context="CMBSimSeed") == "curved":
+                from .ops import sht
+                randMap = np.array(sht.sim_cmb_map_curved(
+                    key, data.shape, wcs, beamBell=beam.Bell,
+                    beamEll=beam.ell, lmax=CURVED_AUTO_LMAX))
+            else:
+                randMap = np.array(grf.sim_cmb_map(
+                    key, data.shape, pixScalesRad(wcs, data.shape),
+                    beamBell=beam.Bell, beamEll=beam.ell,
+                    dx_rows=pixScaleXRadPerRow(wcs, data.shape)))
             randMap[weights == 0] = 0
             mask = data != 0
             whiteNoiseLevel = np.zeros(weights.shape)
@@ -603,7 +665,7 @@ def chunkLoadMask(fileName, numChunks=8, dtype=np.uint8):
 # Simulation
 
 def simCMBMap(shape, wcs, noiseLevel=None, beam=None, seed=None,
-              method="flat", lmax=None):
+              method="auto", lmax=None):
     """Simulated CMB map (``maps.py:1223-1264``).
 
     ``method="flat"`` draws a dec-aware flat-sky GRF per tile (fast; the
@@ -611,7 +673,10 @@ def simCMBMap(shape, wcs, noiseLevel=None, beam=None, seed=None,
     ``tests/test_flatsky_bound.py``).  ``method="curved"`` synthesises
     the realisation through the real spherical-harmonic transform on the
     map's iso-latitude rings (``ops/sht.py``) - the exact counterpart of
-    the reference's ``curvedsky.rand_map`` (``maps.py:1257``)."""
+    the reference's ``curvedsky.rand_map`` (``maps.py:1257``).
+    ``method="auto"`` (default) picks curved above
+    ``CURVED_SKY_DEC_DEG`` (band-limited at ``CURVED_AUTO_LMAX``), flat
+    below - see :func:`resolveSimMethod`."""
     if seed is None:
         seed = np.random.randint(0, 2 ** 31 - 1)
     key = jax.random.PRNGKey(int(seed))
@@ -620,6 +685,10 @@ def simCMBMap(shape, wcs, noiseLevel=None, beam=None, seed=None,
         if isinstance(beam, str):
             beam = BeamProfile(beamFileName=beam)
         beamEll, beamBell = beam.ell, beam.Bell
+    if method == "auto" and lmax is None:
+        lmax = CURVED_AUTO_LMAX \
+            if resolveSimMethod(wcs, shape, "auto") == "curved" else None
+    method = resolveSimMethod(wcs, shape, method, context="simCMBMap")
     if method == "curved":
         from .ops import sht
         return np.asarray(sht.sim_cmb_map_curved(
@@ -643,13 +712,15 @@ def simCMBMap(shape, wcs, noiseLevel=None, beam=None, seed=None,
 
 
 def simNoiseMap(shape, noiseLevel, wcs=None, lKnee=None, alpha=-3,
-                noiseMode="perPixel", seed=None, method="flat"):
+                noiseMode="perPixel", seed=None, method="auto"):
     """White or 1/f noise map (``maps.py:1267-1352``).
 
     ``method="curved"`` (1/f only) shapes the atmosphere through the
     curved-sky alm round trip exactly as the reference does
-    (``maps.py:1326-1341``); the flat default shapes the same N_l on
-    the tile's Fourier grid."""
+    (``maps.py:1326-1341``); the flat path shapes the same N_l on the
+    tile's Fourier grid.  ``method="auto"`` picks curved for 1/f noise
+    above ``CURVED_SKY_DEC_DEG`` (white noise is geometry-free and
+    always draws flat)."""
     if seed is None:
         seed = np.random.randint(0, 2 ** 31 - 1)
     key = jax.random.PRNGKey(int(seed))
@@ -658,6 +729,12 @@ def simNoiseMap(shape, noiseLevel, wcs=None, lKnee=None, alpha=-3,
             raise ValueError("1/f noise requires noiseMode='perPixel'")
         arcmin2Map = getPixelAreaArcmin2Map(shape, wcs)
         noiseLevel = noiseLevel / arcmin2Map
+    if method == "auto":
+        method = "flat" if (lKnee is None or wcs is None) \
+            else resolveSimMethod(wcs, shape, "auto")
+    elif wcs is not None:
+        method = resolveSimMethod(wcs, shape, method,
+                                  context="simNoiseMap")
     if method == "curved":
         if lKnee is None:
             raise ValueError("method='curved' applies to 1/f noise only")
