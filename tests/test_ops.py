@@ -306,9 +306,9 @@ def test_windowed_irfft2_matches_full_transform():
                                             x0:x0 + 33])) < 1e-9
 
 
-@pytest.mark.parametrize("impl", ["scatter", "blocked"])
+@pytest.mark.parametrize("impl", ["scatter", "blocked", "compact"])
 def test_detect_objects_scipy_parity(impl):
-    """detect_objects (both segment-reduction formulations) vs scipy
+    """detect_objects (all segment-reduction formulations) vs scipy
     ndimage label/center_of_mass/maximum_position - the host detection
     stage it replaces (reference nemo/photometry.py:193-222)."""
     from nemo_tpu.ops import detect as detect_ops
@@ -360,3 +360,21 @@ def test_detect_objects_scipy_parity(impl):
                                      4.0, max_objects=8, impl=impl)
     assert int(out0["nObjects"]) == 0
     assert not bool(np.asarray(out0["valid"]).any())
+
+
+def test_detect_objects_compact_budget_overflow():
+    """compact impl: blowing the significant-pixel budget must force
+    nObjects above max_objects so callers take the host-fallback path
+    (stats past the budget silently drop pixels)."""
+    from nemo_tpu.ops import detect as detect_ops
+
+    sn = np.zeros((64, 64), dtype=np.float32)
+    sn[8:40, 8:40] = 10.0          # one huge 1024-pixel segment
+    out = detect_ops.detect_objects(jnp.asarray(sn), 4.0, max_objects=8,
+                                    impl="compact", max_pix=256)
+    assert int(out["nObjects"]) > 8
+    # with an adequate budget the same map reports the true count
+    ok = detect_ops.detect_objects(jnp.asarray(sn), 4.0, max_objects=8,
+                                   impl="compact", max_pix=2048)
+    assert int(ok["nObjects"]) == 1
+    assert float(np.asarray(ok["numPix"])[0]) == 1024.0
