@@ -38,6 +38,12 @@ class MockSurvey:
         self.delta = delta
         self.rhoType = rhoType
         self.massFuncName = massFunction
+        # reference naming (CCL): 'eisenstein_hu' or 'boltzmann_camb'
+        # (nemo/MockSurvey.py:66); maps onto the native transfer options
+        self.transferFunction = {
+            "eisenstein_hu": "eh98", "eh98": "eh98",
+            "boltzmann_camb": "boltzmann",
+            "boltzmann": "boltzmann"}[transferFunction]
         self.mdefLabel = "M%d%s" % (delta, rhoType[0])
 
         self.H0 = -1
@@ -72,8 +78,9 @@ class MockSurvey:
                 (H0, Om0, Ob0, sigma8, ns):
             self.H0, self.Om0, self.Ob0 = H0, Om0, Ob0
             self.sigma8, self.ns = sigma8, ns
-            self.cosmoModel = cosmo_mod.FlatLCDM(H0=H0, Om0=Om0, Ob0=Ob0,
-                                                 sigma8=sigma8, ns=ns)
+            self.cosmoModel = cosmo_mod.FlatLCDM(
+                H0=H0, Om0=Om0, Ob0=Ob0, sigma8=sigma8, ns=ns,
+                transferFunction=self.transferFunction)
         self._doClusterCount()
 
         cm = self.cosmoModel

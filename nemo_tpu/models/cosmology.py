@@ -44,10 +44,24 @@ def rho_crit0(h):
 
 
 class FlatLCDM:
-    """Flat LCDM background + linear power + Tinker08 HMF."""
+    """Flat LCDM background + linear power + Tinker08 HMF.
+
+    ``transferFunction``: "eh98" (Eisenstein & Hu 1998 with wiggles,
+    instantaneous - the default) or "boltzmann" (the native linear
+    Boltzmann solver, ``models/boltzmann.py`` - the first-principles
+    counterpart of the reference's CCL ``boltzmann_camb`` transfer,
+    ``nemo/MockSurvey.py:159-307``; sigma(M) SHAPE differs from EH98 by
+    the documented -1%..+2% over M 1e13..1e16).  The Boltzmann table
+    costs ~seconds on TPU / a few minutes on one CPU core per distinct
+    (H0, Om0, Ob0); results are cached per parameter set.
+    """
 
     def __init__(self, H0=70.0, Om0=0.3, Ob0=0.05, sigma8=0.8, ns=0.95,
-                 zmax=12.0, ngrid=4096):
+                 zmax=12.0, ngrid=4096, transferFunction="eh98"):
+        if transferFunction not in ("eh98", "boltzmann"):
+            raise ValueError("transferFunction must be 'eh98' or "
+                             "'boltzmann'")
+        self.transferFunction = transferFunction
         self.H0 = float(H0)
         self.h = self.H0 / 100.0
         self.Om0 = float(Om0)
@@ -190,9 +204,35 @@ class FlatLCDM:
 
         return fb * Tb + (1 - fb) * Tc
 
+    def _boltzmann_transfer(self, k):
+        """Conventional T(k) from the native Boltzmann solver, spliced
+        onto EH98 outside the solved range (k < 1e-4 is superhorizon-
+        flat; k > 30 contributes nothing to sigma(M >= 1e13) through
+        the W^2 filter - both splices are continuous by scaling EH98 to
+        match at the boundary)."""
+        from . import boltzmann
+        kb = np.logspace(-4, np.log10(30.0), 160)
+        Traw, _ = boltzmann.transfer_function(
+            kb, H0=self.H0, Om0=self.Om0, Ob0=self.Ob0)
+        Tb = np.abs(Traw) / kb ** 2     # strip the sub-horizon k^2
+        Teh = self._eh98_transfer(k)
+        TehB = self._eh98_transfer(kb)
+        T = np.empty_like(k)
+        inner = (k >= kb[0]) & (k <= kb[-1])
+        T[inner] = np.exp(np.interp(np.log(k[inner]), np.log(kb),
+                                    np.log(Tb)))
+        lo = k < kb[0]
+        T[lo] = Teh[lo] * (Tb[0] / TehB[0])
+        hi = k > kb[-1]
+        T[hi] = Teh[hi] * (Tb[-1] / TehB[-1])
+        return T
+
     def _init_power(self):
         k = np.logspace(-5, 3, 4096)  # Mpc^-1
-        T = self._eh98_transfer(k)
+        if self.transferFunction == "boltzmann":
+            T = self._boltzmann_transfer(k)
+        else:
+            T = self._eh98_transfer(k)
         pk_un = k ** self.ns * T ** 2
         R8 = 8.0 / self.h
         s8_un = np.sqrt(self._sigma2_of_R(R8, k, pk_un))

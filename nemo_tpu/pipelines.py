@@ -301,7 +301,13 @@ def _filterMapsAndMakeCatalogs(config, rootOutDir=None,
                 and not config.parDict["measureShapes"]:
             detectParams = (
                 float(config.parDict["thresholdSigma"]),
-                int(config.parDict.get("deviceDetectionMaxObjects", 128)),
+                # At a 4-sigma threshold a DR5-sized tile (~2M pixels)
+                # carries ~70-100 Gaussian-noise peaks alone, and ragged
+                # survey edges add more; 512 keeps real tiles inside the
+                # device budget (the compact segment stats make a larger
+                # K essentially free), while overflow still falls back
+                # to host detection.
+                int(config.parDict.get("deviceDetectionMaxObjects", 512)),
                 128,
                 bool(config.parDict["findCenterOfMass"]),
                 16)
