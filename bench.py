@@ -39,11 +39,15 @@ import numpy as np
 
 
 def _record_of_record():
-    """The committed end-to-end DR5-scale record: the benchmark artifact
-    with the smallest end_to_end_s.  Returns (basis, ratio, seconds);
-    self-maintaining as new record directories are committed."""
+    """The committed end-to-end DR5-scale record: the best speedup among
+    benchmark artifacts whose workload MATCHES the reference's tile
+    accounting (tiles_match_reference; earlier records used a smaller
+    214-tile rectangle and would overstate the ratio), falling back to
+    the best overall if no matched record exists.  Returns
+    (basis, ratio, seconds); self-maintaining as new record directories
+    are committed."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best = None
+    best = bestMatched = None
     for p in glob.glob(os.path.join(here, "docs", "benchmarks", "*",
                                     "results_summary.json")):
         try:
@@ -53,8 +57,14 @@ def _record_of_record():
             ref = float(d.get("reference_wallclock_s", 17940.0))
         except Exception:
             continue
-        if best is None or e2e < best[2]:
-            best = (os.path.basename(os.path.dirname(p)), ref / e2e, e2e)
+        row = (os.path.basename(os.path.dirname(p)), ref / e2e, e2e)
+        if best is None or row[1] > best[1]:
+            best = row
+        if d.get("tiles_match_reference") and (
+                bestMatched is None or row[1] > bestMatched[1]):
+            bestMatched = row
+    if bestMatched is not None:
+        return bestMatched
     if best is None:
         return "none committed", 0.0, float("inf")
     return best
