@@ -467,6 +467,11 @@ def fitQ(config):
         QTab.meta["ZDEPQ"] = zDepQ
         QTab.meta["TILENAME"] = tileName
         QTabDict[tileName] = QTab
+        # fitQ is the last in-process consumer of this tile's resident
+        # reference filter: retire it (background FITS write + HBM free)
+        if filterObj.filterFileName is not None:
+            from ..parallel import filtercache
+            filtercache.release(filterObj.filterFileName)
         tTile = time_mod.time() - tTile0
         extra = "" if tPaint is None \
             else ", incl. %.1f s painting the band's model stack" % tPaint

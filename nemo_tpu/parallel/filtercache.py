@@ -53,9 +53,15 @@ class DeviceFilterCache:
                 limit = stats.get("bytes_limit")
         except Exception:
             limit = None
-        # A quarter of HBM, capped at 4 GiB; generous fallback on hosts
-        # that don't report a limit (CPU tests - entries there are small).
-        self._maxBytes = min(limit // 4, 4 * _GiB) if limit else 4 * _GiB
+        # An eighth of HBM, capped at 1.5 GiB: at DR5 scale a 4 GiB
+        # resident cache (282 x 18 MB filters) plus the fitQ paint
+        # caches pressured the allocator into ~55 s stalls on the first
+        # fitQ tiles (docs/benchmarks/dr5_r4/README.md), while a cache
+        # MISS only costs one ~18 MB FITS read + upload (~0.3 s on the
+        # measured 30-70 MB/s link).  Generous fallback on hosts that
+        # don't report a limit (CPU tests - entries there are small).
+        self._maxBytes = min(limit // 8, 3 * _GiB // 2) if limit \
+            else 4 * _GiB
         return self._maxBytes
 
     def put(self, fileName, filtDev, signalNorm, fRelWeights):
@@ -74,6 +80,13 @@ class DeviceFilterCache:
     def get(self, fileName):
         with self._lock:
             return self._entries.get(fileName)
+
+    def pop(self, fileName):
+        with self._lock:
+            ent = self._entries.pop(fileName, None)
+            if ent is not None:
+                self._bytes -= ent["nbytes"]
+            return ent
 
     def clear(self):
         with self._lock:
@@ -219,6 +232,17 @@ def deferred_count():
 def ensure_written(fileName):
     _materialize(fileName)
     WRITER.ensure_written(fileName)
+
+
+def release(fileName):
+    """Progressively retire a device-resident filter once its LAST
+    in-process consumer is done with it (fitQ releases each tile's
+    reference filter after measuring Q): the deferred FITS write is
+    queued on the background writer and the HBM copy is dropped, so the
+    resident-cache pressure falls tile by tile instead of pinning ~GBs
+    until exit.  Later readers (injection reruns) reload the FITS."""
+    _materialize(fileName)
+    DEVICE_CACHE.pop(fileName)
 
 
 def flush(timeout=None, materialize_deferred=False):
