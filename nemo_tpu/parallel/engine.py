@@ -736,6 +736,7 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
 
     import time as _time
     phaseT = {"stageWait": 0.0}
+    tBatch0 = _time.time()
 
     # Stage whole tiles (preprocess + every label's _prepare_tile, incl.
     # the bank template painting dispatches) on a worker thread: round 3
@@ -834,6 +835,16 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
         if bucket["names"]:
             _flush_mf(key, bucket)
     _drain_mf(depth=0)
+    if verbose:
+        # Stage-exit accounting: the per-chunk budget lines cover only
+        # the upload/step/device/download phases; whatever wall-clock a
+        # survey run spends OUTSIDE them (consume-pass host assembly,
+        # tail-bucket compiles, writer backpressure) shows up here as
+        # the residual vs this total (VERDICT r4 follow-up: the r4
+        # record's filtering stage had ~1.2 ks unattributed).
+        print("    [batch total %.1fs; staging-worker wait %.1fs]"
+              % (_time.time() - tBatch0, phaseT["stageWait"]),
+              flush=True)
     return results
 
 
