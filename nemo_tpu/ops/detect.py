@@ -29,12 +29,16 @@ Algorithm:
 4. Per-component count, value-weighted centroid (= scipy
    ``center_of_mass`` with the map as weights), peak value and
    first-maximum position (= scipy ``maximum_position``) come from
-   segment reductions.  On TPU these run as a blocked one-hot matmul
-   scan (8192-pixel blocks x (K+1) buckets on the MXU, f32-exact via
-   Precision.HIGHEST) - XLA's scatter lowering serialises the
-   conflicting updates and costs ~0.7 s/batch at the DR5 shape vs
-   ~0.14 s for the blocked scan; elsewhere (CPU tests) the plain
-   ``segment_sum`` scatter path wins and is used instead.
+   segment reductions.  On TPU these run on a COMPACTED fixed-size
+   buffer of the significant pixels (``jnp.nonzero`` with a static
+   size; one one-hot matmul on the MXU, f32-exact via
+   Precision.HIGHEST) - a 4-sigma threshold keeps ~0.003% of pixels,
+   so the gather replaces a 190-block scan over the full map (~0.17 s
+   -> ~0.01 s at the DR5 chunk shape, docs/benchmarks/profile_r4).
+   Blowing the pixel budget forces the caller's host-fallback path.
+   Elsewhere (CPU tests) the plain ``segment_sum`` scatter path wins
+   and is used instead; the blocked matmul scan is kept as a third
+   implementation for cross-checks.
 """
 
 import functools
