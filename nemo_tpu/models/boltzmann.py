@@ -159,11 +159,10 @@ class Background:
                 x = 0.5 * (x + xNew)
             xe[i] = x
 
-        # Peebles takeover for the H tail once Saha xH < 0.985
-        xH_saha = np.clip(xe - fHe * 0.0, 0, None)  # He is fully
-        # recombined well before H becomes relevant; treat xe below the
-        # switch as purely hydrogen
-        switch = np.argmax((xe - 0.0) < 0.985)
+        # Peebles takeover for the H tail once total x_e < 0.985 (He is
+        # fully recombined well before hydrogen becomes relevant, so xe
+        # below the switch is purely hydrogen)
+        switch = np.argmax(xe < 0.985)
         if switch == 0:
             switch = len(a) - 1
         lam_2s1s = 8.227                                 # s^-1
