@@ -53,15 +53,16 @@ class DeviceFilterCache:
                 limit = stats.get("bytes_limit")
         except Exception:
             limit = None
-        # An eighth of HBM, capped at 1.5 GiB: at DR5 scale a 4 GiB
-        # resident cache (282 x 18 MB filters) plus the fitQ paint
-        # caches pressured the allocator into ~55 s stalls on the first
-        # fitQ tiles (docs/benchmarks/dr5_r4/README.md), while a cache
-        # MISS only costs one ~18 MB FITS read + upload (~0.3 s on the
-        # measured 30-70 MB/s link).  Generous fallback on hosts that
-        # don't report a limit (CPU tests - entries there are small).
-        self._maxBytes = min(limit // 8, 3 * _GiB // 2) if limit \
-            else 4 * _GiB
+        # A quarter of HBM, capped at 4 GiB.  (A round-4 experiment
+        # cut this to 1.5 GiB chasing the record run's ~55 s early-fitQ
+        # stalls; the resulting ~200 filter spills through the
+        # background writer DURING filtering made chunks measurably
+        # slower on the 1-core host, so the budget went back - the fitQ
+        # pressure is handled by filtercache.release() retiring each
+        # tile's filter right after fitQ consumes it.)  Generous
+        # fallback on hosts that don't report a limit (CPU tests -
+        # entries there are small).
+        self._maxBytes = min(limit // 4, 4 * _GiB) if limit else 4 * _GiB
         return self._maxBytes
 
     def put(self, fileName, filtDev, signalNorm, fRelWeights):
