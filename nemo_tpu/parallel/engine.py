@@ -1851,7 +1851,8 @@ def _process_bucket_impl(config, ctx, gridSize, trimPix, mesh, nDev,
             import json as _json
             rec = {k: (round(v, 3) if isinstance(v, float) else v)
                    for k, v in tPhase.items()}
-            rec.update({"chunk": chunkIdx, "nTiles": len(names),
+            rec.update({"t_wall": round(_time.time(), 2),
+                        "chunk": chunkIdx, "nTiles": len(names),
                         "nLabels": len(labels),
                         "padShape": list(padShape),
                         "requests": co.nRequests,
