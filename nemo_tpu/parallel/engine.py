@@ -212,7 +212,18 @@ def _apod_np(shape, width):
 def _stage_tile_common(filterObj):
     """Label-independent big arrays for one tile (shared by every filter
     in a multi-filter batch: one host stack + one device upload instead of
-    one per filter)."""
+    one per filter).
+
+    Tiles with ragged data coverage (observed region not filling the
+    tile rectangle) get the coverage-edge taper folded into their
+    apodisation window and the coverage-edge trim folded into their
+    survey mask (``filters.raggedEdgeArrays``): the trim width comes
+    from the representative ``filterObj`` - filter banks share one trim
+    in practice (it derives from the noise grid, which the engine also
+    assumes bank-wide).  Fully-covered tiles keep the SHARED per-shape
+    apod ndarray, preserving the bucket runner's upload dedup."""
+    from ..filters import raggedEdgeArrays
+
     dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
                           for m in filterObj.unfilteredMapsDictList])
     apodM = _apod_np(filterObj.shape, filterObj.apodPix)
@@ -221,6 +232,13 @@ def _stage_tile_common(filterObj):
     psMask = np.asarray(
         filterObj.unfilteredMapsDictList[0]["pointSourceMask"],
         dtype=np.float64)
+    validHost = (dataStack != 0).all(axis=0)
+    if not validHost.all():
+        taper, keep = raggedEdgeArrays(validHost, filterObj.apodPix,
+                                       filterObj._trimSizePix(),
+                                       gridPix=filterObj._noiseGridPix())
+        apodM = apodM * taper
+        surveyMask = surveyMask * keep
     return {"data": dataStack, "apodM": apodM, "surveyMask": surveyMask,
             "psMask": psMask, "shape": filterObj.shape,
             "padShape": filterObj.padShape}
@@ -509,13 +527,25 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
                              dtype=np.float64)
     else:
         fgPower = None
+    surveyMask = common["surveyMask"]
+    trimPix = filterObj._trimSizePix()
+    if common.get("coverEdt") is not None:
+        # ragged coverage: fold the coverage-edge trim into the survey
+        # mask (filters.raggedEdgeArrays semantics), cached per erosion
+        # width so same-trim labels share ONE ndarray (upload dedup)
+        erodePix = filters_mod.coverageErodePix(filterObj.apodPix,
+                                                trimPix, gridSize)
+        keepKey = ("keepMask", erodePix)
+        if keepKey not in common:
+            common[keepKey] = surveyMask * (common["coverEdt"] > erodePix)
+        surveyMask = common[keepKey]
     return filterObj, {"common": common, "data": dataStack,
                        "noise": noiseStack,
                        "cachedFilt": cachedFilt, "cachedNorm": cachedNorm,
                        "fgPower": fgPower, "template": templates,
                        "calib": calibStack, "w": w,
                        "apodM": common["apodM"],
-                       "surveyMask": common["surveyMask"],
+                       "surveyMask": surveyMask,
                        "psMask": common["psMask"],
                        "gridSize": gridSize,
                        "trimPix": filterObj._trimSizePix(),
@@ -556,6 +586,15 @@ def _prepare_tile_realspace(config, f, tileName, mapsList=None,
     psMask = np.asarray(
         filterObj.unfilteredMapsDictList[0]["pointSourceMask"],
         dtype=np.float64)
+    validHost = (dataStack != 0).all(axis=0)
+    if not validHost.all():
+        # ragged coverage: engage the coverage-edge trim (erosion only -
+        # the compact conv kernel needs no taper; see host
+        # RealSpaceMatchedFilter.buildAndApply)
+        _, keep = filters_mod.raggedEdgeArrays(
+            validHost, filterObj.apodPix, filterObj._trimSizePix(),
+            gridPix=filterObj._noiseGridPix())
+        surveyMask = surveyMask * keep
     gridSize = int(round(
         (params["noiseParams"]["noiseGridArcmin"] / 60.0)
         / filterObj.wcs.getPixelSizeDeg()))
@@ -851,7 +890,14 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
 def _stage_tile_common_from_maps(mapsList):
     """Label-independent big arrays for one tile, straight from the
     preprocessed map dicts (no filter object needed: the apodisation width
-    is the fixed MapFilter.apodPix = 20 and padShape is shape-derived)."""
+    is the fixed MapFilter.apodPix = 20 and padShape is shape-derived).
+
+    Ragged-coverage tiles (nonzero-data region not filling the
+    rectangle) get the coverage-edge taper folded into their apod
+    window here and carry the coverage distance transform
+    (``coverEdt``) so :func:`_prepare_tile` can fold the per-label
+    coverage-edge trim into the survey mask
+    (``filters.raggedEdgeArrays``)."""
     dataStack = np.stack([np.asarray(m["data"], dtype=np.float64)
                           for m in mapsList])
     shape = dataStack.shape[-2:]
@@ -860,8 +906,17 @@ def _stage_tile_common_from_maps(mapsList):
     apodM = _apod_np(shape, 20)
     surveyMask = np.asarray(mapsList[0]["surveyMask"], dtype=np.float64)
     psMask = np.asarray(mapsList[0]["pointSourceMask"], dtype=np.float64)
+    coverEdt = None
+    validHost = (dataStack != 0).all(axis=0)
+    if not validHost.all():
+        from scipy.ndimage import distance_transform_edt
+        coverEdt = distance_transform_edt(validHost).astype(np.float32)
+        w = 20.0
+        apodM = apodM * (0.5 - 0.5 * np.cos(
+            np.pi * np.minimum(coverEdt / w, 1.0)))
     return {"data": dataStack, "apodM": apodM, "surveyMask": surveyMask,
-            "psMask": psMask, "shape": shape, "padShape": padShape}
+            "psMask": psMask, "shape": shape, "padShape": padShape,
+            "coverEdt": coverEdt}
 
 
 def _emit_result(config, filterObj, tileName, dataMap, SNMap, RMSMap,

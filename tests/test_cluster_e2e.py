@@ -189,6 +189,30 @@ def test_q_fit_batched_matches_serial(cluster_run):
             np.asarray(serial[tileName]["theta500Arcmin"]), rtol=1e-10)
 
 
+def test_q_fit_tile_batched_matches_serial(cluster_run):
+    """fitQ's tile-batched route (models/qfit._fitQTileBatched, VERDICT
+    r4 next #2) returns the serial per-tile route's Q tables."""
+    inputTab, cat, config, simDir, w, configPath = cluster_run
+    config.parDict["qfitTileBatch"] = False
+    try:
+        serial = qfit.fitQ(config)
+        config.parDict["qfitTileBatch"] = True
+        config.parDict["qfitTileBatchSize"] = 3
+        batched = qfit.fitQ(config)
+    finally:
+        config.parDict.pop("qfitTileBatch", None)
+        config.parDict.pop("qfitTileBatchSize", None)
+    assert set(serial) == set(batched)
+    for tileName in serial:
+        assert len(serial[tileName]) == len(batched[tileName])
+        np.testing.assert_allclose(
+            np.asarray(batched[tileName]["Q"]),
+            np.asarray(serial[tileName]["Q"]), rtol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(batched[tileName]["theta500Arcmin"]),
+            np.asarray(serial[tileName]["theta500Arcmin"]), rtol=1e-10)
+
+
 def test_rms_tables_and_selfn(cluster_run):
     inputTab, cat, config, simDir, w, configPath = cluster_run
     pipelines.makeRMSTables(config)
