@@ -167,28 +167,40 @@ def main():
                 raise
             time.sleep(min(60.0, 10.0 * (attempt + 1)))
 
-    # enough iterations to amortise the final sync RTT; fewer on CPU
-    # smoke runs where each batch takes tens of seconds
-    nIter = 20 if jax.default_backend() != "cpu" else 2
-    t0 = time.time()
-    for _ in range(nIter):
-        out = step(*stepArgs)
-        jax.block_until_ready(out)
-    # Some remote TPU runtimes do not block in block_until_ready; force
-    # completion with a (tiny) value read so the timing is honest.
-    try:
-        float(np.asarray(out["signalNorm"][0]))
-    except Exception:
-        pass
-    elapsed = time.time() - t0
-
-    tile_scale_steps_per_sec = nIter * nTiles / elapsed
+    # MEDIAN-OF-BATCHES with dispersion (VERDICT r4 next #7): the remote
+    # tunnel's rate varied 73-94 steps/s across rounds on identical
+    # code, so a single mean cannot distinguish a real 15% regression
+    # from link noise.  Each timed batch is nIter steps; the reported
+    # rate is the MEDIAN batch rate, with the IQR and raw batch timings
+    # in the artifact so the dispersion is visible where the number is.
+    onCpu = jax.default_backend() == "cpu"
+    nIter = 5 if not onCpu else 2      # steps per timed batch
+    nBatches = 7 if not onCpu else 1   # timed batches
+    batchSeconds = []
+    for _ in range(nBatches):
+        t0 = time.time()
+        for _ in range(nIter):
+            out = step(*stepArgs)
+            jax.block_until_ready(out)
+        # Some remote TPU runtimes do not block in block_until_ready;
+        # force completion with a (tiny) value read so timing is honest.
+        try:
+            float(np.asarray(out["signalNorm"][0]))
+        except Exception:
+            pass
+        batchSeconds.append(time.time() - t0)
+    rates = np.array([nIter * nTiles / s for s in batchSeconds])
+    tile_scale_steps_per_sec = float(np.median(rates))
+    q1, q3 = (np.percentile(rates, 25), np.percentile(rates, 75)) \
+        if len(rates) > 1 else (rates[0], rates[0])
     baseline_cluster_rate = 4480.0 / (4.983 * 3600.0)  # ~0.25 steps/sec
     basis, end_to_end_ratio, record_s = _record_of_record()
     print(json.dumps({
         "metric": "DR5-like 2-freq MMF production tile-scale steps/sec/chip",
         "value": round(tile_scale_steps_per_sec, 4),
         "unit": "tile_scale_steps/sec/chip",
+        "value_iqr": [round(float(q1), 2), round(float(q3), 2)],
+        "value_batches": [round(float(r), 2) for r in rates],
         "vs_baseline": round(end_to_end_ratio, 2),
         "vs_baseline_basis": "COMMITTED end-to-end DR5-scale record"
                              " (docs/benchmarks/%s, %.1f s), 1 chip vs"

@@ -225,7 +225,9 @@ def main():
                             massOptions["Om0"], massOptions["Ob0"],
                             massOptions["sigma8"], massOptions["ns"],
                             delta=massOptions["delta"],
-                            rhoType=massOptions["rhoType"])
+                            rhoType=massOptions["rhoType"],
+                            transferFunction=massOptions.get(
+                                "transferFunction", "boltzmann_camb"))
     # Extra mass definitions from the config (reference
     # bin/nemoMass:327-331; defaults to M200m inside calcMassTable)
     otherMassEstimates = None

@@ -346,7 +346,11 @@ class SelFn:
                                          zStep=self.zStep,
                                          enableDrawSample=enableDrawSample,
                                          delta=delta, rhoType=rhoType,
-                                         massFunction=massFunction)
+                                         massFunction=massFunction,
+                                         transferFunction=self
+                                         .scalingRelationDict.get(
+                                             "transferFunction",
+                                             "boltzmann_camb"))
             self.update(H0, Om0, Ob0, sigma8, ns)
 
     # ------------------------------------------------------------------
@@ -994,7 +998,9 @@ def makeMassLimitMapsAndPlots(config):
                             massOptions["Om0"], massOptions["Ob0"],
                             massOptions["sigma8"], massOptions["ns"],
                             delta=massOptions["delta"],
-                            rhoType=massOptions["rhoType"])
+                            rhoType=massOptions["rhoType"],
+                            transferFunction=massOptions.get(
+                                "transferFunction", "boltzmann_camb"))
     for mlDict in selFnOptions.get("massLimitMaps", []):
         z = mlDict["z"]
         for tileName in config.allTileNames:

@@ -21,7 +21,7 @@ class MockSurvey:
 
     def __init__(self, minMass, areaDeg2, zMin, zMax, H0, Om0, Ob0, sigma8,
                  ns, zStep=0.01, enableDrawSample=False, delta=500,
-                 rhoType="critical", transferFunction="eisenstein_hu",
+                 rhoType="critical", transferFunction="boltzmann_camb",
                  massFunction="Tinker08", c_m_relation="Bhattacharya13"):
         if areaDeg2 == 0:
             raise ValueError("Cannot create a MockSurvey with zero area")
@@ -39,7 +39,10 @@ class MockSurvey:
         self.rhoType = rhoType
         self.massFuncName = massFunction
         # reference naming (CCL): 'eisenstein_hu' or 'boltzmann_camb'
-        # (nemo/MockSurvey.py:66); maps onto the native transfer options
+        # (nemo/MockSurvey.py:66, whose DEFAULT is boltzmann_camb -
+        # matched here since round 5; the native Boltzmann solve costs
+        # ~50 s once per (H0, Om0, Ob0) per process, cached, and the
+        # power grid is built lazily).  Maps onto the native options
         self.transferFunction = {
             "eisenstein_hu": "eh98", "eh98": "eh98",
             "boltzmann_camb": "boltzmann",

@@ -568,26 +568,34 @@ def transfer_function(kMpc, H0=70.0, Om0=0.3, Ob0=0.05, nGrid=24576,
     import jax
     import jax.numpy as jnp
 
-    bg = _solver_tables(float(H0), float(Om0), float(Ob0), int(nGrid))
-    k = np.asarray(kMpc, dtype=np.float64)
-    sysd = _make_system(bg, dtype)
-    lna = sysd["lna"]
-    I_DC, I_DB = sysd["I_DC"], sysd["I_DB"]
-    Oc0, Ob0_ = sysd["Oc0"], sysd["Ob0"]
+    # The stiff pre-recombination system needs float64: in a production
+    # session (TPU backend, x64 off) jnp would silently truncate every
+    # table to float32 and run the scan over the remote tunnel.  Pin the
+    # whole solve to the host CPU backend under a thread-local x64
+    # context instead - the solver is a one-off per cosmology and takes
+    # seconds on CPU, no device round trips.
+    with jax.enable_x64(True), \
+            jax.default_device(jax.devices("cpu")[0]):
+        bg = _solver_tables(float(H0), float(Om0), float(Ob0), int(nGrid))
+        k = np.asarray(kMpc, dtype=np.float64)
+        sysd = _make_system(bg, dtype)
+        lna = sysd["lna"]
+        I_DC, I_DB = sysd["I_DC"], sysd["I_DB"]
+        Oc0, Ob0_ = sysd["Oc0"], sysd["Ob0"]
 
-    def solve_one(kk):
-        y0 = sysd["initial_state"](kk)
-        R0 = sysd["comoving_curvature"](y0, kk, lna[0])
+        def solve_one(kk):
+            y0 = sysd["initial_state"](kk)
+            R0 = sysd["comoving_curvature"](y0, kk, lna[0])
 
-        def step(carry, x):
-            return sysd["rk4_step"](carry, x, kk), None
+            def step(carry, x):
+                return sysd["rk4_step"](carry, x, kk), None
 
-        yF, _ = jax.lax.scan(step, y0, lna[:-1])
-        dm = (Oc0 * yF[I_DC] + Ob0_ * yF[I_DB]) / (Oc0 + Ob0_)
-        return dm / R0, R0
+            yF, _ = jax.lax.scan(step, y0, lna[:-1])
+            dm = (Oc0 * yF[I_DC] + Ob0_ * yF[I_DB]) / (Oc0 + Ob0_)
+            return dm / R0, R0
 
-    Tk, R0 = jax.vmap(solve_one)(jnp.asarray(k, dtype))
-    return np.asarray(Tk), {"R0": np.asarray(R0)}
+        Tk, R0 = jax.vmap(solve_one)(jnp.asarray(k, dtype))
+        return np.asarray(Tk), {"R0": np.asarray(R0)}
 
 
 def debug_trajectory(kk, H0=70.0, Om0=0.3, Ob0=0.05, nGrid=8192,

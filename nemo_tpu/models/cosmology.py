@@ -27,6 +27,8 @@ Grids are precomputed with numpy at construction; hot-path evaluations
 jitted on TPU.
 """
 
+import functools
+
 import numpy as np
 
 # -- constants (CODATA / IAU) ------------------------------------------------
@@ -41,6 +43,30 @@ def rho_crit0(h):
     """Critical density today in MSun / Mpc^3 (comoving = physical at z=0)."""
     H0 = 100.0 * h  # km/s/Mpc
     return 3 * H0 ** 2 / (8 * np.pi * G_MSUN)
+
+
+# Boltzmann splice grid: the solver's conventional T(k) comes from
+# delta_m / (k^2 R0), exact only well inside the horizon - at
+# k = 1e-4 Mpc^-1 the neglected (aH/k)^2 gauge terms inflate it ~5x.
+# kmin = 5e-3 keeps that contamination < 0.3% while still covering the
+# equality turnover; EH98 (shape-accurate where T ~ 1) is spliced in
+# below, scaled for continuity.  kmax = 30: k > 30 contributes nothing
+# to sigma(M >= 1e13) through the W^2 filter.
+_BOLTZ_KGRID = np.logspace(np.log10(5e-3), np.log10(30.0), 160)
+
+
+@functools.lru_cache(maxsize=8)
+def _boltzmann_Tk_cached(H0, Om0, Ob0):
+    """Raw Boltzmann transfer on ``_BOLTZ_KGRID``, cached per background
+    cosmology: sigma8 and ns only normalise/tilt the spectrum OUTSIDE
+    the transfer, so SelFn.update / mass-inference loops that vary them
+    re-solve nothing.  The ~15-50 s (1-core CPU, float64) solve runs at
+    most once per (H0, Om0, Ob0) per process."""
+    from . import boltzmann
+
+    Traw, _ = boltzmann.transfer_function(_BOLTZ_KGRID, H0=H0, Om0=Om0,
+                                          Ob0=Ob0)
+    return Traw
 
 
 class FlatLCDM:
@@ -91,7 +117,26 @@ class FlatLCDM:
         self._growth_grid = self._growth_unnorm(zg)
         self._growth_grid /= self._growth_unnorm(np.array([0.0]))[0]
 
-        self._init_power()
+        # Linear power is built LAZILY (first sigma/HMF access): the
+        # fiducial model's consumers (theta500/R500 geometry, Q fitting,
+        # filter construction) touch only the background, and with the
+        # reference-default Boltzmann transfer an eager build would
+        # spend the ~50 s solve on runs that never use sigma(M).
+        self._kGrid = None
+        self._pkGrid = None
+        self._sigma0Cache = {}
+
+    @property
+    def _k(self):
+        if self._kGrid is None:
+            self._init_power()
+        return self._kGrid
+
+    @property
+    def _pk(self):
+        if self._pkGrid is None:
+            self._init_power()
+        return self._pkGrid
 
     # -- background ----------------------------------------------------------
     def Ez(self, z):
@@ -206,14 +251,13 @@ class FlatLCDM:
 
     def _boltzmann_transfer(self, k):
         """Conventional T(k) from the native Boltzmann solver, spliced
-        onto EH98 outside the solved range (k < 1e-4 is superhorizon-
-        flat; k > 30 contributes nothing to sigma(M >= 1e13) through
-        the W^2 filter - both splices are continuous by scaling EH98 to
-        match at the boundary)."""
-        from . import boltzmann
-        kb = np.logspace(-4, np.log10(30.0), 160)
-        Traw, _ = boltzmann.transfer_function(
-            kb, H0=self.H0, Om0=self.Om0, Ob0=self.Ob0)
+        onto EH98 outside the solved range (see ``_BOLTZ_KGRID`` for the
+        boundary rationale - both splices are continuous by scaling EH98
+        to match at the boundary)."""
+        kb = _BOLTZ_KGRID
+        Traw = _boltzmann_Tk_cached(round(self.H0, 10),
+                                    round(self.Om0, 10),
+                                    round(self.Ob0, 10))
         Tb = np.abs(Traw) / kb ** 2     # strip the sub-horizon k^2
         Teh = self._eh98_transfer(k)
         TehB = self._eh98_transfer(kb)
@@ -236,8 +280,8 @@ class FlatLCDM:
         pk_un = k ** self.ns * T ** 2
         R8 = 8.0 / self.h
         s8_un = np.sqrt(self._sigma2_of_R(R8, k, pk_un))
-        self._k = k
-        self._pk = pk_un * (self.sigma8 / s8_un) ** 2
+        self._kGrid = k
+        self._pkGrid = pk_un * (self.sigma8 / s8_un) ** 2
         # sigma(M, z=0) is z-independent (growth factorises out), so cache
         # it per mass grid: dndlnM is called once per (row, z) in mass
         # inference and once per z bin in cluster counts / SelFn.update,

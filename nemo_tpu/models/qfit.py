@@ -620,6 +620,7 @@ def _fitQTileBatched(config, ref, models, buildModelTables, cosmoModel,
 
         for t0idx in range(0, len(tiles), tileChunk):
             tChunkWall = time_mod.time()
+            cpuChunkIn = time_mod.process_time()
             chunkTiles = tiles[t0idx:t0idx + tileChunk]
             t0 = time_mod.time()
             filtDevs, norms = [], []
@@ -652,7 +653,8 @@ def _fitQTileBatched(config, ref, models, buildModelTables, cosmoModel,
                     peaks, models, cosmoModel, zDepQ, tileName, y0)
                 if filterObj.filterFileName is not None:
                     filtercache.release(filterObj.filterFileName)
-            _qfitBudgetRecord(config, chunkTiles, tChunkWall, tBudget)
+            _qfitBudgetRecord(config, chunkTiles, tChunkWall, tBudget,
+                              cpuChunkIn)
     print("... fitQ budgets: " + ", ".join(
         "%s %.1fs" % kv for kv in sorted(tBudget.items())), flush=True)
 
@@ -660,10 +662,13 @@ def _fitQTileBatched(config, ref, models, buildModelTables, cosmoModel,
     return QTabDict
 
 
-def _qfitBudgetRecord(config, chunkTiles, tChunkWall, tBudget):
+def _qfitBudgetRecord(config, chunkTiles, tChunkWall, tBudget,
+                      cpuChunkIn):
     """Append a fitQ chunk record to diagnostics/chunk_budgets.jsonl so
     the stage's wall-clock decomposes bucket by bucket (VERDICT r4 next
-    #1: extend the timestamped budgets beyond the filtering stage)."""
+    #1: extend the timestamped budgets beyond the filtering stage).
+    ``cpu_s`` is process CPU over the chunk (all threads): on a 1-core
+    host, wall_s - cpu_s ~= link/device waits."""
     import json as _json
     import time as time_mod
 
@@ -671,7 +676,9 @@ def _qfitBudgetRecord(config, chunkTiles, tChunkWall, tBudget):
         if config.diagnosticsDir:
             rec = {"stage": "fitQ",
                    "t_wall": round(time_mod.time(), 2),
-                   "chunk_s": round(time_mod.time() - tChunkWall, 3),
+                   "wall_s": round(time_mod.time() - tChunkWall, 3),
+                   "cpu_s": round(
+                       time_mod.process_time() - cpuChunkIn, 3),
                    "nTiles": len(chunkTiles),
                    "cum": {k: round(v, 2) for k, v in tBudget.items()}}
             os.makedirs(config.diagnosticsDir, exist_ok=True)

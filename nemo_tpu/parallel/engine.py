@@ -770,8 +770,13 @@ def batchFilterTilesMulti(config, fList, tileNames=None, mesh=None,
             # bucket (labels hopping buckets across dec bands) draining
             # only afterwards would leave group-count + 1 chunks of
             # device buffers resident, breaking the ~two-chunk memory
-            # bound.
-            _drain_mf(depth=1)
+            # bound.  ``chunkPipelineDepth`` > 1 keeps more chunks'
+            # uploads in flight (a stalled transfer then overlaps the
+            # next chunk's device work) at the cost of proportionally
+            # more resident device buffers - raise it only with HBM
+            # headroom.
+            _drain_mf(depth=int(config.parDict.get("chunkPipelineDepth",
+                                                   1)))
 
     import time as _time
     phaseT = {"stageWait": 0.0}
@@ -1689,6 +1694,8 @@ def _process_bucket_impl(config, ctx, gridSize, trimPix, mesh, nDev,
     stream with the previous chunk's compute and downloads.
     """
     import time as _time
+    _tChunkIn = _time.time()
+    _cpuChunkIn = _time.process_time()
 
     labels = ctx["labels"]
     names = ctx["names"]
@@ -1906,7 +1913,17 @@ def _process_bucket_impl(config, ctx, gridSize, trimPix, mesh, nDev,
             import json as _json
             rec = {k: (round(v, 3) if isinstance(v, float) else v)
                    for k, v in tPhase.items()}
+            # wall_s: this chunk's total processing wall; cpu_s: the
+            # PROCESS CPU consumed meanwhile (all threads - on the
+            # 1-core benchmark host, wall ~= cpu + link/device waits,
+            # so wall_s - cpu_s - (upload+step+download idle) exposes
+            # whether unattributed time is host work (GIL contention
+            # from the staging/writer threads) or a true link stall
+            # (VERDICT r4 next #1).
             rec.update({"t_wall": round(_time.time(), 2),
+                        "wall_s": round(_time.time() - _tChunkIn, 3),
+                        "cpu_s": round(
+                            _time.process_time() - _cpuChunkIn, 3),
                         "chunk": chunkIdx, "nTiles": len(names),
                         "nLabels": len(labels),
                         "padShape": list(padShape),

@@ -539,7 +539,9 @@ def makeMockClusterCatalog(config, numMocksToMake=1, combineMocks=False,
                             massOptions["Ob0"], massOptions["sigma8"],
                             massOptions["ns"], delta=massOptions["delta"],
                             rhoType=massOptions["rhoType"],
-                            enableDrawSample=True)
+                            enableDrawSample=True,
+                            transferFunction=massOptions.get(
+                                "transferFunction", "boltzmann_camb"))
 
     catList = []
     rng = np.random.default_rng(seed)

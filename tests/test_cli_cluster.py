@@ -98,6 +98,7 @@ def cluster_cli_run(tmp_path_factory):
         "massOptions": {"tenToA0": 4.95e-5, "B0": 0.08, "Mpivot": 3.0e14,
                         "sigma_int": 0.2, "relativisticCorrection": True,
                         "rescaleFactor": 0.69, "rescaleFactorErr": 0.07,
+                        "transferFunction": "eisenstein_hu",
                         "redshiftCatalog": zPath},
         "mapFilters": [
             {"label": "Arnaud_M2e14_z0p4",

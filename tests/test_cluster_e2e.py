@@ -97,7 +97,10 @@ def _cluster_config(simDir, outDir):
         "fitQ": True,
         "outputDir": outDir,
         "massOptions": {"tenToA0": 4.95e-5, "B0": 0.08, "Mpivot": 3.0e14,
-                        "sigma_int": 0.2, "relativisticCorrection": True},
+                        "sigma_int": 0.2, "relativisticCorrection": True,
+                        # eh98 keeps the suite fast; production default
+                        # follows the reference (boltzmann_camb)
+                        "transferFunction": "eisenstein_hu"},
         "allFilters": {"class": "ArnaudModelMatchedFilter",
                        "params": {"noiseParams": {"method": "dataMap",
                                                   "noiseGridArcmin": 40.0},
@@ -301,7 +304,7 @@ def test_mass_inference_round_trip(cluster_run):
     a few % of truth (clusters.robot tolerance: 2-3%)."""
     inputTab, cat, config, simDir, w, configPath = cluster_run
     mockSurvey = MockSurvey(1e13, 600.0, 0.0, 2.0, 70.0, 0.30, 0.05, 0.80,
-                            0.95)
+                            0.95, transferFunction="eisenstein_hu")
     Q = QFit(QSource="fit", selFnDir=config.selFnDir)
     cosmo = mockSurvey.cosmoModel
     M500_true = 3e14

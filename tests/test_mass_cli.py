@@ -27,7 +27,8 @@ def mass_setup(cluster_run):  # noqa: F811
                             massOptions["sigma8"], massOptions["ns"],
                             delta=massOptions["delta"],
                             rhoType=massOptions["rhoType"],
-                            enableDrawSample=True)
+                            enableDrawSample=True,
+                            transferFunction="eisenstein_hu")
     fRelWeightsDict = completeness.getFRelWeights(config)
     return config, Q, massOptions, mockSurvey, fRelWeightsDict
 

@@ -203,12 +203,47 @@ def test_battaglia_profile():
     assert np.max(np.abs(pa - pb)) > 1e-3
 
 
+def test_default_transfer_is_boltzmann_and_plumbs(monkeypatch):
+    """Reference parity (nemo/MockSurvey.py:66): the DEFAULT transfer is
+    boltzmann_camb, flowing through MockSurvey into FlatLCDM's native
+    Boltzmann path.  The ~50 s solve is monkeypatched with the EH98
+    shape so this stays a wiring test, not a solver test
+    (test_boltzmann.py covers the physics)."""
+    from nemo_tpu.mock import MockSurvey
+
+    calls = []
+
+    def fakeSolve(H0, Om0, Ob0):
+        calls.append((H0, Om0, Ob0))
+        kb = np.logspace(-4, np.log10(30.0), 160)
+        c = cosmology.FlatLCDM(H0, Om0, Ob0, 0.8, 0.95)
+        return c._eh98_transfer(kb) * kb ** 2   # raw-solver convention
+
+    monkeypatch.setattr(cosmology, "_boltzmann_Tk_cached", fakeSolve)
+    ms = MockSurvey(1e13, 600.0, 0.0, 1.0, 70.0, 0.30, 0.05, 0.80, 0.95)
+    assert ms.transferFunction == "boltzmann"
+    assert ms.cosmoModel.transferFunction == "boltzmann"
+    assert calls == [(70.0, 0.30, 0.05)]
+    # the spliced power behaves: finite, positive, sigma8 normalised
+    assert abs(ms.cosmoModel.sigmaR(8.0 / 0.7) - 0.80) < 1e-6
+
+
+def test_fiducial_cosmology_is_background_lazy():
+    """The fiducial model (filter construction / Q fitting) must touch
+    only the background: with the Boltzmann-default transfer an eager
+    power build would put a ~50 s solve on every fitQ run."""
+    c = cosmology.fiducialCosmoModel()
+    cosmology.calcTheta500Arcmin(0.4, 2e14, c)
+    assert c._kGrid is None or c.transferFunction == "eh98"
+
+
 def test_mock_survey_counts_and_mass_pdf():
     """calcNumClustersExpected and getPLog10M (MockSurvey.py:310-356):
     cluster counts are in the right ballpark for a Planck-like cosmology
     and P(log10 M) is a normalised, decreasing mass function."""
     from nemo_tpu.mock import MockSurvey
-    ms = MockSurvey(1e13, 600.0, 0.0, 2.0, 70.0, 0.30, 0.05, 0.80, 0.95)
+    ms = MockSurvey(1e13, 600.0, 0.0, 2.0, 70.0, 0.30, 0.05, 0.80, 0.95,
+                    transferFunction="eisenstein_hu")
     # full-sky-scaled count of M > 5e14 clusters to z < 2: hundreds over
     # the whole sky -> tens over 600 deg2... order of magnitude check
     n = ms.calcNumClustersExpected(MLimit=5e14)
@@ -232,7 +267,8 @@ def test_calc_completeness_fast_vs_montecarlo():
     from nemo_tpu.mock import MockSurvey
 
     ms = MockSurvey(1e13, 600.0, 0.0, 2.0, 70.0, 0.30, 0.05, 0.80, 0.95,
-                    enableDrawSample=True)
+                    enableDrawSample=True,
+                    transferFunction="eisenstein_hu")
 
     class FlatQ:
         def getQ(self, theta500s, z=None, tileName=None):
