@@ -59,6 +59,12 @@ def main():
         import jax
         jax.config.update("jax_enable_x64", True)
 
+    # Multi-host (DCN) runtime: no-op unless NEMO_TPU_MULTIHOST=1
+    # (parallel/multihost.py documents the launch contract); must run
+    # before first device use.
+    from nemo_tpu.parallel import multihost
+    multihost.initialize_from_env()
+
     from nemo_tpu import (catalogs, completeness, maps, pipelines,
                           startup)
     from nemo_tpu.models import qfit

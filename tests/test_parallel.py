@@ -210,3 +210,22 @@ def test_given_filter_step_matches_build_step():
                                rtol=1e-12, atol=1e-16)
     assert np.array_equal(np.asarray(outG["surveyMask"]),
                           np.asarray(outB["surveyMask"]))
+
+
+def test_multihost_skeleton_single_process():
+    """Multi-host runtime primitives (parallel/multihost.py): inert by
+    default (no distributed init on single-host runs), coordinator
+    gating true, and the local tile slice is everything when one
+    process addresses the whole mesh - the contracts the engine relies
+    on if NEMO_TPU_MULTIHOST=1 ever spans real hosts."""
+    import os
+    from nemo_tpu.parallel import mesh as mesh_mod
+    from nemo_tpu.parallel import multihost
+
+    assert os.environ.get("NEMO_TPU_MULTIHOST", "") in ("", "0")
+    assert multihost.multihost_requested() is False
+    assert multihost.initialize_from_env() is False   # no-op, no crash
+    assert multihost.is_coordinator() is True
+    m = mesh_mod.get_mesh(n_devices=8)
+    names = ["t%d" % i for i in range(20)]
+    assert multihost.local_tile_slice(names, m) == names
