@@ -76,11 +76,26 @@ step = distribute.make_sharded_matched_filter_step(
 # cross-device traffic, so throughput scales with device count by
 # construction (each chip runs the identical per-shard program on its
 # own tiles) - the compile-level fact behind "tiles shard linearly".
-hlo = step.lower(*args).compile().as_text()
-census = {}
-for op in ("all-reduce", "all-gather", "all-to-all", "reduce-scatter",
-           "collective-permute", "collective-broadcast"):
-    census[op] = hlo.count(op + "(")
+def _census(lowered):
+    hlo = lowered.compile().as_text()
+    return {op: hlo.count(op + "(") for op in
+            ("all-reduce", "all-gather", "all-to-all", "reduce-scatter",
+             "collective-permute", "collective-broadcast")}
+
+census = _census(step.lower(*args))
+
+# The SURVEY-STATS step (make_sharded_tile_step with_survey_stats=True,
+# the program dryrun_multichip also validates) DOES carry collectives:
+# a pmax for globally-consistent histogram bins and psums for the
+# candidate count + noise histogram - the reference's MPI gathers.
+# Census it separately so the story names which program has which
+# traffic: the production detect path has none; the survey-stat
+# reductions move O(histogram) bytes once per chunk.
+statsStep = distribute.make_sharded_tile_step(
+    mesh, gridSize, 0, topK=64, threshold=4.0, with_survey_stats=True)
+statsCensus = _census(statsStep.lower(
+    args[0], args[1], args[2], w, jnp.asarray(np.asarray(apodM)),
+    args[6], args[7]))
 
 jax.block_until_ready(step(*args))       # warm
 ts = []
@@ -91,7 +106,8 @@ for _ in range(%(iters)d):
 t = float(np.median(ts))
 print(json.dumps({"nDev": nDev, "nTiles": nT, "step_s": t,
                   "tile_scale_steps_per_s": nT / t,
-                  "hlo_collectives": census}))
+                  "hlo_collectives_production_detect_step": census,
+                  "hlo_collectives_survey_stats_step": statsCensus}))
 """
 
 
@@ -151,13 +167,19 @@ def main():
         "caveats": "virtual devices time-share %d host core(s), so the "
                    "wall-clock rows measure CORE CONTENTION, not chip "
                    "scaling (on 1 core, expect efficiency ~ 1/nDev). "
-                   "The scaling claim rests on hlo_collectives: the "
-                   "compiled per-shard program contains ZERO inter-"
-                   "device communication at every mesh size, so each "
-                   "added chip adds its full bench.py rate; the serial "
-                   "remainder is the host staging/catalog work "
-                   "(Amdahl terms measured per-stage in the DR5 "
-                   "benchmark's timings.json)." % nCores,
+                   "The scaling claim rests on the HLO censuses, one "
+                   "per PROGRAM: the PRODUCTION detect-mode step (what "
+                   "the DR5 record runs per chunk x scale) compiles "
+                   "with ZERO inter-device communication at every mesh "
+                   "size, so each added chip adds its full bench.py "
+                   "rate; the survey-stats step (the dryrun's psum/"
+                   "pmax reductions, the reference's MPI gathers) "
+                   "carries its all-reduces explicitly and moves "
+                   "O(histogram) bytes once per chunk - not a "
+                   "bandwidth term.  The serial remainder is the host "
+                   "staging/catalog work (Amdahl terms measured per-"
+                   "stage in the DR5 benchmark's timings.json)."
+                   % nCores,
     }
     print(json.dumps(doc, indent=2))
     if args.out:
