@@ -63,10 +63,19 @@ def main():
         total = sum(v for v in timings.values()
                     if isinstance(v, (int, float)))
 
+    # tile count for the matched-workload accounting flag bench.py keys
+    # its record selection on (~280 tiles = the reference DR5 run's own
+    # tiling of the AdvACT S18 mask)
+    import glob
+    nTiles = len(glob.glob(os.path.join(outDir, "selFn",
+                                        "[0-9]*_*"))) or None
+
     refSeconds = (4 * 60 + 59) * 60.0
     summary = {
         "end_to_end_s": total,
         "stages_s": timings,
+        "n_tiles": nTiles,
+        "tiles_match_reference": bool(nTiles and 250 <= nTiles <= 310),
         "n_input": int(len(ra_i)),
         "n_detected": int(len(ra_c)),
         "n_matched": int(matched),

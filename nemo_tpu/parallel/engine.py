@@ -1862,7 +1862,14 @@ def _process_bucket_impl(config, ctx, gridSize, trimPix, mesh, nDev,
             # Bound enqueued-but-unexecuted device work (PJRT allocates
             # computation outputs at enqueue time): wait for the 4-back
             # label's tiny nObjects result before dispatching further.
+            # Timed as its own bucket: this wait absorbs the chunk's
+            # REAL per-label device execution (and any runtime stall in
+            # it) - the round-5 timeline showed it was where most of a
+            # slow chunk's wall hid.
+            t0 = _time.time()
             records[-4]["down"]["lagArr"].block_until_ready()
+            tPhase["lagWait"] = tPhase.get("lagWait", 0.0) \
+                + (_time.time() - t0)
 
     co.dispatch()
     # Attribution: wait for the chunk's DEVICE work here (readiness of
