@@ -527,18 +527,21 @@ def _prepare_tile(config, f, tileName, templateCache=None, mapsList=None,
                              dtype=np.float64)
     else:
         fgPower = None
-    surveyMask = common["surveyMask"]
     trimPix = filterObj._trimSizePix()
-    if common.get("coverEdt") is not None:
-        # ragged coverage: fold the coverage-edge trim into the survey
-        # mask (filters.raggedEdgeArrays semantics), cached per erosion
-        # width so same-trim labels share ONE ndarray (upload dedup)
+    if common.get("coverEdt") is not None and \
+            not common.get("_keepApplied"):
+        # ragged coverage: fold the coverage-edge trim into the COMMON
+        # survey mask (filters.raggedEdgeArrays semantics) - the bucket
+        # runner uploads common["surveyMask"], so the fold must land
+        # there, once per tile.  The first label's trim width decides
+        # (filter banks share one trim in practice: it derives from the
+        # noise grid, which the engine also assumes bank-wide).
         erodePix = filters_mod.coverageErodePix(filterObj.apodPix,
                                                 trimPix, gridSize)
-        keepKey = ("keepMask", erodePix)
-        if keepKey not in common:
-            common[keepKey] = surveyMask * (common["coverEdt"] > erodePix)
-        surveyMask = common[keepKey]
+        common["surveyMask"] = common["surveyMask"] * (
+            common["coverEdt"] > erodePix)
+        common["_keepApplied"] = True
+    surveyMask = common["surveyMask"]
     return filterObj, {"common": common, "data": dataStack,
                        "noise": noiseStack,
                        "cachedFilt": cachedFilt, "cachedNorm": cachedNorm,

@@ -167,3 +167,37 @@ def test_engine_staging_folds_ragged_arrays():
     common2 = engine._stage_tile_common_from_maps([full])
     assert common2["coverEdt"] is None
     assert common2["apodM"] is engine._apod_np(SHAPE, 20)
+
+
+def test_prepare_tile_erodes_common_survey_mask(tmp_path):
+    """The bucket runner uploads common["surveyMask"] (not the per-label
+    stacks copy), so the coverage-edge erosion must be folded into the
+    COMMON dict - this is the exact contract that regressed once in
+    round 5 (the fold initially landed only in stacks)."""
+    from nemo_tpu.parallel import engine
+
+    mapDict, coverage = _ragged_tile(seed=7)
+
+    class _Cfg:
+        parDict = {"photFilter": None, "bankPaintBatch": False}
+        selFnDir = str(tmp_path / "selFn")
+        diagnosticsDir = str(tmp_path / "diag")
+        unfilteredMapsDictList = [mapDict]
+
+    common = engine._stage_tile_common_from_maps([mapDict])
+    before = common["surveyMask"].copy()
+    f = dict(FILTER_DEF)
+    _, stacks = engine._prepare_tile(_Cfg(), f, "PRIMARY",
+                                     templateCache={},
+                                     mapsList=[mapDict], common=common)
+    from scipy.ndimage import distance_transform_edt
+    edt = distance_transform_edt(coverage)
+    trimPix = 20                                  # edgeTrimArcmin 10'
+    gridPix = 40                                  # noiseGridArcmin 20'
+    erode = filters.coverageErodePix(20, trimPix, gridPix)
+    # the fold landed in COMMON (what gets uploaded)...
+    assert common["surveyMask"][edt <= erode].sum() == 0
+    assert common["surveyMask"][(edt > erode)].sum() > 0
+    # ... was applied exactly once, and stacks reference it
+    assert stacks["surveyMask"] is common["surveyMask"]
+    assert before[(edt > 0) & (edt <= erode)].sum() > 0  # really changed
