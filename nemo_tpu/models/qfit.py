@@ -618,6 +618,31 @@ def _fitQTileBatched(config, ref, models, buildModelTables, cosmoModel,
             del dev
         tBudget["paint"] += time_mod.time() - t0
 
+        def _consumePending(rec):
+            """Blocking read + QTab assembly for one dispatched tile
+            chunk.  ONE coalesced (T, sum B) read per chunk - separate
+            per-model-chunk reads cost ~4x the link round trips, and on
+            this tunnel round trips (not bytes) drive the sporadic
+            ~55 s runtime stalls (docs/benchmarks/dr5_r5)."""
+            t0 = time_mod.time()
+            vals = np.asarray(rec["copy"])
+            tBudget["download"] += time_mod.time() - t0
+            cols = []
+            c0 = 0
+            for _, nChunk in fModelChunks:
+                cols.append(slice(c0, c0 + nChunk))
+                c0 += modelChunk
+            for ti, (tileName, filterObj) in enumerate(rec["tiles"]):
+                peaks = [float(v) * rec["norms"][ti]
+                         for sl in cols for v in vals[ti, sl]]
+                QTabDict[tileName] = _assembleQTab(
+                    peaks, models, cosmoModel, zDepQ, tileName, y0)
+                if filterObj.filterFileName is not None:
+                    filtercache.release(filterObj.filterFileName)
+            _qfitBudgetRecord(config, rec["tiles"], rec["tWall"],
+                              tBudget, rec["cpuIn"])
+
+        pendingChunk = None
         for t0idx in range(0, len(tiles), tileChunk):
             tChunkWall = time_mod.time()
             cpuChunkIn = time_mod.process_time()
@@ -632,29 +657,20 @@ def _fitQTileBatched(config, ref, models, buildModelTables, cosmoModel,
             tBudget["loadFilter"] += time_mod.time() - t0
 
             t0 = time_mod.time()
-            pending = []
-            for fdev, nChunk in fModelChunks:
-                sp = _applyPeaks(filts, fdev, tuple(padShape))
-                pending.append((start_host_copy(sp), nChunk))
+            sps = [_applyPeaks(filts, fdev, tuple(padShape))
+                   for fdev, _ in fModelChunks]
+            copy = start_host_copy(jnp.concatenate(sps, axis=1))
             tBudget["dispatch"] += time_mod.time() - t0
 
-            t0 = time_mod.time()
-            peaksPerTile = [[] for _ in chunkTiles]
-            for devArr, nChunk in pending:
-                vals = np.asarray(devArr)
-                for ti in range(len(chunkTiles)):
-                    peaksPerTile[ti].extend(
-                        float(v) for v in vals[ti, :nChunk])
-            tBudget["download"] += time_mod.time() - t0
-
-            for ti, (tileName, filterObj) in enumerate(chunkTiles):
-                peaks = [p * norms[ti] for p in peaksPerTile[ti]]
-                QTabDict[tileName] = _assembleQTab(
-                    peaks, models, cosmoModel, zDepQ, tileName, y0)
-                if filterObj.filterFileName is not None:
-                    filtercache.release(filterObj.filterFileName)
-            _qfitBudgetRecord(config, chunkTiles, tChunkWall, tBudget,
-                              cpuChunkIn)
+            rec = {"copy": copy, "tiles": chunkTiles, "norms": norms,
+                   "tWall": tChunkWall, "cpuIn": cpuChunkIn}
+            # one-chunk deferral: the blocking read lands on work the
+            # device finished while this chunk was being dispatched
+            if pendingChunk is not None:
+                _consumePending(pendingChunk)
+            pendingChunk = rec
+        if pendingChunk is not None:
+            _consumePending(pendingChunk)
     print("... fitQ budgets: " + ", ".join(
         "%s %.1fs" % kv for kv in sorted(tBudget.items())), flush=True)
 
