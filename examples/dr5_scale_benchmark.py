@@ -218,6 +218,10 @@ def writeConfig(workDir, mapEntries, maskPath):
         # 8 tiles resident: the 16-tile batch OOMs a 16 GB v5e in the
         # detect+return_filter step (workspace + caches + residents)
         "deviceBatchSize": 8,
+        # two chunks of uploads in flight: the tunnel's sporadic ~55 s
+        # stalls then overlap the next chunk's staged traffic instead
+        # of serialising with it (docs/benchmarks/dr5_r5)
+        "chunkPipelineDepth": 2,
         "qfitBatchSize": 16,
         "outputDir": os.path.join(workDir, "out"),
     }
