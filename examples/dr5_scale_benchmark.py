@@ -218,10 +218,13 @@ def writeConfig(workDir, mapEntries, maskPath):
         # 8 tiles resident: the 16-tile batch OOMs a 16 GB v5e in the
         # detect+return_filter step (workspace + caches + residents)
         "deviceBatchSize": 8,
-        # two chunks of uploads in flight: the tunnel's sporadic ~55 s
-        # stalls then overlap the next chunk's staged traffic instead
-        # of serialising with it (docs/benchmarks/dr5_r5)
+        # Outage-overlap settings (docs/benchmarks/dr5_r5): the tunnel
+        # drops out ~50 s every ~65-90 s, so keep enough work enqueued
+        # on the device to ride it out - two chunks of uploads in
+        # flight, 10 labels of step outputs in flight (~1.6 GB HBM),
+        # and fitQ reads deferred 12 chunks behind the dispatches.
         "chunkPipelineDepth": 2,
+        "detectLagDepth": 10,
         "qfitBatchSize": 16,
         "outputDir": os.path.join(workDir, "out"),
     }

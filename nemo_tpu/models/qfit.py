@@ -309,7 +309,6 @@ def fitQ(config):
         pix = filterObj.pixScalesRad
         cy, cx = shape[0] / 2.0, shape[1] / 2.0
 
-        Q, QTheta500Arcmin, Qz = [], [], []
         # Only the central window is needed for the peak read; pull a
         # small crop instead of the full filtered map (device->host
         # transfers are the bottleneck on remote TPU runtimes)
@@ -642,7 +641,15 @@ def _fitQTileBatched(config, ref, models, buildModelTables, cosmoModel,
             _qfitBudgetRecord(config, rec["tiles"], rec["tWall"],
                               tBudget, rec["cpuIn"])
 
-        pendingChunk = None
+        # Deep read-deferral: each pending chunk pins only its tiny
+        # (T, sum B) peak array - enqueued _applyPeaks executions
+        # allocate just those outputs up front - so MANY chunks can be
+        # dispatched ahead of the blocking reads.  On this tunnel the
+        # link drops out for ~50 s every ~65-90 s; a deep queue keeps
+        # the device fed straight through an outage instead of idling
+        # at a per-chunk sync point (docs/benchmarks/dr5_r5).
+        readDepth = int(config.parDict.get("qfitReadDepth", 12))
+        pendingChunks = []
         for t0idx in range(0, len(tiles), tileChunk):
             tChunkWall = time_mod.time()
             cpuChunkIn = time_mod.process_time()
@@ -662,15 +669,13 @@ def _fitQTileBatched(config, ref, models, buildModelTables, cosmoModel,
             copy = start_host_copy(jnp.concatenate(sps, axis=1))
             tBudget["dispatch"] += time_mod.time() - t0
 
-            rec = {"copy": copy, "tiles": chunkTiles, "norms": norms,
-                   "tWall": tChunkWall, "cpuIn": cpuChunkIn}
-            # one-chunk deferral: the blocking read lands on work the
-            # device finished while this chunk was being dispatched
-            if pendingChunk is not None:
-                _consumePending(pendingChunk)
-            pendingChunk = rec
-        if pendingChunk is not None:
-            _consumePending(pendingChunk)
+            pendingChunks.append(
+                {"copy": copy, "tiles": chunkTiles, "norms": norms,
+                 "tWall": tChunkWall, "cpuIn": cpuChunkIn})
+            while len(pendingChunks) > readDepth:
+                _consumePending(pendingChunks.pop(0))
+        while pendingChunks:
+            _consumePending(pendingChunks.pop(0))
     print("... fitQ budgets: " + ", ".join(
         "%s %.1fs" % kv for kv in sorted(tBudget.items())), flush=True)
 

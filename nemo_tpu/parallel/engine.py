@@ -1861,16 +1861,22 @@ def _process_bucket_impl(config, ctx, gridSize, trimPix, mesh, nDev,
         maskDispatched = maskDispatched or wantMask
         del out     # big outputs free once the dispatched reductions run
         records.append(rec)
-        if len(records) >= 4:
+        lagDepth = int(config.parDict.get("detectLagDepth", 4))
+        if len(records) >= lagDepth:
             # Bound enqueued-but-unexecuted device work (PJRT allocates
-            # computation outputs at enqueue time): wait for the 4-back
-            # label's tiny nObjects result before dispatching further.
-            # Timed as its own bucket: this wait absorbs the chunk's
-            # REAL per-label device execution (and any runtime stall in
-            # it) - the round-5 timeline showed it was where most of a
-            # slow chunk's wall hid.
+            # computation outputs at enqueue time): wait for the
+            # lagDepth-back label's tiny nObjects result before
+            # dispatching further.  Each in-flight label pins ~160 MB
+            # of step outputs at DR5 chunk shapes; deeper lag rides out
+            # the tunnel's sporadic ~50 s outages (the device keeps
+            # draining enqueued steps while the link is down) at the
+            # cost of lagDepth x that HBM.  Timed as its own bucket:
+            # this wait absorbs the chunk's REAL per-label device
+            # execution (and any runtime stall in it) - the round-5
+            # timeline showed it was where most of a slow chunk's wall
+            # hid.
             t0 = _time.time()
-            records[-4]["down"]["lagArr"].block_until_ready()
+            records[-lagDepth]["down"]["lagArr"].block_until_ready()
             tPhase["lagWait"] = tPhase.get("lagWait", 0.0) \
                 + (_time.time() - t0)
 
