@@ -11,7 +11,14 @@ that S/N in the real run.
 Usage (after examples/dr5_scale_benchmark.py has completed in the same
 workDir, leaving its cached filters + catalog):
 
-    python examples/dr5_contamination.py <workDir> [outJson]
+    python examples/dr5_contamination.py <workDir> [outJson] [everyNth]
+
+``everyNth`` > 1 runs the inverted pass on every Nth tile (spread
+across the survey's declination bands) and compares against the real
+catalog restricted to the same tiles: the contamination FRACTION is a
+per-area statistic, so a spread subsample estimates it with ~1/sqrt(n)
+counting error at a fraction of the wall-clock (the full inverted pass
+is a second full filtering stage).
 """
 
 import json
@@ -28,6 +35,7 @@ def main():
     workDir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/dr5scale"
     outJson = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         workDir, "out", "diagnostics", "contamination.json")
+    everyNth = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     configPath = os.path.join(workDir, "dr5scale.yml")
 
     import time
@@ -36,11 +44,22 @@ def main():
 
     t0 = time.time()
     config = startup.NemoConfig(configPath, writeTileInfo=False)
+    tileSubset = None
+    if everyNth > 1:
+        tileSubset = set(config.tileNames[::everyNth])
+        config.tileNames = sorted(tileSubset)
+        print("... inverted pass on %d / %d tiles (every %dth)"
+              % (len(config.tileNames), len(config.allTileNames),
+                 everyNth), flush=True)
     invertedCatalog = maps.estimateContaminationFromInvertedMaps(config)
     elapsed = time.time() - t0
 
     realCat = Table.read(os.path.join(workDir, "out",
                                       "out_optimalCatalog.fits"))
+    if tileSubset is not None:
+        keep = np.array([t in tileSubset
+                         for t in np.asarray(realCat["tileName"])])
+        realCat = realCat[keep]
     snInv = np.asarray(invertedCatalog["SNR"], dtype=float) \
         if len(invertedCatalog) else np.array([])
     snReal = np.asarray(realCat["SNR"], dtype=float)
@@ -55,6 +74,8 @@ def main():
 
     artifact = {"method": "invertedMaps (cached filters)",
                 "wallclock_s": round(elapsed, 1),
+                "tiles": len(config.tileNames),
+                "tiles_total": len(config.allTileNames),
                 "rows": rows}
     os.makedirs(os.path.dirname(outJson), exist_ok=True)
     with open(outJson, "w") as f:
