@@ -67,7 +67,10 @@ def main():
                 + rows[0].get("wall_s", 0)) if len(rows) > 1 else wall
         print("\n## stage: %s  (%d chunks)" % (stage, len(rows)))
         print("  span (first->last record) : %9.1f s" % span)
-        print("  sum in-chunk wall_s       : %9.1f s" % wall)
+        print("  sum in-chunk wall_s       : %9.1f s%s" % (
+            wall, "  (OVERLAPPING deferred records - each wall_s is a"
+                  " dispatch->consume latency; use the span as the"
+                  " stage wall)" if wall > 1.2 * span else ""))
         print("  sum inter-chunk gaps      : %9.1f s  "
               "(staging loop / flush deferral)" % gapSum)
         print("  sum process cpu_s         : %9.1f s" % cpu)
